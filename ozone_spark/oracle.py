@@ -1,0 +1,143 @@
+"""DuckDB-dialect CTE text mirroring ozone_spark.tables derived views.
+
+The driver's correctness gate runs each oracle SQL in DuckDB over the
+same parquet tables (pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings).  Any oracle
+for a namespace operator therefore re-derives the namespace with these
+CTEs.  KEEP IN LOCKSTEP with ozone_spark/tables.py — every expression is
+chosen to be bit-exact across engines (integer modular arithmetic,
+floor() on doubles, exact powers of two, UTC epoch millis).
+"""
+
+from __future__ import annotations
+
+NOW_MS = 1009843200000  # must match tables.NOW_MS
+
+_CTES: dict[str, str] = {}
+
+_CTES["keys"] = """keys AS (
+  SELECT *, '/' || volume || '/' || bucket || '/' || key_name AS db_key
+  FROM (
+    SELECT
+      o_orderkey AS object_id,
+      'vol' || CAST(o_custkey % 4 AS VARCHAR) AS volume,
+      'b' || CAST(o_custkey % 3 AS VARCHAR) AS bucket,
+      lower(o_orderstatus) || '/y' || CAST(year(o_orderdate) AS VARCHAR)
+        || '/order-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_name,
+      CAST(floor(o_totalprice * 100) AS BIGINT) AS data_size,
+      CAST(1 + o_orderkey % 3 AS INT) AS repl_factor,
+      CAST(floor(o_totalprice * 100) AS BIGINT) * (1 + o_orderkey % 3) AS replicated_size,
+      epoch_ms(o_orderdate) AS creation_time,
+      'user' || CAST(o_custkey % 10 AS VARCHAR) AS owner,
+      o_orderpriority AS priority
+    FROM orders
+  )
+)"""
+
+_CTES["locations"] = """locations AS (
+  SELECT *,
+    CAST(sum(block_len) OVER (PARTITION BY object_id ORDER BY block_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - block_len
+      AS block_offset
+  FROM (
+    SELECT
+      l_orderkey AS object_id,
+      l_linenumber AS block_seq,
+      (l_partkey * 7 + l_suppkey) % 55 AS container_id,
+      l_orderkey * 100 + l_linenumber AS local_id,
+      CAST(floor(l_extendedprice) AS BIGINT) AS block_len
+    FROM lineitem
+  )
+)"""
+
+_CTES["containers"] = """containers AS (
+  SELECT
+    container_id,
+    CASE
+      WHEN container_id % 10 = 0 THEN 'DELETED'
+      WHEN container_id % 10 = 1 THEN 'DELETING'
+      WHEN container_id % 10 IN (2, 3) THEN 'OPEN'
+      WHEN container_id % 10 = 4 THEN 'CLOSING'
+      ELSE 'CLOSED'
+    END AS state,
+    CASE WHEN container_id % 13 = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(pow(2.0, CAST(26 + container_id % 8 AS DOUBLE)) AS BIGINT)
+              + container_id
+    END AS used_bytes,
+    CAST(3 AS INT) AS expected_replicas,
+    'svc' || CAST(container_id % 3 AS VARCHAR) AS owner
+  FROM (SELECT range AS container_id FROM range(50))
+)"""
+
+_CTES["replicas"] = """replicas AS (
+  SELECT
+    container_id,
+    replica_idx,
+    'dn' || CAST((container_id * 5 + replica_idx) % 8 AS VARCHAR) AS datanode,
+    CASE WHEN container_id % 9 = 4 AND replica_idx = 1 THEN 'bad' ELSE 'ok' END
+      AS checksum
+  FROM (SELECT range AS container_id FROM range(50)),
+       (SELECT range AS replica_idx FROM range(1, 5))
+  WHERE replica_idx <= CASE container_id % 7
+      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 4 ELSE 3 END
+)"""
+
+_CTES["datanodes"] = """datanodes AS (
+  SELECT
+    'dn' || CAST(dn_idx AS VARCHAR) AS datanode,
+    CAST(34359738368 AS BIGINT) * (1 + dn_idx % 3) AS capacity,
+    'rack' || CAST(dn_idx % 2 AS VARCHAR) AS rack
+  FROM (SELECT range AS dn_idx FROM range(8))
+)"""
+
+_CTES["snap1"] = """snap1 AS (
+  SELECT object_id, volume, bucket,
+    CASE WHEN object_id % 11 = 0 THEN key_name || '.old' ELSE key_name END
+      AS key_name,
+    data_size
+  FROM keys WHERE object_id % 13 <> 0
+)"""
+
+_CTES["snap2"] = """snap2 AS (
+  SELECT object_id, volume, bucket, key_name,
+    CASE WHEN object_id % 5 = 0 THEN data_size + 1024 ELSE data_size END
+      AS data_size
+  FROM keys WHERE object_id % 7 <> 0
+)"""
+
+_CTES["open_keys"] = """open_keys AS (
+  SELECT db_key, object_id, volume, bucket, key_name, data_size, creation_time,
+    object_id * 3 AS client_id,
+    object_id % 2 = 0 AS hsync
+  FROM keys WHERE object_id % 17 = 0
+)"""
+
+_CTES["deleted_keys"] = """deleted_keys AS (
+  SELECT db_key, object_id, volume, bucket, data_size, replicated_size,
+    creation_time,
+    CAST(1 + object_id % 2 AS BIGINT) AS num_versions,
+    data_size * (1 + object_id % 2) AS pending_bytes,
+    replicated_size * (1 + object_id % 2) AS pending_replicated_bytes
+  FROM keys WHERE object_id % 9 = 0
+)"""
+
+# dependency order matters: keys first
+_ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
+          "snap1", "snap2", "open_keys", "deleted_keys"]
+_DEPS = {"snap1": ["keys"], "snap2": ["keys"],
+         "open_keys": ["keys"], "deleted_keys": ["keys"]}
+
+
+def with_views(sql: str, views: list[str]) -> str:
+    """Prefix `sql` with the WITH-clause for `views` (+ dependencies)."""
+    needed: list[str] = []
+    for v in views:
+        for dep in _DEPS.get(v, []):
+            if dep not in needed:
+                needed.append(dep)
+        if v not in needed:
+            needed.append(v)
+    ordered = [v for v in _ORDER if v in needed]
+    if not ordered:
+        return sql
+    return "WITH " + ",\n".join(_CTES[v] for v in ordered) + "\n" + sql

@@ -1,0 +1,54 @@
+"""SparkSession construction tuned for the engine.
+
+Scale stance: these configs are chosen so the same plans survive a
+1000-executor / 100 TB deployment — AQE handles skew + partition
+coalescing at runtime, shuffle partitions are sized per-environment, and
+all timestamps are pinned to UTC so results are cluster-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to *any* session we are handed
+# (the driver owns its own SparkSession — see apply_runtime_confs).
+RUNTIME_CONFS = {
+    # the driver's events.parquet stores ns-precision timestamps, which the
+    # Spark parquet reader rejects; read them as longs and convert (tables.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the (rare) pandas-UDF paths — vectorized transfer
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this session; builder path sets it instead
+    return spark
+
+
+def get_spark(app_name: str = "ozone-spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,250 @@
+"""Table loaders + the derived Ozone-shaped namespace.
+
+The driver provides TPC-H-ish parquet tables (TESTDATA.md).  The
+reference engine's query surface operates over an *object-store
+namespace* (volumes/buckets/keys — OmKeyInfo, OMDBDefinition.java:209)
+and a *data plane* (containers/replicas — SCM).  We derive that
+namespace deterministically from the driver tables with pure
+SQL-expressible transforms, so every namespace operator can be checked
+against the DuckDB oracle (ozone_spark/oracle.py holds the equivalent
+CTE text — keep the two in lockstep).
+
+Derivation map (all arithmetic chosen to be bit-exact in both engines):
+
+  keys        <- orders    (one key per order; db_key sorted-lexicographic,
+                            path-shaped key_name with 2 directory levels)
+  locations   <- lineitem  (one block per lineitem; container_id 0..54,
+                            ids 50..54 deliberately missing from SCM)
+  containers  <- range(50) (pure function of container_id; states cover
+                            OPEN/CLOSING/CLOSED/DELETING/DELETED)
+  replicas    <- range(50) x range(1..4)  (replica counts 0..4 per
+                            container -> MISSING/UNDER/OVER cases;
+                            one checksum-mismatch case per 9 containers)
+  snap1/snap2 <- keys      (two frozen snapshot versions engineered to
+                            contain CREATE/DELETE/MODIFY/RENAME diffs —
+                            SnapshotDiffManager.java:994-1230 classes)
+  open_keys   <- keys      (object_id % 17 == 0)
+  deleted_keys<- keys      (object_id % 9 == 0, versioned)
+
+Reference schema parity: OmKeyInfo.java:72-113 (volume/bucket/keyName/
+dataSize/replication/creationTime/owner), OMDBDefinition.java:209-273.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ozone_spark.session import apply_runtime_confs
+
+DRIVER_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Fixed "wall clock" for TTL/age predicates: 2002-01-01T00:00:00Z (epoch ms).
+# Deterministic across engines and scale factors (max o_orderdate is 2001-08-01).
+NOW_MS = 1009843200000
+
+N_CONTAINERS = 50
+N_DATANODES = 8
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns-precision parquet timestamp read as long (nanosAsLong);
+        # integer-divide to micros — exact, no double round-trip.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in DRIVER_TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Derived namespace (OM metadata plane)
+# ---------------------------------------------------------------------------
+
+def keys_view(orders: DataFrame) -> DataFrame:
+    """OM key table analog (keyTable — OMDBDefinition.java:209; row schema
+    OmKeyInfo.java:72-113). One key per order; key_name has two directory
+    levels so listings/delimiter-grouping/rollup have a real hierarchy."""
+    volume = F.concat(F.lit("vol"), (F.col("o_custkey") % 4).cast("string"))
+    bucket = F.concat(F.lit("b"), (F.col("o_custkey") % 3).cast("string"))
+    key_name = F.concat(
+        F.lower("o_orderstatus"),
+        F.lit("/y"), F.year("o_orderdate").cast("string"),
+        F.lit("/order-"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    )
+    data_size = F.floor(F.col("o_totalprice") * 100).cast("long")
+    repl = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("object_id"),
+            volume.alias("volume"),
+            bucket.alias("bucket"),
+            key_name.alias("key_name"),
+            data_size.alias("data_size"),
+            repl.alias("repl_factor"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("creation_time"),
+            F.concat(F.lit("user"), (F.col("o_custkey") % 10).cast("string")).alias("owner"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .withColumn("replicated_size", F.col("data_size") * F.col("repl_factor"))
+        .withColumn(
+            "db_key",
+            F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"),
+                     F.lit("/"), F.col("key_name")),
+        )
+    )
+
+
+def locations_view(lineitem: DataFrame) -> DataFrame:
+    """Block-location list analog (OmKeyInfo.keyLocationVersions —
+    OmKeyInfo.java:75; exploded shape of ContainerKeyMapperHelper.java:144-175).
+    One block per lineitem; container ids 50..54 are OM-referenced but
+    absent from SCM (drives mismatch join J3)."""
+    w = (
+        Window.partitionBy("object_id")
+        .orderBy("block_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        lineitem.select(
+            F.col("l_orderkey").alias("object_id"),
+            F.col("l_linenumber").alias("block_seq"),
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 55).alias("container_id"),
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("local_id"),
+            F.floor("l_extendedprice").cast("long").alias("block_len"),
+        )
+        .withColumn("block_offset", F.sum("block_len").over(w) - F.col("block_len"))
+    )
+
+
+def containers_view(spark: SparkSession) -> DataFrame:
+    """SCM container table analog (SCMClientProtocolServer.java:506-531).
+    Pure function of container_id so both engines derive it identically."""
+    c = F.col("container_id")
+    state = (
+        F.when(c % 10 == 0, "DELETED")
+        .when(c % 10 == 1, "DELETING")
+        .when((c % 10).isin(2, 3), "OPEN")
+        .when(c % 10 == 4, "CLOSING")
+        .otherwise("CLOSED")
+    )
+    used = F.when(c % 13 == 0, F.lit(0).cast("long")).otherwise(
+        F.pow(F.lit(2.0), (F.lit(26) + c % 8).cast("double")).cast("long") + c
+    )
+    return (
+        spark.range(N_CONTAINERS).select(F.col("id").alias("container_id"))
+        .withColumn("state", state)
+        .withColumn("used_bytes", used)
+        .withColumn("expected_replicas", F.lit(3).cast("int"))
+        .withColumn("owner", F.concat(F.lit("svc"), (c % 3).cast("string")))
+    )
+
+
+def replicas_view(spark: SparkSession) -> DataFrame:
+    """Container replica census analog (ContainerHealthTask.java:54+).
+    Replica count per container: c%7 -> {0:0,1:1,2:2,3:3,4:4,5:3,6:3};
+    container c%9==4 carries one corrupt-checksum replica
+    (REPLICA_MISMATCH — ContainerSchemaDefinition.java:120-128)."""
+    c, i = F.col("container_id"), F.col("replica_idx")
+    rc = (
+        F.when(c % 7 == 0, 0).when(c % 7 == 1, 1).when(c % 7 == 2, 2)
+        .when(c % 7 == 4, 4).otherwise(3)
+    )
+    return (
+        spark.range(N_CONTAINERS).select(F.col("id").alias("container_id"))
+        .crossJoin(spark.range(1, 5).select(F.col("id").alias("replica_idx")))
+        .where(i <= rc)
+        .withColumn("datanode", F.concat(F.lit("dn"), ((c * 5 + i) % N_DATANODES).cast("string")))
+        .withColumn("checksum", F.when((c % 9 == 4) & (i == 1), "bad").otherwise("ok"))
+    )
+
+
+def datanodes_view(spark: SparkSession) -> DataFrame:
+    """Datanode registry analog (A7 — ContainerBalancerTask.java:518-587)."""
+    d = F.col("dn_idx")
+    return (
+        spark.range(N_DATANODES).select(F.col("id").alias("dn_idx"))
+        .select(
+            F.concat(F.lit("dn"), d.cast("string")).alias("datanode"),
+            (F.lit(34359738368) * (1 + d % 3)).alias("capacity"),
+            F.concat(F.lit("rack"), (d % 2).cast("string")).alias("rack"),
+        )
+    )
+
+
+def snap1_view(keys: DataFrame) -> DataFrame:
+    """Frozen snapshot version 1 (SnapshotInfo chain — SnapshotInfo.java:53-117).
+    Excludes object_id%13==0 (those appear only in snap2 -> CREATE);
+    object_id%11==0 carry an '.old' name (renamed by snap2 -> RENAME)."""
+    oid = F.col("object_id")
+    return keys.where(oid % 13 != 0).select(
+        "object_id", "volume", "bucket",
+        F.when(oid % 11 == 0, F.concat(F.col("key_name"), F.lit(".old")))
+        .otherwise(F.col("key_name")).alias("key_name"),
+        "data_size",
+    )
+
+
+def snap2_view(keys: DataFrame) -> DataFrame:
+    """Frozen snapshot version 2: excludes object_id%7==0 (DELETE),
+    object_id%5==0 grew by 1 KiB (MODIFY)."""
+    oid = F.col("object_id")
+    return keys.where(oid % 7 != 0).select(
+        "object_id", "volume", "bucket", "key_name",
+        F.when(oid % 5 == 0, F.col("data_size") + 1024)
+        .otherwise(F.col("data_size")).alias("data_size"),
+    )
+
+
+def open_keys_view(keys: DataFrame) -> DataFrame:
+    """openKeyTable analog (OMDBDefinition.java:223; expiry contract
+    OpenKeyCleanupService.java:79-111)."""
+    oid = F.col("object_id")
+    return keys.where(oid % 17 == 0).select(
+        "db_key", "object_id", "volume", "bucket", "key_name",
+        "data_size", "creation_time",
+        (oid * 3).alias("client_id"),
+        (oid % 2 == 0).alias("hsync"),
+    )
+
+
+def deleted_keys_view(keys: DataFrame) -> DataFrame:
+    """deletedTable analog (OMDBDefinition.java:216 — RepeatedOmKeyInfo:
+    num_versions models the repeated pending-delete versions list)."""
+    oid = F.col("object_id")
+    return (
+        keys.where(oid % 9 == 0)
+        .select("db_key", "object_id", "volume", "bucket", "data_size",
+                "replicated_size", "creation_time",
+                (F.lit(1) + oid % 2).cast("long").alias("num_versions"))
+        .withColumn("pending_bytes", F.col("data_size") * F.col("num_versions"))
+        .withColumn("pending_replicated_bytes",
+                    F.col("replicated_size") * F.col("num_versions"))
+    )
+
+
+def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver tables + derived namespace views, by name."""
+    t = load_all(spark, sf_dir)
+    keys = keys_view(t["orders"])
+    t.update(
+        keys=keys,
+        locations=locations_view(t["lineitem"]),
+        containers=containers_view(spark),
+        replicas=replicas_view(spark),
+        datanodes=datanodes_view(spark),
+        snap1=snap1_view(keys),
+        snap2=snap2_view(keys),
+        open_keys=open_keys_view(keys),
+        deleted_keys=deleted_keys_view(keys),
+    )
+    return t
