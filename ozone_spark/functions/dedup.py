@@ -1,0 +1,195 @@
+"""Deduplication operators for the training-data pipeline surface
+(BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+  - exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by
+    the hash, uniform by construction.
+  - n-gram Jaccard = shingle explode -> self-join on shingle -> pair
+    aggregation.  Hot shingles explode pair counts quadratically, so the
+    shingle->docs buckets are capped (`max_bucket`) exactly like LSH
+    implementations drop saturated bands at web scale.
+  - MinHash+LSH: 32 xxhash64 permutations, banded into 8 bands of 4;
+    candidate pairs = equi-join on (band, band-signature) — never an
+    all-pairs product; verified by exact Jaccard afterwards.
+  - SimHash: 64-bit signature from per-token hashes; near-dups = pairs
+    sharing a 16-bit block (block permutation trick) within Hamming
+    radius.
+
+Everything is built-in-function only (xxhash64/md5/explode/groupBy) —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+N_PERM = 32          # minhash permutations
+N_BANDS = 8          # LSH bands (4 rows each)
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _norm_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint groupBy; returns
+    fingerprint groups with >1 member."""
+    fp = F.md5(_norm_text(F.col("text")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_dups") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs of distinct word n-grams; docs shorter
+    than n tokens yield no shingles."""
+    words = F.split(_norm_text(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        docs.where(F.size(words) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket: int = 200) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard similarity.
+    Self-join on shingle with bucket capping (drop shingles shared by
+    more than `max_bucket` docs — stopword-like shingles carry no
+    discriminating signal and otherwise blow up the pair count)."""
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bucket_ok = (
+        sh.groupBy("shingle").agg(F.count("*").alias("b"))
+        .where(F.col("b") <= max_bucket).select("shingle")
+    )
+    sh = sh.join(bucket_ok, "shingle", "left_semi")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> array<long> of N_PERM minhash values.  Permutation i is
+    xxhash64(shingle, seed=i); min per doc per permutation — all JVM-side."""
+    sh = word_shingles(docs, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(N_PERM)]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_PERM)]).alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature, equi-join on
+    (band, md5(band-slice)), then verify candidates with estimated
+    Jaccard = fraction of agreeing minhash components."""
+    sig = minhash_signatures(docs, n)
+    bands = sig.select(
+        "doc_id", "signature",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[
+                         F.col("signature")[b * ROWS_PER_BAND + r].cast("string")
+                         for r in range(ROWS_PER_BAND)])).alias("bucket"))
+            for b in range(N_BANDS)])).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)).cast("double") / N_PERM
+    )
+    return (
+        cands.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over word unigrams: for each bit, sum +-1 weighted
+    by token hash bits; sign -> bit.  Expressed with explode + groupBy
+    (bit-parallel via 64 conditional sums)."""
+    words = (
+        docs.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " "))
+                    .alias("w"))
+        .where(F.col("w") != "")
+        .select("doc_id", F.xxhash64("w").alias("h"))
+    )
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("doc_id").agg(*sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dups: block-permutation LSH — pairs sharing any of
+    the four 16-bit blocks are candidates, verified by exact Hamming
+    distance (bit_count of xor)."""
+    sig = simhash_signatures(docs)
+    blocks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("simhash"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video are opaque `binary` payloads with typed metadata.
+The Spark-side plumbing — schema, batching, partitioning, Pandas-UDF
+signatures over mapInPandas — is real and tested; the actual media
+decode is STUBBED (the container ships no image/audio libs): decode
+raises NotImplementedError unless the deterministic fake decoder is
+requested.
+
+At scale, payloads stay in executor-side Arrow batches end-to-end;
+feature extraction is an Arrow-vectorized mapInPandas, never a
+row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("payload_len", LongType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload_len", LongType()),
+    StructField("byte_histogram", ArrayType(DoubleType())),
+    StructField("byte_mean", DoubleType()),
+])
+
+N_HIST_BINS = 16
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a multimodal table: payload = utf-8 bytes of the
+    text (stand-in for image/audio bytes), typed metadata columns."""
+    payload = F.encode(F.col("text"), "utf-8")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        mtype.alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("payload_len"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False):
+    """STUB: real decode requires image/audio libs not present in this
+    container.  `fake=True` returns a deterministic pseudo-decode (the
+    byte values themselves) so downstream plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires codec libraries not available here; "
+            "pass fake=True for the deterministic test decoder")
+    return list(payload)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas: per-payload
+    byte histogram (N_HIST_BINS) + mean byte value.  The UDF signature,
+    batch shape and output schema are the real production plumbing; only
+    the decoder inside is the deterministic fake."""
+
+    # NOTE: the closure must be self-contained (locals + builtins only) so
+    # cloudpickle ships it by value — Python workers on a real cluster do
+    # not have ozone_spark importable.
+    n_bins = N_HIST_BINS
+    out_cols = [f.name for f in FEATURE_SCHEMA]
+    fake = fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "media decode requires codec libraries not available "
+                        "here; use fake_decode=True")
+                data = list(bytes(payload))
+                hist = [0.0] * n_bins
+                for b in data:
+                    hist[b * n_bins // 256] += 1.0
+                n = max(len(data), 1)
+                rows.append({
+                    "doc_id": doc_id,
+                    "media_type": mtype,
+                    "payload_len": len(data),
+                    "byte_histogram": [h / n for h in hist],
+                    "byte_mean": sum(data) / n,
+                })
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Typed-metadata rollup — runs entirely JVM-side (no decode)."""
+    return (
+        media.groupBy("media_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("payload_len").alias("total_bytes"),
+             F.min("payload_len").alias("min_bytes"),
+             F.max("payload_len").alias("max_bytes"))
+        .orderBy("media_type")
+    )

@@ -1,0 +1,171 @@
+"""Recon insight aggregations (SURVEY.md §2.4 A1-A3, A6-A7, A9-A11).
+
+Reference semantics:
+  - file/container log2-size histograms: FileSizeCountTaskHelper.java:42+,
+    ContainerSizeCountTask.java, bin math ReconUtils.java:542-597.
+  - table insight counts into GLOBAL_STATS: OmTableInsightTask.java:57-124.
+  - cluster state summary: ClusterStateEndpoint.java:99-223.
+  - balancer utilization: ContainerBalancerTask.java:518-587 —
+    cluster-average utilization, over/under-utilized sets at ±threshold.
+  - heatmap: HeatMapUtil.java:83-149 — access counts joined to namespace
+    entities, min/max-normalized rollup.
+  - pending deletion totals per datanode: PendingDeletionEndpoint.
+
+Scale notes: histograms are single-shuffle groupBys with map-side partial
+aggregation; the heatmap joins the (large) access log to the key table on
+the entity id and broadcasts nothing large; datanode utilization joins
+fact->dimension with broadcast(containers).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from ozone_spark.functions.bins import (
+    CONTAINER_BIN_BASE_EXP,
+    CONTAINER_BIN_MAX_IDX,
+    FILE_BIN_BASE_EXP,
+    FILE_BIN_MAX_IDX,
+    size_bin_index,
+    size_bin_upper_bound,
+)
+
+
+def file_size_histogram(keys: DataFrame) -> DataFrame:
+    """A1: count of keys per (volume, bucket, log2-size-bin)."""
+    bin_idx = size_bin_index(F.col("data_size"), FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX)
+    return (
+        keys.select("volume", "bucket", bin_idx.alias("bin_index"))
+        .groupBy("volume", "bucket", "bin_index")
+        .agg(F.count("*").alias("file_count"))
+        .withColumn("bin_upper_bytes",
+                    size_bin_upper_bound(F.col("bin_index"), FILE_BIN_BASE_EXP))
+        .orderBy("volume", "bucket", "bin_index")
+    )
+
+
+def container_size_histogram(containers: DataFrame) -> DataFrame:
+    """A2: count of containers per log2-size-bin (base 512 MiB)."""
+    bin_idx = size_bin_index(F.col("used_bytes"),
+                             CONTAINER_BIN_BASE_EXP, CONTAINER_BIN_MAX_IDX)
+    return (
+        containers.select(bin_idx.alias("bin_index"))
+        .groupBy("bin_index")
+        .agg(F.count("*").alias("container_count"))
+        .withColumn("bin_upper_bytes",
+                    size_bin_upper_bound(F.col("bin_index"), CONTAINER_BIN_BASE_EXP))
+        .orderBy("bin_index")
+    )
+
+
+def global_stats(keys: DataFrame, open_keys: DataFrame,
+                 deleted_keys: DataFrame) -> DataFrame:
+    """A3/A9: per-table row counts + byte totals (GLOBAL_STATS analog)."""
+    def one(df: DataFrame, name: str, size_col: str, repl_col) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("row_count"),
+            F.sum(size_col).cast("long").alias("total_bytes"),
+            (F.sum(repl_col).cast("long") if repl_col else
+             F.lit(None).cast("long")).alias("total_replicated_bytes"),
+        )
+    return (
+        one(keys, "keys", "data_size", "replicated_size")
+        .unionByName(one(open_keys, "open_keys", "data_size", None))
+        .unionByName(one(deleted_keys, "deleted_keys", "pending_bytes",
+                         "pending_replicated_bytes"))
+        .orderBy("table_name")
+    )
+
+
+def cluster_state(keys: DataFrame, containers: DataFrame,
+                  datanodes: DataFrame) -> DataFrame:
+    """A6: one-row cluster summary (volumes/buckets/keys/bytes/containers)."""
+    ns = keys.agg(
+        F.countDistinct("volume").alias("num_volumes"),
+        F.countDistinct("volume", "bucket").alias("num_buckets"),
+        F.count("*").alias("num_keys"),
+        F.sum("data_size").alias("total_used_bytes"),
+    )
+    cs = containers.where(F.col("state") != "DELETED").agg(
+        F.count("*").alias("num_containers"))
+    dn = datanodes.agg(F.count("*").alias("num_datanodes"))
+    return ns.crossJoin(broadcast(cs)).crossJoin(broadcast(dn))
+
+
+def datanode_utilization(containers: DataFrame, replicas: DataFrame,
+                         datanodes: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """A7: per-datanode used bytes (each replica holds a full container
+    copy), utilization vs the cluster average, balancer classification."""
+    used = (
+        replicas.join(broadcast(containers.select("container_id", "used_bytes")),
+                      "container_id")
+        .groupBy("datanode")
+        .agg(F.count("*").alias("replica_count"),
+             F.sum("used_bytes").alias("used"))
+    )
+    j = datanodes.join(used, "datanode", "left").na.fill({"replica_count": 0, "used": 0})
+    w = Window.partitionBy(F.lit(1))
+    cluster_avg = F.sum("used").over(w) / F.sum("capacity").over(w)
+    util = F.col("used") / F.col("capacity")
+    return (
+        j.withColumn("utilization", F.round(util, 6))
+        .withColumn("cluster_avg", F.round(cluster_avg, 6))
+        .withColumn(
+            "balance_state",
+            F.when(util > cluster_avg + threshold, "OVER_UTILIZED")
+            .when(util < cluster_avg - threshold, "UNDER_UTILIZED")
+            .otherwise("OK"),
+        )
+        .select("datanode", "replica_count", "used", "capacity",
+                "utilization", "cluster_avg", "balance_state")
+        .orderBy("datanode")
+    )
+
+
+def heatmap(events: DataFrame, keys: DataFrame) -> DataFrame:
+    """A10/J9: access counts per bucket, min/max-normalized.  Events are
+    mapped onto namespace entities by entity id (the pluggable
+    IHeatMapProvider seam in the reference)."""
+    access = (
+        events.select(((F.col("user_id") * 7 + F.col("event_id")) % 6000)
+                      .alias("object_id"))
+        .groupBy("object_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    per_bucket = (
+        keys.select("object_id", "volume", "bucket")
+        .join(access, "object_id")
+        .groupBy("volume", "bucket")
+        .agg(F.sum("hits").alias("access_count"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    mn, mx = F.min("access_count").over(w), F.max("access_count").over(w)
+    heat = F.when(mx == mn, F.lit(1.0)).otherwise(
+        (F.col("access_count") - mn).cast("double") / (mx - mn))
+    return (
+        per_bucket.withColumn("heat", F.round(heat, 6))
+        .orderBy("volume", "bucket")
+    )
+
+
+def pending_deletion_by_datanode(deleted_keys: DataFrame, locations: DataFrame,
+                                 replicas: DataFrame) -> DataFrame:
+    """A11: pending-delete bytes per datanode — deleted keys' blocks
+    resolved through the replica map."""
+    blocks = (
+        deleted_keys.select("object_id", "num_versions")
+        .join(locations, "object_id")
+        .select("container_id",
+                (F.col("block_len") * F.col("num_versions")).alias("pending"))
+    )
+    return (
+        blocks.join(broadcast(replicas.select("container_id", "datanode")),
+                    "container_id")
+        .groupBy("datanode")
+        .agg(F.sum("pending").alias("pending_bytes"),
+             F.count("*").alias("pending_blocks"))
+        .orderBy("datanode")
+    )

@@ -1,0 +1,108 @@
+"""Key-space listing operators (SURVEY.md §2.1 S1/S2/S6, §2.5 O1/O2, §2.3 J1).
+
+Reference semantics:
+  - list_keys: OmMetadataManagerImpl.java:1070-1205 — seek-to-prefix range
+    scan, ORDER BY db_key, fetch maxKeys+1 to derive isTruncated, skip the
+    startKey itself (pagination resume token).
+  - list_objects_v2: s3gateway BucketEndpoint.java:95-230 — delimiter
+    grouping into CommonPrefixes + Contents, continuation token = last
+    returned name (ContinueToken).
+
+Scale notes: the prefix predicate is a sargable range on the sort key —
+with keys stored sorted/partitioned by db_key, Parquet min/max row-group
+stats prune everything outside the prefix (the Spark analog of RocksDB
+seekKey).  orderBy+limit compiles to TakeOrderedAndProject (per-partition
+top-K + driver merge), so no global sort materializes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def list_keys(
+    keys: DataFrame,
+    prefix: str = "",
+    start_key: str = "",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """S1: one page of the key listing, with the reference's pagination
+    contract (maxKeys+1 fetch -> is_truncated; startKey excluded)."""
+    page = keys
+    if prefix:
+        page = page.where(F.col("db_key").startswith(prefix))
+    if start_key:
+        page = page.where(F.col("db_key") > start_key)
+    page = (
+        page.select("db_key", "object_id", "data_size", "creation_time", "owner")
+        .orderBy("db_key")
+        .limit(max_keys + 1)
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    rn = Window.partitionBy(F.lit(1)).orderBy("db_key")
+    return (
+        page.withColumn("_rn", F.row_number().over(rn))
+        .withColumn("is_truncated", F.count("*").over(w_all) > max_keys)
+        .where(F.col("_rn") <= max_keys)
+        .drop("_rn")
+    )
+
+
+def list_buckets(keys: DataFrame, volume: str | None = None,
+                 start_bucket: str = "", max_buckets: int = 1000) -> DataFrame:
+    """S2: paginated bucket listing (OmMetadataManagerImpl.java:911-975);
+    bucket set derived from the key namespace."""
+    b = keys.select("volume", "bucket").distinct()
+    if volume:
+        b = b.where(F.col("volume") == volume)
+    if start_bucket:
+        b = b.where(F.col("bucket") > start_bucket)
+    return b.orderBy("volume", "bucket").limit(max_buckets)
+
+
+def list_objects_v2(
+    keys: DataFrame,
+    volume: str,
+    bucket: str,
+    prefix: str = "",
+    delimiter: str = "/",
+    start_after: str = "",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """S6/J1: S3 ListObjectsV2 — keys whose post-prefix remainder contains
+    the delimiter collapse into a CommonPrefix; the rest are Contents.
+    Output rows: (entry_type, name, data_size) ordered by name, with the
+    is_truncated flag of the maxKeys+1 contract.
+
+    BucketEndpoint.java:187-230; shallow-listing client flag
+    OzoneBucket.java:756-759.
+    """
+    in_bucket = keys.where(
+        (F.col("volume") == volume) & (F.col("bucket") == bucket)
+        & F.col("key_name").startswith(prefix)
+    )
+    rest = F.substring(F.col("key_name"), len(prefix) + 1, 1 << 30)
+    seg = F.substring_index(rest, delimiter, 1)
+    has_delim = F.instr(rest, delimiter) > 0
+    classified = in_bucket.select(
+        F.when(has_delim, F.lit("COMMON_PREFIX")).otherwise(F.lit("KEY")).alias("entry_type"),
+        F.when(has_delim, F.concat(F.lit(prefix), seg, F.lit(delimiter)))
+        .otherwise(F.col("key_name")).alias("name"),
+        F.when(has_delim, F.lit(None).cast("long")).otherwise(F.col("data_size")).alias("data_size"),
+    )
+    entries = (
+        classified.groupBy("entry_type", "name")
+        .agg(F.min("data_size").alias("data_size"))
+    )
+    if start_after:
+        entries = entries.where(F.col("name") > start_after)
+    page = entries.orderBy("name").limit(max_keys + 1)
+    rn = Window.partitionBy(F.lit(1)).orderBy("name")
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        page.withColumn("_rn", F.row_number().over(rn))
+        .withColumn("is_truncated", F.count("*").over(w_all) > max_keys)
+        .where(F.col("_rn") <= max_keys)
+        .drop("_rn")
+    )

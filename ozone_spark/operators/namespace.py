@@ -1,0 +1,77 @@
+"""Namespace rollup / du / quota operators (SURVEY.md §2.4 A4/A5, §2.5 O5).
+
+Reference semantics:
+  - NSSummary rollup: per-directory *subtree* totals (numOfFiles,
+    sizeOfFiles, replicatedSize) maintained by upward propagation along
+    parent pointers — NSSummary.java:38-44,
+    NSSummaryTaskDbEventHandler.java:128-161,426-449.
+  - du endpoint: subtree totals + children sorted by size desc
+    (NSSummaryEndpoint.java:69-173, sortSubPaths :100-113).
+  - quota accounting: usedBytes/usedNamespace per bucket; full recompute
+    repair QuotaRepairTask.java:82,258-351.
+
+Spark-native shape: instead of pointer-walking (per-event RocksDB gets),
+batch rollup explodes each key's ancestor-directory list and groupBys —
+one shuffle keyed by dir_path; the partial aggregation (map-side combine)
+plays the role of the reference's per-thread local maps.  The streaming
+incremental path lives in ozone_spark/streaming/cdc.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# keys in this engine have two directory levels below the bucket
+# (key_name = lvl1/lvl2/leaf); ancestors = bucket root, lvl1, lvl1/lvl2.
+
+
+def _ancestors() -> F.Column:
+    root = F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"))
+    p1 = F.concat(root, F.lit("/"), F.substring_index(F.col("key_name"), "/", 1))
+    p2 = F.concat(root, F.lit("/"), F.substring_index(F.col("key_name"), "/", 2))
+    return F.array(root, p1, p2)
+
+
+def namespace_rollup(keys: DataFrame) -> DataFrame:
+    """A4 (batch reprocess path): per-directory subtree totals."""
+    return (
+        keys.select(
+            F.explode(_ancestors()).alias("dir_path"),
+            "data_size", "replicated_size",
+        )
+        .groupBy("dir_path")
+        .agg(
+            F.count("*").alias("num_files"),
+            F.sum("data_size").alias("size_of_files"),
+            F.sum("replicated_size").alias("replicated_size"),
+        )
+    )
+
+
+def du_children(keys: DataFrame, parent: str, top_k: int | None = None) -> DataFrame:
+    """O5: immediate children of `parent` ordered by subtree size desc
+    (top consumers first), deterministic tie-break on path."""
+    rollup = namespace_rollup(keys)
+    prefix = parent.rstrip("/") + "/"
+    depth = prefix.count("/")
+    children = rollup.where(
+        F.col("dir_path").startswith(prefix)
+        & (F.size(F.split(F.col("dir_path"), "/")) == depth + 1)
+    )
+    out = children.orderBy(F.desc("size_of_files"), F.asc("dir_path"))
+    return out.limit(top_k) if top_k else out
+
+
+def quota_usage(keys: DataFrame) -> DataFrame:
+    """A5 (repair/recompute path): per-bucket usedBytes / usedNamespace —
+    full groupBy recompute, the QuotaRepairTask contract."""
+    return (
+        keys.groupBy("volume", "bucket")
+        .agg(
+            F.sum("data_size").alias("used_bytes"),
+            F.sum("replicated_size").alias("used_replicated_bytes"),
+            F.count("*").alias("used_namespace"),
+        )
+        .orderBy("volume", "bucket")
+    )

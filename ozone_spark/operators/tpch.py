@@ -1,0 +1,91 @@
+"""General relational benchmark queries over the driver's TPC-H-ish
+tables — the engine's headline scan/agg/join workloads (bench.py).
+
+These exercise the same physical shapes the namespace operators rely on
+(hash-agg with partial aggregation, broadcast + shuffle joins, top-k)
+on the largest fixture tables.  Double aggregates are rounded for
+cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: full-scan groupBy with many aggregates."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective join + agg + top-k."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                "o_orderpriority", "revenue")
+    )
+
+
+def region_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                   orders: DataFrame, lineitem: DataFrame,
+                   supplier: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dimensions, revenue per
+    nation.  (Supplier-nation == customer-nation as in Q5.)"""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_nationkey", "n_name")
+    )
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: semi-join existence check + count per priority."""
+    late = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -140,4 +140,9 @@ def with_views(sql: str, views: list[str]) -> str:
     ordered = [v for v in _ORDER if v in needed]
     if not ordered:
         return sql
-    return "WITH " + ",\n".join(_CTES[v] for v in ordered) + "\n" + sql
+    prefix = "WITH " + ",\n".join(_CTES[v] for v in ordered)
+    stripped = sql.lstrip()
+    if stripped[:5].upper() == "WITH ":
+        # merge the query's own CTE list into ours
+        return prefix + ",\n" + stripped[5:]
+    return prefix + "\n" + sql

@@ -1,0 +1,938 @@
+"""Query registry: every implemented SURVEY.md §2 operator as a
+(spark callable, DuckDB oracle SQL) pair — consumed by __spark_entry__.py
+and the driver's correctness gate.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame; the oracle
+is the ANSI-SQL twin over the same parquet tables (namespace operators
+re-derive the Ozone-shaped views via ozone_spark.oracle CTEs).  Column
+names/aliases are identical on both sides — the driver's compare sorts
+columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ozone_spark import tables
+from ozone_spark.functions import dedup, multimodal, similarity, text
+from ozone_spark.functions.bins import bin_sql
+from ozone_spark.operators import (
+    containers as cops,
+    events as eops,
+    lifecycle as lops,
+    listing,
+    namespace as nops,
+    insights,
+    scan as sops,
+    snapshot as snops,
+    tpch,
+)
+from ozone_spark.oracle import with_views
+
+NOW_MS = tables.NOW_MS
+
+# view cache keyed by (id(spark), sf_dir) so a test loop doesn't rebuild
+_view_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _view_cache:
+        _view_cache[key] = tables.namespace_views(spark, sf_dir)
+    return _view_cache[key]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+def _q(name, fn, oracle=None, bench=False):
+    return QuerySpec(name, fn, oracle, bench)
+
+
+# ---------------------------------------------------------------------------
+# listing / scan (S1, S2, S6/J1, S7, S8, P4, O1/O2)
+# ---------------------------------------------------------------------------
+
+_PAGE_COLS = "db_key, object_id, data_size, creation_time, owner, is_truncated"
+
+
+def _oracle_list_keys(where: str, n: int) -> str:
+    return with_views(
+        f"""SELECT {_PAGE_COLS} FROM (
+  SELECT *, row_number() OVER (ORDER BY db_key) AS rn,
+         count(*) OVER () > {n} AS is_truncated
+  FROM (SELECT db_key, object_id, data_size, creation_time, owner
+        FROM keys WHERE {where} ORDER BY db_key LIMIT {n + 1})
+) WHERE rn <= {n}""",
+        ["keys"],
+    )
+
+
+LIST_START = "/vol1/b1/f/y1997"
+
+
+def _lov2_oracle(volume: str, bucket: str, prefix: str, n: int = 1000) -> str:
+    plen = len(prefix)
+    like = f"AND key_name LIKE '{prefix}%'" if prefix else ""
+    return with_views(
+        f"""WITH classified AS (
+  SELECT CASE WHEN instr(rest, '/') > 0 THEN 'COMMON_PREFIX' ELSE 'KEY' END AS entry_type,
+         CASE WHEN instr(rest, '/') > 0
+              THEN '{prefix}' || split_part(rest, '/', 1) || '/'
+              ELSE key_name END AS name,
+         CASE WHEN instr(rest, '/') > 0 THEN NULL ELSE data_size END AS data_size
+  FROM (SELECT key_name, data_size, substr(key_name, {plen + 1}) AS rest
+        FROM keys WHERE volume = '{volume}' AND bucket = '{bucket}' {like})
+), entries AS (
+  SELECT entry_type, name, CAST(min(data_size) AS BIGINT) AS data_size
+  FROM classified GROUP BY 1, 2
+)
+SELECT entry_type, name, data_size, is_truncated FROM (
+  SELECT *, row_number() OVER (ORDER BY name) AS rn,
+         count(*) OVER () > {n} AS is_truncated
+  FROM (SELECT * FROM entries ORDER BY name LIMIT {n + 1})
+) WHERE rn <= {n}""",
+        ["keys"],
+    )
+
+
+LISTING_QUERIES = [
+    _q(
+        "list_keys_page",
+        lambda spark, sf: listing.list_keys(views(spark, sf)["keys"],
+                                            prefix="/vol1/b1/", max_keys=25),
+        _oracle_list_keys("db_key LIKE '/vol1/b1/%'", 25),
+    ),
+    _q(
+        "list_keys_resume",
+        lambda spark, sf: listing.list_keys(views(spark, sf)["keys"],
+                                            prefix="/vol1/b1/",
+                                            start_key=LIST_START, max_keys=25),
+        _oracle_list_keys(
+            f"db_key LIKE '/vol1/b1/%' AND db_key > '{LIST_START}'", 25),
+    ),
+    _q(
+        "list_buckets",
+        lambda spark, sf: listing.list_buckets(views(spark, sf)["keys"]),
+        with_views("SELECT DISTINCT volume, bucket FROM keys", ["keys"]),
+    ),
+    _q(
+        "list_objects_v2_root",
+        lambda spark, sf: listing.list_objects_v2(
+            views(spark, sf)["keys"], "vol1", "b1", prefix="", delimiter="/"),
+        _lov2_oracle("vol1", "b1", ""),
+        bench=True,
+    ),
+    _q(
+        "list_objects_v2_nested",
+        lambda spark, sf: listing.list_objects_v2(
+            views(spark, sf)["keys"], "vol1", "b1", prefix="f/y1995/",
+            delimiter="/"),
+        _lov2_oracle("vol1", "b1", "f/y1995/"),
+    ),
+    _q(
+        "ldb_scan",
+        lambda spark, sf: sops.scan(
+            views(spark, sf)["keys"], key_col="db_key",
+            filters=[("data_size", "GREATER", 10_000_000),
+                     ("db_key", "REGEX", "y199[0-9]/order")],
+            fields=["db_key", "data_size"], limit=100),
+        with_views(
+            """SELECT db_key, data_size FROM keys
+WHERE data_size > 10000000 AND regexp_matches(db_key, 'y199[0-9]/order')
+ORDER BY db_key LIMIT 100""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "ldb_scan_count",
+        lambda spark, sf: sops.scan(
+            views(spark, sf)["keys"],
+            filters=[("data_size", "GREATER", 10_000_000)], count=True),
+        with_views(
+            "SELECT count(*) AS count FROM keys WHERE data_size > 10000000",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "key_search",
+        lambda spark, sf: sops.key_search(
+            views(spark, sf)["keys"], prefix="/vol2/", repl_factor=3,
+            min_creation_time=852076800000, min_data_size=1_000_000,
+            limit=500),
+        with_views(
+            """SELECT db_key, object_id, data_size, repl_factor, creation_time
+FROM keys
+WHERE db_key LIKE '/vol2/%' AND repl_factor = 3
+  AND creation_time >= 852076800000 AND data_size >= 1000000
+ORDER BY db_key LIMIT 500""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "keys_light",
+        lambda spark, sf: sops.keys_light(views(spark, sf)["keys"],
+                                          prefix="/vol3/"),
+        with_views(
+            "SELECT db_key, data_size, creation_time FROM keys "
+            "WHERE db_key LIKE '/vol3/%'",
+            ["keys"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# snapshot diff (J2/E1)
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = """SELECT COALESCE(a.object_id, b.object_id) AS object_id,
+  CASE WHEN b.object_id IS NULL THEN 'DELETE'
+       WHEN a.object_id IS NULL THEN 'CREATE'
+       WHEN a.key_name <> b.key_name THEN 'RENAME'
+       WHEN a.data_size <> b.data_size THEN 'MODIFY'
+       ELSE 'NONE' END AS diff_type,
+  a.key_name AS old_key, b.key_name AS new_key,
+  a.data_size AS old_size, b.data_size AS new_size
+FROM snap1 a FULL OUTER JOIN snap2 b ON a.object_id = b.object_id"""
+
+SNAPSHOT_QUERIES = [
+    _q(
+        "snapshot_diff",
+        lambda spark, sf: snops.snapshot_diff(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
+        with_views(
+            f"SELECT * FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE'",
+            ["snap1", "snap2"],
+        ),
+        bench=True,
+    ),
+    _q(
+        "snapshot_diff_summary",
+        lambda spark, sf: snops.snapshot_diff_summary(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
+        with_views(
+            f"""SELECT diff_type, count(*) AS n,
+  CAST(sum(COALESCE(new_size, 0) - COALESCE(old_size, 0)) AS BIGINT) AS bytes_delta
+FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE' GROUP BY 1 ORDER BY 1""",
+            ["snap1", "snap2"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# container plane (S9, J3-J6, A8, B8)
+# ---------------------------------------------------------------------------
+
+CONTAINER_QUERIES = [
+    _q(
+        "container_key_index",
+        lambda spark, sf: cops.container_key_index(views(spark, sf)["locations"]),
+        with_views(
+            """SELECT container_id, CAST(count(DISTINCT object_id) AS BIGINT) AS key_count,
+  count(*) AS block_count, CAST(sum(block_len) AS BIGINT) AS total_bytes
+FROM locations GROUP BY 1""",
+            ["locations"],
+        ),
+        bench=True,
+    ),
+    _q(
+        "keys_for_container",
+        lambda spark, sf: cops.keys_for_container(
+            views(spark, sf)["locations"], views(spark, sf)["keys"], 7),
+        with_views(
+            """SELECT k.db_key, k.object_id, k.data_size, r.block_count, r.bytes
+FROM keys k JOIN (
+  SELECT object_id, count(*) AS block_count, CAST(sum(block_len) AS BIGINT) AS bytes
+  FROM locations WHERE container_id = 7 GROUP BY 1) r USING (object_id)
+ORDER BY db_key""",
+            ["keys", "locations"],
+        ),
+    ),
+    _q(
+        "container_mismatch_om_only",
+        lambda spark, sf: cops.om_containers_missing_in_scm(
+            views(spark, sf)["locations"], views(spark, sf)["containers"]),
+        with_views(
+            """SELECT container_id FROM (SELECT DISTINCT container_id FROM locations)
+WHERE container_id NOT IN (SELECT container_id FROM containers)
+ORDER BY container_id""",
+            ["locations", "containers"],
+        ),
+    ),
+    _q(
+        "container_mismatch_scm_only",
+        lambda spark, sf: cops.scm_containers_without_keys(
+            views(spark, sf)["locations"], views(spark, sf)["containers"]),
+        with_views(
+            """SELECT container_id, state FROM containers
+WHERE state <> 'DELETED'
+  AND container_id NOT IN (SELECT DISTINCT container_id FROM locations)
+ORDER BY container_id""",
+            ["locations", "containers"],
+        ),
+    ),
+    _q(
+        "om_keys_in_deleted_containers",
+        lambda spark, sf: cops.om_keys_in_deleted_containers(
+            views(spark, sf)["locations"], views(spark, sf)["containers"],
+            views(spark, sf)["keys"]),
+        with_views(
+            """SELECT db_key, object_id, data_size FROM keys
+WHERE object_id IN (
+  SELECT DISTINCT object_id FROM locations WHERE container_id IN (
+    SELECT container_id FROM containers WHERE state = 'DELETED'))
+ORDER BY db_key""",
+            ["keys", "locations", "containers"],
+        ),
+    ),
+    _q(
+        "container_health",
+        lambda spark, sf: cops.container_health(
+            views(spark, sf)["containers"], views(spark, sf)["replicas"]),
+        with_views(
+            """WITH census AS (
+  SELECT container_id, count(*) AS actual, count(DISTINCT checksum) AS ncs
+  FROM replicas GROUP BY 1
+), j AS (
+  SELECT c.container_id, c.used_bytes, c.expected_replicas,
+         COALESCE(census.actual, 0) AS actual, COALESCE(census.ncs, 0) AS ncs
+  FROM containers c LEFT JOIN census USING (container_id)
+  WHERE c.state NOT IN ('DELETED', 'DELETING')
+)
+SELECT container_id, health_state,
+       CAST(actual AS BIGINT) AS actual_replicas, expected_replicas
+FROM (
+  SELECT container_id, used_bytes, expected_replicas, actual,
+         'MISSING' AS health_state FROM j WHERE actual = 0 AND used_bytes > 0
+  UNION ALL SELECT container_id, used_bytes, expected_replicas, actual,
+         'EMPTY_MISSING' FROM j WHERE actual = 0 AND used_bytes = 0
+  UNION ALL SELECT container_id, used_bytes, expected_replicas, actual,
+         'UNDER_REPLICATED' FROM j WHERE actual > 0 AND actual < expected_replicas
+  UNION ALL SELECT container_id, used_bytes, expected_replicas, actual,
+         'OVER_REPLICATED' FROM j WHERE actual > expected_replicas
+  UNION ALL SELECT container_id, used_bytes, expected_replicas, actual,
+         'REPLICA_MISMATCH' FROM j WHERE ncs > 1
+) ORDER BY container_id, health_state""",
+            ["containers", "replicas"],
+        ),
+    ),
+    _q(
+        "replica_checksum_scrub",
+        lambda spark, sf: cops.replica_checksum_scrub(views(spark, sf)["replicas"]),
+        with_views(
+            """SELECT container_id,
+  CAST(sum(CASE WHEN checksum <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS bad_replicas
+FROM replicas GROUP BY 1 HAVING count(DISTINCT checksum) > 1
+ORDER BY container_id""",
+            ["replicas"],
+        ),
+    ),
+    _q(
+        "list_containers_closed",
+        lambda spark, sf: cops.list_containers(
+            views(spark, sf)["containers"], state="CLOSED", limit=10),
+        with_views(
+            """WITH f AS (SELECT * FROM containers WHERE state = 'CLOSED' AND container_id >= 0)
+SELECT p.*, t.total_count FROM
+  (SELECT * FROM f ORDER BY container_id LIMIT 10) p,
+  (SELECT count(*) AS total_count FROM f) t""",
+            ["containers"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# insights / aggregations (A1-A3, A6, A7, A10, A11)
+# ---------------------------------------------------------------------------
+
+_FILE_BIN = bin_sql("data_size", 10, 40)
+_CONT_BIN = bin_sql("used_bytes", 29, 14)
+
+INSIGHT_QUERIES = [
+    _q(
+        "file_size_histogram",
+        lambda spark, sf: insights.file_size_histogram(views(spark, sf)["keys"]),
+        with_views(
+            f"""SELECT volume, bucket, bin_index, count(*) AS file_count,
+  CAST(pow(2.0, CAST(10 + bin_index AS DOUBLE)) AS BIGINT) AS bin_upper_bytes
+FROM (SELECT volume, bucket, {_FILE_BIN} AS bin_index FROM keys)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+            ["keys"],
+        ),
+        bench=True,
+    ),
+    _q(
+        "container_size_histogram",
+        lambda spark, sf: insights.container_size_histogram(
+            views(spark, sf)["containers"]),
+        with_views(
+            f"""SELECT bin_index, count(*) AS container_count,
+  CAST(pow(2.0, CAST(29 + bin_index AS DOUBLE)) AS BIGINT) AS bin_upper_bytes
+FROM (SELECT {_CONT_BIN} AS bin_index FROM containers)
+GROUP BY 1 ORDER BY 1""",
+            ["containers"],
+        ),
+    ),
+    _q(
+        "global_stats",
+        lambda spark, sf: insights.global_stats(
+            views(spark, sf)["keys"], views(spark, sf)["open_keys"],
+            views(spark, sf)["deleted_keys"]),
+        with_views(
+            """SELECT 'keys' AS table_name, count(*) AS row_count,
+  CAST(sum(data_size) AS BIGINT) AS total_bytes,
+  CAST(sum(replicated_size) AS BIGINT) AS total_replicated_bytes FROM keys
+UNION ALL SELECT 'open_keys', count(*), CAST(sum(data_size) AS BIGINT),
+  CAST(NULL AS BIGINT) FROM open_keys
+UNION ALL SELECT 'deleted_keys', count(*), CAST(sum(pending_bytes) AS BIGINT),
+  CAST(sum(pending_replicated_bytes) AS BIGINT) FROM deleted_keys
+ORDER BY table_name""",
+            ["keys", "open_keys", "deleted_keys"],
+        ),
+    ),
+    _q(
+        "cluster_state",
+        lambda spark, sf: insights.cluster_state(
+            views(spark, sf)["keys"], views(spark, sf)["containers"],
+            views(spark, sf)["datanodes"]),
+        with_views(
+            """SELECT * FROM
+  (SELECT CAST(count(DISTINCT volume) AS BIGINT) AS num_volumes,
+          CAST(count(DISTINCT (volume, bucket)) AS BIGINT) AS num_buckets,
+          count(*) AS num_keys,
+          CAST(sum(data_size) AS BIGINT) AS total_used_bytes FROM keys),
+  (SELECT count(*) AS num_containers FROM containers WHERE state <> 'DELETED'),
+  (SELECT count(*) AS num_datanodes FROM datanodes)""",
+            ["keys", "containers", "datanodes"],
+        ),
+    ),
+    _q(
+        "datanode_utilization",
+        lambda spark, sf: insights.datanode_utilization(
+            views(spark, sf)["containers"], views(spark, sf)["replicas"],
+            views(spark, sf)["datanodes"]),
+        with_views(
+            """WITH used AS (
+  SELECT datanode, count(*) AS replica_count,
+         CAST(sum(used_bytes) AS BIGINT) AS used
+  FROM replicas JOIN containers USING (container_id) GROUP BY 1
+), j AS (
+  SELECT d.datanode, COALESCE(replica_count, 0) AS replica_count,
+         COALESCE(used, 0) AS used, d.capacity
+  FROM datanodes d LEFT JOIN used USING (datanode)
+)
+SELECT datanode, replica_count, used, capacity,
+  round(used / capacity, 6) AS utilization,
+  round(sum(used) OVER () / sum(capacity) OVER (), 6) AS cluster_avg,
+  CASE WHEN used / capacity > sum(used) OVER () / sum(capacity) OVER () + 0.1
+         THEN 'OVER_UTILIZED'
+       WHEN used / capacity < sum(used) OVER () / sum(capacity) OVER () - 0.1
+         THEN 'UNDER_UTILIZED'
+       ELSE 'OK' END AS balance_state
+FROM j ORDER BY datanode""",
+            ["containers", "replicas", "datanodes"],
+        ),
+    ),
+    _q(
+        "heatmap",
+        lambda spark, sf: insights.heatmap(
+            views(spark, sf)["events"], views(spark, sf)["keys"]),
+        with_views(
+            """WITH access AS (
+  SELECT (user_id * 7 + event_id) % 6000 AS object_id, count(*) AS hits
+  FROM events GROUP BY 1
+), pb AS (
+  SELECT volume, bucket, CAST(sum(hits) AS BIGINT) AS access_count
+  FROM keys JOIN access USING (object_id) GROUP BY 1, 2
+)
+SELECT volume, bucket, access_count,
+  round(CASE WHEN mx = mn THEN 1.0
+        ELSE (access_count - mn) / (mx - mn) END, 6) AS heat
+FROM (SELECT *, min(access_count) OVER () AS mn,
+             max(access_count) OVER () AS mx FROM pb)
+ORDER BY volume, bucket""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "pending_deletion_by_datanode",
+        lambda spark, sf: insights.pending_deletion_by_datanode(
+            views(spark, sf)["deleted_keys"], views(spark, sf)["locations"],
+            views(spark, sf)["replicas"]),
+        with_views(
+            """SELECT datanode,
+  CAST(sum(block_len * num_versions) AS BIGINT) AS pending_bytes,
+  count(*) AS pending_blocks
+FROM deleted_keys JOIN locations USING (object_id)
+JOIN replicas USING (container_id)
+GROUP BY 1 ORDER BY 1""",
+            ["deleted_keys", "locations", "replicas"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# namespace rollup / du / quota (A4, A5, O5)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """WITH anc AS (
+  SELECT '/' || volume || '/' || bucket AS dir_path, data_size, replicated_size
+  FROM keys
+  UNION ALL
+  SELECT '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1),
+         data_size, replicated_size FROM keys
+  UNION ALL
+  SELECT '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1)
+         || '/' || split_part(key_name, '/', 2),
+         data_size, replicated_size FROM keys
+)
+SELECT dir_path, count(*) AS num_files,
+  CAST(sum(data_size) AS BIGINT) AS size_of_files,
+  CAST(sum(replicated_size) AS BIGINT) AS replicated_size
+FROM anc GROUP BY 1"""
+
+NAMESPACE_QUERIES = [
+    _q(
+        "namespace_rollup",
+        lambda spark, sf: nops.namespace_rollup(views(spark, sf)["keys"]),
+        with_views(_ROLLUP_SQL, ["keys"]),
+        bench=True,
+    ),
+    _q(
+        "du_top_children",
+        lambda spark, sf: nops.du_children(views(spark, sf)["keys"],
+                                           "/vol1/b1/f", top_k=5),
+        with_views(
+            f"""SELECT * FROM ({_ROLLUP_SQL})
+WHERE dir_path LIKE '/vol1/b1/f/%'
+  AND len(string_split(dir_path, '/')) = 5
+ORDER BY size_of_files DESC, dir_path LIMIT 5""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "quota_usage",
+        lambda spark, sf: nops.quota_usage(views(spark, sf)["keys"]),
+        with_views(
+            """SELECT volume, bucket, CAST(sum(data_size) AS BIGINT) AS used_bytes,
+  CAST(sum(replicated_size) AS BIGINT) AS used_replicated_bytes,
+  count(*) AS used_namespace
+FROM keys GROUP BY 1, 2 ORDER BY 1, 2""",
+            ["keys"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# lifecycle / TTL / reclaim (P5-P7, B1, B3, B4)
+# ---------------------------------------------------------------------------
+
+_TTL_5Y = 5 * 365 * 86400000
+
+LIFECYCLE_QUERIES = [
+    _q(
+        "lifecycle_expired",
+        lambda spark, sf: lops.lifecycle_expired(views(spark, sf)["keys"]),
+        with_views(
+            f"""WITH m AS (
+  SELECT db_key, data_size, 'rule-f-old' AS rule_id FROM keys
+  WHERE volume = 'vol1' AND bucket = 'b1' AND key_name LIKE 'f/%'
+    AND creation_time + {1500 * 86400000} <= {NOW_MS}
+  UNION ALL
+  SELECT db_key, data_size, 'rule-f-1995' FROM keys
+  WHERE volume = 'vol1' AND bucket = 'b1' AND key_name LIKE 'f/y1995/%'
+    AND creation_time + {365 * 86400000} <= {NOW_MS}
+  UNION ALL
+  SELECT db_key, data_size, 'rule-o-date' FROM keys
+  WHERE volume = 'vol2' AND bucket = 'b2' AND key_name LIKE 'o/%'
+    AND creation_time < {NOW_MS - 4 * 365 * 86400000}
+)
+SELECT db_key, min(rule_id) AS rule_id, min(data_size) AS data_size
+FROM m GROUP BY 1 ORDER BY 1""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "open_keys_expired",
+        lambda spark, sf: lops.open_keys_expired(
+            views(spark, sf)["open_keys"], ttl_ms=_TTL_5Y),
+        with_views(
+            f"""SELECT db_key, object_id, client_id, creation_time, hsync
+FROM open_keys WHERE {NOW_MS} - creation_time > {_TTL_5Y}
+ORDER BY db_key""",
+            ["open_keys"],
+        ),
+    ),
+    _q(
+        "reclaimable_deleted_keys",
+        lambda spark, sf: lops.reclaimable_deleted_keys(
+            views(spark, sf)["deleted_keys"],
+            views(spark, sf)["snap1"].unionByName(views(spark, sf)["snap2"])),
+        with_views(
+            """SELECT db_key, object_id, pending_bytes, num_versions
+FROM deleted_keys
+WHERE object_id NOT IN
+  (SELECT object_id FROM snap1 UNION SELECT object_id FROM snap2)
+ORDER BY db_key""",
+            ["deleted_keys", "snap1", "snap2"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# scalar function surface (§2.7: checksums / etag / string fns)
+# ---------------------------------------------------------------------------
+
+
+def _etag_fn(spark, sf):
+    import pyspark.sql.functions as F
+    keys = views(spark, sf)["keys"]
+    return (
+        keys.where((F.col("volume") == "vol0") & (F.col("bucket") == "b0"))
+        .select(
+            "db_key",
+            F.md5("db_key").alias("etag"),
+            F.sha2(F.col("db_key"), 256).alias("sha256_hex"),
+            F.length("db_key").cast("long").alias("key_len"),
+        )
+    )
+
+
+SCALAR_QUERIES = [
+    _q(
+        "etag_checksums",
+        _etag_fn,
+        with_views(
+            """SELECT db_key, md5(db_key) AS etag, sha256(db_key) AS sha256_hex,
+  CAST(length(db_key) AS BIGINT) AS key_len
+FROM keys WHERE volume = 'vol0' AND bucket = 'b0'""",
+            ["keys"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# relational headline queries (bench)
+# ---------------------------------------------------------------------------
+
+TPCH_QUERIES = [
+    _q(
+        "pricing_summary",
+        lambda spark, sf: tpch.pricing_summary(views(spark, sf)["lineitem"]),
+        """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        bench=True,
+    ),
+    _q(
+        "shipping_priority",
+        lambda spark, sf: tpch.shipping_priority(
+            views(spark, sf)["customer"], views(spark, sf)["orders"],
+            views(spark, sf)["lineitem"]),
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        bench=True,
+    ),
+    _q(
+        "region_revenue",
+        lambda spark, sf: tpch.region_revenue(
+            views(spark, sf)["region"], views(spark, sf)["nation"],
+            views(spark, sf)["customer"], views(spark, sf)["orders"],
+            views(spark, sf)["lineitem"], views(spark, sf)["supplier"]),
+        """SELECT r_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        bench=True,
+    ),
+    _q(
+        "order_priority_counts",
+        lambda spark, sf: tpch.order_priority_counts(
+            views(spark, sf)["orders"], views(spark, sf)["lineitem"]),
+        """SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE o_orderkey IN
+  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1""",
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# event-time analytics (ST6 north star)
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    _q(
+        "events_tumbling_daily",
+        lambda spark, sf: eops.tumbling_daily(views(spark, sf)["events"]),
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+  count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        bench=True,
+    ),
+    _q(
+        "events_sliding_6h",
+        lambda spark, sf: eops.sliding_hourly(views(spark, sf)["events"]),
+        """SELECT window_start_ms, window_start_ms + 21600000 AS window_end_ms,
+  count(*) AS n_events
+FROM (SELECT (epoch_ms(ts) // 10800000) * 10800000 - o * 10800000 AS window_start_ms
+      FROM events, (SELECT unnest([0, 1]) AS o))
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "events_sessionize",
+        lambda spark, sf: eops.sessionize(views(spark, sf)["events"]),
+        """WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_ms(ts) // 1000 AS tss FROM events
+), l AS (
+  SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, CASE WHEN prev IS NOT NULL AND tss - prev > 1800 THEN 1 ELSE 0 END
+    AS new_sess FROM l
+), c AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  CAST(max(tss) - min(tss) AS BIGINT) AS duration_s,
+  round(sum(value), 4) AS total_value
+FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+        bench=True,
+    ),
+    _q(
+        "events_top_users",
+        lambda spark, sf: eops.top_users_per_type(views(spark, sf)["events"]),
+        """SELECT event_type, user_id, total_value, n_events, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id) AS rank
+  FROM (SELECT event_type, user_id, round(sum(value), 4) AS total_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+) WHERE rank <= 3 ORDER BY event_type, rank""",
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity / multimodal (north star)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+_SW = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+TEXT_QUERIES = [
+    _q(
+        "text_stats",
+        lambda spark, sf: text.text_stats(views(spark, sf)["documents"]),
+        """SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "text_quality",
+        lambda spark, sf: text.quality_features(views(spark, sf)["documents"]),
+        f"""SELECT doc_id, lang, source,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  round((length(text) - len(string_split(text, ' ')) + 1)
+        / len(string_split(text, ' ')), 6) AS mean_word_len,
+  round(len(list_filter(string_split(text, ' '), w -> w IN {_SW}))
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  round(least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.5
+        + least(len(list_filter(string_split(text, ' '), w -> w IN {_SW}))
+                / len(string_split(text, ' ')) * 5.0, 1.0) * 0.5, 6)
+    AS quality_score
+FROM documents""",
+    ),
+    _q(
+        "language_id",
+        lambda spark, sf: text.language_id(views(spark, sf)["documents"]),
+        """WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and'))) AS hits_en,
+    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))) AS hits_de,
+    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'los'))) AS hits_es,
+    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'et', 'les'))) AS hits_fr
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n FROM (
+  SELECT lang, CASE
+    WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+    WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+    ELSE 'fr' END AS predicted
+  FROM s
+) GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "fingerprint_summary",
+        lambda spark, sf: text.fingerprint_summary(views(spark, sf)["documents"]),
+        f"""SELECT source, count(*) AS n_docs,
+  CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique
+FROM documents GROUP BY 1 ORDER BY 1""",
+    ),
+]
+
+DEDUP_QUERIES = [
+    _q(
+        "dedup_exact",
+        lambda spark, sf: dedup.exact_duplicates(views(spark, sf)["documents"]),
+        f"""SELECT md5({_NORM}) AS fingerprint, count(*) AS n_dups,
+  min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    ),
+    _q(
+        "dedup_ngram_jaccard",
+        lambda spark, sf: dedup.ngram_jaccard_pairs(
+            views(spark, sf)["documents"], threshold=0.1),
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+ORDER BY 1, 2""",
+        bench=True,
+    ),
+    _q(
+        "dedup_minhash_lsh",
+        lambda spark, sf: dedup.minhash_lsh_pairs(
+            views(spark, sf)["documents"], threshold=0.1),
+        None,  # xxhash64 permutations are Spark-native; verified in tests/
+        bench=True,
+    ),
+    _q(
+        "dedup_simhash",
+        lambda spark, sf: dedup.simhash_pairs(views(spark, sf)["documents"]),
+        None,  # xxhash64-based signature; verified in tests/
+    ),
+]
+
+_DOT = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
+
+SIMILARITY_QUERIES = [
+    _q(
+        "knn_bruteforce",
+        lambda spark, sf: similarity.knn_bruteforce(
+            views(spark, sf)["embeddings"], [0, 1, 2], k=10),
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank""",
+        bench=True,
+    ),
+    _q(
+        "knn_lsh",
+        lambda spark, sf: similarity.knn_lsh(
+            views(spark, sf)["embeddings"], [0, 1, 2], k=10),
+        None,  # LSH bucketing is Spark-native; recall checked in tests/
+    ),
+    _q(
+        "embedding_norms",
+        lambda spark, sf: similarity.embedding_norms(
+            views(spark, sf)["embeddings"]),
+        f"""SELECT label, count(*) AS n, round(avg(norm), 6) AS avg_norm
+FROM (SELECT label,
+        round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6) AS norm
+      FROM embeddings)
+GROUP BY 1 ORDER BY 1""",
+    ),
+]
+
+MULTIMODAL_QUERIES = [
+    _q(
+        "media_summary",
+        lambda spark, sf: multimodal.media_summary(
+            multimodal.as_media_table(views(spark, sf)["documents"])),
+        """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "media_features",
+        lambda spark, sf: multimodal.extract_features(
+            multimodal.as_media_table(views(spark, sf)["documents"])),
+        None,  # pandas-UDF plumbing; byte-histogram checked in tests/
+    ),
+]
+
+ALL_QUERIES: list[QuerySpec] = (
+    LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
+    + NAMESPACE_QUERIES + LIFECYCLE_QUERIES + SCALAR_QUERIES + TPCH_QUERIES
+    + EVENT_QUERIES + TEXT_QUERIES + DEDUP_QUERIES + SIMILARITY_QUERIES
+    + MULTIMODAL_QUERIES
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in ALL_QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in ALL_QUERIES if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in ALL_QUERIES if q.bench}

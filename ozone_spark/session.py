@@ -27,6 +27,31 @@ RUNTIME_CONFS = {
 }
 
 
+_shipped_contexts: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ozone_spark importable on executor Python workers (needed by
+    pandas-UDF paths when the driver process runs from another cwd)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped_contexts:
+        return
+    try:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_base = os.path.join(tempfile.gettempdir(),
+                                f"ozone_spark_pkg_{os.getpid()}")
+        zip_path = shutil.make_archive(zip_base, "zip",
+                                       os.path.dirname(pkg_dir), "ozone_spark")
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # UDF-free queries work regardless
+    _shipped_contexts.add(key)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-owned session."""
     for k, v in RUNTIME_CONFS.items():
@@ -34,6 +59,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this session; builder path sets it instead
+    _ship_package(spark)
     return spark
 
 
