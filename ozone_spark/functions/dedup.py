@@ -22,11 +22,19 @@ JVM-side, no Python in the hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 N_PERM = 32          # minhash permutations
 N_BANDS = 8          # LSH bands (4 rows each)
 ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one partition; fan out before
+    CPU-heavy per-row transforms so all cores work.  (At real scale the
+    source has many splits and this is a no-op-cost round-robin.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
 def _norm_text(text: Column) -> Column:
@@ -48,13 +56,22 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs of distinct word n-grams; docs shorter
-    than n tokens yield no shingles."""
+    than n tokens yield no shingles.
+
+    Formulated as posexplode + lead() windows rather than a
+    transform/slice higher-order function: the HOF path falls out of
+    whole-stage codegen and measured ~8x slower; the window version
+    stays fully code-generated and shuffles by doc_id (uniform keys)."""
     words = F.split(_norm_text(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = _spread(docs).select("doc_id", F.posexplode(words).alias("pos", "w"))
+    for i in range(1, n):
+        exploded = exploded.withColumn(f"w{i}", F.lead("w", i).over(w))
+    shingle = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, n)])
     return (
-        docs.where(F.size(words) >= n)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        exploded.where(F.col(f"w{n-1}").isNotNull())
+        .select("doc_id", shingle.alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 
@@ -65,7 +82,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     Self-join on shingle with bucket capping (drop shingles shared by
     more than `max_bucket` docs — stopword-like shingles carry no
     discriminating signal and otherwise blow up the pair count)."""
-    sh = word_shingles(docs, n)
+    # the shingle set feeds three consumers (sizes, bucket stats, the
+    # self-join) — materialize once instead of recomputing the explode;
+    # shingles are hashed to int64 so the shuffle/join keys are 8 bytes
+    # (collision odds are negligible vs the Jaccard estimate's noise)
+    sh = (
+        word_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     bucket_ok = (
         sh.groupBy("shingle").agg(F.count("*").alias("b"))
@@ -145,8 +170,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     by token hash bits; sign -> bit.  Expressed with explode + groupBy
     (bit-parallel via 64 conditional sums)."""
     words = (
-        docs.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " "))
-                    .alias("w"))
+        _spread(docs)
+        .select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " "))
+                .alias("w"))
         .where(F.col("w") != "")
         .select("doc_id", F.xxhash64("w").alias("h"))
     )

@@ -106,6 +106,10 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 })
             yield _pd.DataFrame(rows, columns=out_cols)
 
+    # fan a single-file input out across cores before the CPU-bound UDF
+    target = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 

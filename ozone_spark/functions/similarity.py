@@ -25,6 +25,12 @@ N_PLANES = 8
 DIM = 64
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a single-file input out across cores before per-row vector math."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order double-precision dot product (bit-exact across
     engines that sum in list order)."""
@@ -45,7 +51,7 @@ def knn_bruteforce(embeddings: DataFrame, query_ids: list[int],
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
     )
     scored = (
-        embeddings.crossJoin(broadcast(queries))
+        _spread(embeddings).crossJoin(broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
@@ -90,7 +96,7 @@ def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     """ANN top-k: bucket by hyperplane signature, probe buckets within
     `probe_hamming` bits of the query's signature, exact-rank the
     candidates.  Trades recall for a ~(buckets probed / 2^N_PLANES) scan."""
-    indexed = embeddings.withColumn("sig", _lsh_signature(F.col("embedding")))
+    indexed = _spread(embeddings).withColumn("sig", _lsh_signature(F.col("embedding")))
     queries = (
         indexed.where(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
