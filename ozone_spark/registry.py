@@ -918,11 +918,85 @@ FROM documents GROUP BY 1 ORDER BY 1""",
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# streaming plane (ST1-ST6): drained streams returned as batch results
+# ---------------------------------------------------------------------------
+
+_stream_seq = [0]
+
+
+def _cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST5 end-to-end: synthesize the CDC log from the key table,
+    drain it with AvailableNow maintaining the histogram incrementally,
+    return the materialized view (oracle: batch recompute over the final
+    key state — the process()==reprocess() contract)."""
+    import tempfile
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ozs_cdc_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    scdc.run_incremental_histogram(spark, f"{work}/cdc", f"{work}/store",
+                                   f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/store")
+
+
+def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ozone_spark.streaming import windows as swin
+    import tempfile
+
+    _stream_seq[0] += 1
+    name = f"gate_tumbling_{_stream_seq[0]}"
+    stream = swin.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return swin.drain_to_memory(
+        swin.streaming_tumbling_daily(stream), spark, name,
+        tempfile.mkdtemp(prefix="ozs_ckpt_"))
+
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ozone_spark.streaming import windows as swin
+    import tempfile
+
+    _stream_seq[0] += 1
+    name = f"gate_sessions_{_stream_seq[0]}"
+    stream = swin.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return swin.drain_to_memory(
+        swin.streaming_sessionize(stream), spark, name,
+        tempfile.mkdtemp(prefix="ozs_ckpt_"))
+
+
+STREAMING_QUERIES = [
+    _q(
+        "cdc_incremental_histogram",
+        _cdc_incremental_histogram,
+        with_views(
+            f"""SELECT volume, bucket, {_FILE_BIN} AS bin_index,
+  count(*) AS delta
+FROM keys WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
+GROUP BY 1, 2, 3""",
+            ["keys", "deleted_keys"],
+        ),
+    ),
+    _q(
+        "streaming_tumbling_daily",
+        _streaming_tumbling,
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+  count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "streaming_sessionize",
+        _streaming_sessions,
+        None,  # session_window micro-batch state; invariants in tests/
+    ),
+]
+
 ALL_QUERIES: list[QuerySpec] = (
     LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
     + NAMESPACE_QUERIES + LIFECYCLE_QUERIES + SCALAR_QUERIES + TPCH_QUERIES
     + EVENT_QUERIES + TEXT_QUERIES + DEDUP_QUERIES + SIMILARITY_QUERIES
-    + MULTIMODAL_QUERIES
+    + MULTIMODAL_QUERIES + STREAMING_QUERIES
 )
 
 

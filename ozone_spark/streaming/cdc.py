@@ -1,0 +1,175 @@
+"""CDC incremental view maintenance (SURVEY.md §2.8 ST1-ST5, §4).
+
+Reference architecture: Recon tails the OM RocksDB WAL as sequence-
+numbered DBUpdates (OzoneManagerServiceProviderImpl.java:642-646),
+decodes them into typed PUT/DELETE events (OMDBUpdatesHandler.java:
+71-99), and every task maintains its materialized view with a dual
+path — incremental `process(events)` and full-rebuild `reprocess(db)`
+(ReconOmTask contract; overflow of the bounded event buffer falls back
+to reprocess, OMUpdateEventBuffer / ST3).
+
+Spark-native mapping:
+  - WAL          -> an append-only parquet event log (seq-ordered files);
+                    offsets come from the streaming file source
+  - decode       -> typed columns on the event rows
+  - process()    -> Structured Streaming foreachBatch merging signed
+                    deltas (+1 PUT / -1 DELETE) into the view store
+  - reprocess()  -> the batch operators in ozone_spark.operators
+                    (namespace_rollup, file_size_histogram, ...)
+  - invariant    -> after draining the log, process() == reprocess()
+                    (FIXTURES.md §3.3/3.6; asserted in tests)
+
+Scale notes: each micro-batch shuffles only the delta keyed by the view
+key; the view store itself is partitioned parquet merged by key —
+at 100 TB this is the standard foreachBatch+MERGE pattern with the view
+bucketed by its group key, and the bounded-buffer fallback is a
+Trigger.AvailableNow full rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ozone_spark.functions.bins import FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX, size_bin_index
+
+CDC_COLUMNS = ["seq", "op", "db_key", "volume", "bucket", "key_name",
+               "object_id", "data_size", "replicated_size", "event_time"]
+
+
+def synthesize_cdc_log(keys: DataFrame, deleted_object_ids: DataFrame,
+                       out_dir: str, n_chunks: int = 8) -> None:
+    """Build a seq-ordered PUT/DELETE event log from the key table:
+    every key is PUT at its creation_time; keys in `deleted_object_ids`
+    get a later DELETE event.  Written as `n_chunks` seq-ranged parquet
+    files so the file source replays them as ordered micro-batches
+    (the WAL-tail analog)."""
+    puts = keys.select(
+        F.lit("PUT").alias("op"), "db_key", "volume", "bucket", "key_name",
+        "object_id", "data_size", "replicated_size",
+        F.col("creation_time").alias("event_time"),
+    )
+    max_t = keys.agg(F.max("creation_time")).collect()[0][0] or 0
+    deletes = (
+        keys.join(deleted_object_ids.select("object_id"), "object_id", "left_semi")
+        .select(
+            F.lit("DELETE").alias("op"), "db_key", "volume", "bucket", "key_name",
+            "object_id", "data_size", "replicated_size",
+            (F.lit(max_t) + F.col("object_id") % 1000 + 1).alias("event_time"),
+        )
+    )
+    log = (
+        puts.unionByName(deletes)
+        .withColumn("seq", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("event_time", "op", "db_key")))
+        .select(*CDC_COLUMNS)
+    )
+    n = log.count()
+    chunk = (n + n_chunks - 1) // n_chunks
+    (
+        log.withColumn("chunk", ((F.col("seq") - 1) / chunk).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("seq")
+        .write.partitionBy("chunk").mode("overwrite").parquet(out_dir)
+    )
+
+
+def read_cdc_stream(spark: SparkSession, cdc_dir: str,
+                    max_files_per_trigger: int = 1) -> DataFrame:
+    """ST1: the change-log streaming source; file-source offsets play the
+    role of the WAL sequence checkpoint."""
+    schema = spark.read.parquet(cdc_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(cdc_dir)
+    )
+
+
+def histogram_delta(events: DataFrame) -> DataFrame:
+    """ST4 process() delta for the file-size histogram (A1): signed
+    counts per (volume, bucket, bin)."""
+    sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+    bin_idx = size_bin_index(F.col("data_size"), FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX)
+    return (
+        events.select("volume", "bucket", bin_idx.alias("bin_index"),
+                      sign.alias("delta"))
+        .groupBy("volume", "bucket", "bin_index")
+        .agg(F.sum("delta").alias("delta"))
+    )
+
+
+def table_stats_delta(events: DataFrame) -> DataFrame:
+    """ST4 process() delta for the table-insight counts (A3)."""
+    sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+    return events.agg(
+        F.sum(sign).alias("key_count_delta"),
+        F.sum(sign * F.col("data_size")).alias("bytes_delta"),
+        F.sum(sign * F.col("replicated_size")).alias("replicated_delta"),
+    )
+
+
+class IncrementalViewStore:
+    """Parquet-backed materialized-view store with merge-by-key — the
+    Recon RocksDB/Derby store analog.  merge() folds a signed delta into
+    the view; rows whose measures all reach zero are dropped (the
+    reference deletes emptied histogram rows the same way)."""
+
+    def __init__(self, spark: SparkSession, path: str, group_cols: list[str],
+                 measure_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.group_cols = group_cols
+        self.measure_cols = measure_cols
+
+    def current(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, delta: DataFrame) -> None:
+        cur = self.current()
+        merged = delta if cur is None else cur.unionByName(delta)
+        folded = (
+            merged.groupBy(*self.group_cols)
+            .agg(*[F.sum(c).alias(c) for c in self.measure_cols])
+            .where(" OR ".join(f"{c} != 0" for c in self.measure_cols))
+        )
+        tmp = self.path + ".tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+
+def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
+                              store_path: str, checkpoint_dir: str) -> None:
+    """ST2-ST5 wired together: stream the CDC log (AvailableNow drains
+    the backlog like Recon's catch-up), fold each micro-batch's delta
+    into the histogram view via foreachBatch."""
+    store = IncrementalViewStore(
+        spark, store_path, ["volume", "bucket", "bin_index"], ["delta"])
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.merge(histogram_delta(batch_df))
+
+    q = (
+        read_cdc_stream(spark, cdc_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def reprocess_histogram(keys_now: DataFrame) -> DataFrame:
+    """ST3 fallback / invariant oracle: full rebuild from current state
+    (the reference's reprocess() path)."""
+    bin_idx = size_bin_index(F.col("data_size"), FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX)
+    return (
+        keys_now.select("volume", "bucket", bin_idx.alias("bin_index"))
+        .groupBy("volume", "bucket", "bin_index")
+        .agg(F.count("*").alias("delta"))
+    )
