@@ -1,0 +1,108 @@
+"""Data-plane transforms expressed relationally (SURVEY.md §2.1 S12,
+§2.5 O4, §2.7 scalar surface).
+
+Reference semantics:
+  - byte-range read: a ranged GET maps to the block/chunk spans that
+    overlap [start, end) — ObjectEndpoint.java:416-424, parser
+    RangeHeaderParserUtil.java; EC/striped reads reconstruct from the
+    same span algebra (ECBlockInputStream.java:53,116).
+  - multipart complete: the S3 ETag is md5 over the concatenated part
+    ETags, parts sorted by part number (the fixture stores parts
+    unordered on purpose) — S3MultipartUploadCompleteRequest.java:275-276.
+  - topology-sorted replicas: datanodes ordered by network distance to
+    the reader — KeyManagerImpl.java:2286-2294,
+    NetworkTopologyImpl.java:784 (sortByDistanceCost); relationally a
+    rank over a distance column.
+  - P8 longest-prefix match: PrefixManagerImpl.java:65-125 walks a radix
+    tree; Spark-native is candidates-explode + max_by(prefix, length) —
+    for huge prefix sets a broadcast trie UDF is the fallback.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def range_read_plan(locations: DataFrame, start: int, end: int) -> DataFrame:
+    """S12: per object, the blocks overlapping byte range [start, end)
+    with the in-block read offsets — the client read planner as a query."""
+    off, ln = F.col("block_offset"), F.col("block_len")
+    read_start = F.greatest(F.lit(start) - off, F.lit(0))
+    read_end = F.least(ln, F.lit(end) - off)
+    return (
+        locations.where((off < end) & ((off + ln) > start))
+        .select(
+            "object_id", "block_seq", "container_id",
+            read_start.cast("long").alias("read_start"),
+            (read_end - read_start).cast("long").alias("read_len"),
+        )
+        .where(F.col("read_len") > 0)
+        .orderBy("object_id", "block_seq")
+    )
+
+
+def multipart_etag(locations: DataFrame) -> DataFrame:
+    """§2.7: MD5-of-parts ETag per object; parts must be sorted by part
+    number first (collect_list is unordered — sort the (seq, md5)
+    structs before concatenation)."""
+    parts = locations.select(
+        "object_id", "block_seq",
+        F.md5(F.col("local_id").cast("string")).alias("part_md5"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("block_seq", "part_md5"))),
+        lambda s: s.getField("part_md5"),
+    )
+    return (
+        parts.groupBy("object_id")
+        .agg(F.count("*").alias("n_parts"),
+             F.md5(F.concat_ws("", ordered)).alias("etag"))
+        .orderBy("object_id")
+    )
+
+
+def topology_sorted_replicas(replicas: DataFrame, datanodes: DataFrame,
+                             client_rack: str = "rack0") -> DataFrame:
+    """O4: replicas of each container ranked by network distance to the
+    client (same-rack = 0, off-rack = 2 — the NetworkTopology cost
+    model collapsed to two tiers)."""
+    j = replicas.join(broadcast(datanodes.select("datanode", "rack")), "datanode")
+    distance = F.when(F.col("rack") == client_rack, 0).otherwise(2)
+    w = Window.partitionBy("container_id").orderBy(
+        distance.asc(), F.col("datanode").asc(), F.col("replica_idx").asc())
+    return (
+        j.select("container_id", "datanode", "rack",
+                 distance.alias("distance"),
+                 "replica_idx")
+        .withColumn("read_order", F.row_number().over(w))
+        .orderBy("container_id", "read_order")
+    )
+
+
+def longest_prefix_acl(keys: DataFrame, prefixes: list[str]) -> DataFrame:
+    """P8: per key, the longest matching ACL prefix (radix-tree
+    getLongestPrefix as candidates-explode + max_by)."""
+    cand = F.array(*[F.lit(p) for p in prefixes])
+    exploded = keys.select(
+        "db_key", F.explode(cand).alias("prefix")
+    ).where(F.col("db_key").startswith(F.col("prefix")))
+    return (
+        exploded.groupBy("db_key")
+        .agg(F.max_by("prefix", F.length("prefix")).alias("acl_prefix"))
+        .orderBy("db_key")
+    )
+
+
+def unique_snapshot_objects(snap1: DataFrame, snap2: DataFrame) -> DataFrame:
+    """E2: distinct objects touched by either snapshot, per bucket
+    (SnapshotDiffManager.java:1067-1070 objectIdToIsDirMap analog)."""
+    u = snap1.select("volume", "bucket", "object_id").unionByName(
+        snap2.select("volume", "bucket", "object_id"))
+    return (
+        u.distinct()
+        .groupBy("volume", "bucket")
+        .agg(F.count("*").alias("n_objects"))
+        .orderBy("volume", "bucket")
+    )

@@ -36,7 +36,8 @@ _CTES["keys"] = """keys AS (
 
 _CTES["locations"] = """locations AS (
   SELECT *,
-    CAST(sum(block_len) OVER (PARTITION BY object_id ORDER BY block_seq
+    CAST(sum(block_len) OVER (PARTITION BY object_id
+      ORDER BY block_seq, container_id, block_len, local_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - block_len
       AS block_offset
   FROM (
@@ -90,6 +91,23 @@ _CTES["datanodes"] = """datanodes AS (
   FROM (SELECT range AS dn_idx FROM range(8))
 )"""
 
+_CTES["directories"] = """directories AS (
+  SELECT DISTINCT volume, bucket,
+    '/' || volume || '/' || bucket AS parent_path,
+    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1) AS path,
+    split_part(key_name, '/', 1) AS name,
+    1 AS depth
+  FROM keys
+  UNION
+  SELECT DISTINCT volume, bucket,
+    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1),
+    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1)
+      || '/' || split_part(key_name, '/', 2),
+    split_part(key_name, '/', 2),
+    2
+  FROM keys
+)"""
+
 _CTES["snap1"] = """snap1 AS (
   SELECT object_id, volume, bucket,
     CASE WHEN object_id % 11 = 0 THEN key_name || '.old' ELSE key_name END
@@ -123,8 +141,8 @@ _CTES["deleted_keys"] = """deleted_keys AS (
 
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
-          "snap1", "snap2", "open_keys", "deleted_keys"]
-_DEPS = {"snap1": ["keys"], "snap2": ["keys"],
+          "directories", "snap1", "snap2", "open_keys", "deleted_keys"]
+_DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "open_keys": ["keys"], "deleted_keys": ["keys"]}
 
 

@@ -21,7 +21,9 @@ from ozone_spark.functions import dedup, multimodal, similarity, text
 from ozone_spark.functions.bins import bin_sql
 from ozone_spark.operators import (
     containers as cops,
+    datapath,
     events as eops,
+    fso,
     lifecycle as lops,
     listing,
     namespace as nops,
@@ -919,6 +921,144 @@ FROM documents GROUP BY 1 ORDER BY 1""",
 ]
 
 # ---------------------------------------------------------------------------
+# FSO tree + data-plane operators (S4, J7, B2, S12, O4, P8, E2, §2.10)
+# ---------------------------------------------------------------------------
+
+_ACL_PREFIXES = ["/vol1/b1/f/", "/vol1/b1/f/y1995/", "/vol1/b1/", "/vol2/"]
+_ACL_IN = ", ".join(f"'{p}'" for p in _ACL_PREFIXES)
+
+FSO_QUERIES = [
+    _q(
+        "fso_list_status",
+        lambda spark, sf: fso.list_status(
+            views(spark, sf)["directories"], views(spark, sf)["keys"],
+            "/vol1/b1/f/y1996", max_entries=30),
+        with_views(
+            """SELECT name, entry_type, data_size FROM (
+  SELECT name, 'DIR' AS entry_type, CAST(NULL AS BIGINT) AS data_size
+  FROM directories WHERE parent_path = '/vol1/b1/f/y1996'
+  UNION ALL
+  SELECT split_part(key_name, '/', 3), 'FILE', data_size
+  FROM keys WHERE regexp_replace(db_key, '/[^/]+$', '') = '/vol1/b1/f/y1996'
+) ORDER BY name LIMIT 30""",
+            ["keys", "directories"],
+        ),
+    ),
+    _q(
+        "fso_dir_delete_expansion",
+        lambda spark, sf: fso.directory_delete_expansion(
+            views(spark, sf)["directories"], views(spark, sf)["keys"],
+            "/vol1/b1/f"),
+        with_views(
+            """SELECT entry_type, path FROM (
+  SELECT 'DIR' AS entry_type, '/vol1/b1/f' AS path
+  UNION ALL
+  SELECT 'DIR', path FROM directories WHERE parent_path = '/vol1/b1/f'
+     OR parent_path IN (SELECT path FROM directories
+                        WHERE parent_path = '/vol1/b1/f')
+  UNION ALL
+  SELECT 'FILE', db_key FROM keys WHERE db_key LIKE '/vol1/b1/f/%'
+) ORDER BY entry_type, path""",
+            ["keys", "directories"],
+        ),
+    ),
+    _q(
+        "fso_resolve_subtree",
+        lambda spark, sf: fso.resolve_subtree(
+            views(spark, sf)["directories"], views(spark, sf)["keys"],
+            "/vol1/b1/f"),
+        with_views(
+            """SELECT * FROM
+  (SELECT count(*) AS n_dirs FROM directories
+   WHERE path = '/vol1/b1/f' OR path LIKE '/vol1/b1/f/%'),
+  (SELECT count(*) AS n_files,
+          CAST(COALESCE(sum(data_size), 0) AS BIGINT) AS total_bytes
+   FROM keys WHERE db_key LIKE '/vol1/b1/f/%')""",
+            ["keys", "directories"],
+        ),
+    ),
+    _q(
+        "rename_subtree",
+        lambda spark, sf: fso.rename_subtree(
+            views(spark, sf)["keys"], "/vol1/b1/o/", "/vol1/b1/archived/"),
+        with_views(
+            """SELECT db_key AS old_key,
+  '/vol1/b1/archived/' || substr(db_key, 12) AS new_key, data_size
+FROM keys WHERE db_key LIKE '/vol1/b1/o/%'""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "range_read_plan",
+        lambda spark, sf: datapath.range_read_plan(
+            views(spark, sf)["locations"], 1000, 60000),
+        with_views(
+            """SELECT object_id, block_seq, container_id,
+  CAST(greatest(1000 - block_offset, 0) AS BIGINT) AS read_start,
+  CAST(least(block_len, 60000 - block_offset)
+       - greatest(1000 - block_offset, 0) AS BIGINT) AS read_len
+FROM locations
+WHERE block_offset < 60000 AND block_offset + block_len > 1000
+  AND least(block_len, 60000 - block_offset)
+      - greatest(1000 - block_offset, 0) > 0
+ORDER BY object_id, block_seq""",
+            ["locations"],
+        ),
+    ),
+    _q(
+        "multipart_etag",
+        lambda spark, sf: datapath.multipart_etag(views(spark, sf)["locations"]),
+        with_views(
+            """SELECT object_id, count(*) AS n_parts,
+  md5(string_agg(md5(CAST(local_id AS VARCHAR)), ''
+      ORDER BY block_seq, md5(CAST(local_id AS VARCHAR)))) AS etag
+FROM locations GROUP BY object_id ORDER BY object_id""",
+            ["locations"],
+        ),
+    ),
+    _q(
+        "topology_sorted_replicas",
+        lambda spark, sf: datapath.topology_sorted_replicas(
+            views(spark, sf)["replicas"], views(spark, sf)["datanodes"]),
+        with_views(
+            """SELECT container_id, datanode, rack,
+  CASE WHEN rack = 'rack0' THEN 0 ELSE 2 END AS distance, replica_idx,
+  row_number() OVER (PARTITION BY container_id
+    ORDER BY CASE WHEN rack = 'rack0' THEN 0 ELSE 2 END, datanode, replica_idx)
+    AS read_order
+FROM replicas JOIN datanodes USING (datanode)
+ORDER BY container_id, read_order""",
+            ["replicas", "datanodes"],
+        ),
+    ),
+    _q(
+        "longest_prefix_acl",
+        lambda spark, sf: datapath.longest_prefix_acl(
+            views(spark, sf)["keys"], _ACL_PREFIXES),
+        with_views(
+            f"""SELECT db_key, arg_max(prefix, length(prefix)) AS acl_prefix
+FROM keys, (SELECT unnest([{_ACL_IN}]) AS prefix)
+WHERE starts_with(db_key, prefix)
+GROUP BY db_key ORDER BY db_key""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "unique_snapshot_objects",
+        lambda spark, sf: datapath.unique_snapshot_objects(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
+        with_views(
+            """SELECT volume, bucket, count(*) AS n_objects FROM (
+  SELECT DISTINCT volume, bucket, object_id FROM (
+    SELECT volume, bucket, object_id FROM snap1
+    UNION ALL SELECT volume, bucket, object_id FROM snap2))
+GROUP BY 1, 2 ORDER BY 1, 2""",
+            ["snap1", "snap2"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
 # streaming plane (ST1-ST6): drained streams returned as batch results
 # ---------------------------------------------------------------------------
 
@@ -996,7 +1136,7 @@ ALL_QUERIES: list[QuerySpec] = (
     LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
     + NAMESPACE_QUERIES + LIFECYCLE_QUERIES + SCALAR_QUERIES + TPCH_QUERIES
     + EVENT_QUERIES + TEXT_QUERIES + DEDUP_QUERIES + SIMILARITY_QUERIES
-    + MULTIMODAL_QUERIES + STREAMING_QUERIES
+    + MULTIMODAL_QUERIES + FSO_QUERIES + STREAMING_QUERIES
 )
 
 

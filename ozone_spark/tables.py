@@ -109,9 +109,12 @@ def locations_view(lineitem: DataFrame) -> DataFrame:
     OmKeyInfo.java:75; exploded shape of ContainerKeyMapperHelper.java:144-175).
     One block per lineitem; container ids 50..54 are OM-referenced but
     absent from SCM (drives mismatch join J3)."""
+    # block_seq (l_linenumber) is NOT unique per order in the fixtures —
+    # order by every derived column so ties only remain between fully
+    # identical rows, where the cumulative offsets are interchangeable
     w = (
         Window.partitionBy("object_id")
-        .orderBy("block_seq")
+        .orderBy("block_seq", "container_id", "block_len", "local_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -205,6 +208,31 @@ def snap2_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def directories_view(keys: DataFrame) -> DataFrame:
+    """FSO directoryTable analog (OMDBDefinition.java:260,
+    OmDirectoryInfo.java:38-53): the two directory levels implied by
+    key_name, as an adjacency list keyed by materialized path (the Spark
+    replacement for parentObjectId pointers — SURVEY.md §1.1)."""
+    root = F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"))
+    p1 = F.substring_index(F.col("key_name"), "/", 1)
+    p2 = F.substring_index(F.col("key_name"), "/", 2)
+    lvl1 = keys.select(
+        "volume", "bucket",
+        root.alias("parent_path"),
+        F.concat(root, F.lit("/"), p1).alias("path"),
+        p1.alias("name"),
+        F.lit(1).alias("depth"),
+    ).distinct()
+    lvl2 = keys.select(
+        "volume", "bucket",
+        F.concat(root, F.lit("/"), p1).alias("parent_path"),
+        F.concat(root, F.lit("/"), p2).alias("path"),
+        F.substring_index(p2, "/", -1).alias("name"),
+        F.lit(2).alias("depth"),
+    ).distinct()
+    return lvl1.unionByName(lvl2)
+
+
 def open_keys_view(keys: DataFrame) -> DataFrame:
     """openKeyTable analog (OMDBDefinition.java:223; expiry contract
     OpenKeyCleanupService.java:79-111)."""
@@ -238,6 +266,7 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     keys = keys_view(t["orders"])
     t.update(
         keys=keys,
+        directories=directories_view(keys),
         locations=locations_view(t["lineitem"]),
         containers=containers_view(spark),
         replicas=replicas_view(spark),
