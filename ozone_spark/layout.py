@@ -1,0 +1,71 @@
+"""Physical table layout policy (SURVEY.md §4): how the namespace is
+laid out at real scale so Catalyst gets the reference's hand-rolled
+optimizations for free.
+
+  - keys: partitioned by volume, each file sorted by db_key.  A prefix
+    listing then prunes partitions (volume) and skips files/row-groups
+    via parquet min/max on db_key — the Spark analog of the RocksDB
+    `seekKey` (OmMetadataManagerImpl.java:1102-1112) and of the "early
+    exit when prefix exhausted" loop (:1165-1169).
+  - snapshots: bucketed by object_id so snapshot diff (J2) is a
+    co-partitioned join with no shuffle — the analog of the reference's
+    sequential-IO SST diff (efficient-snapdiff.md:34-35).
+  - locations: bucketed by container_id for shuffle-free container joins.
+
+At 100 TB these writes happen once at ingest; every query in the
+operator library then plans against the laid-out tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_keys_layout(keys: DataFrame, out_dir: str,
+                      files_per_partition: int = 4) -> None:
+    """Partition by volume, sort within files by db_key (gives parquet
+    row-group min/max stats their pruning power for prefix scans)."""
+    (
+        keys.repartition(files_per_partition, "volume", "bucket")
+        .sortWithinPartitions("db_key")
+        .write.mode("overwrite")
+        .partitionBy("volume")
+        .parquet(out_dir)
+    )
+
+
+def read_keys_layout(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def list_keys_pruned(spark: SparkSession, out_dir: str, volume: str,
+                     prefix: str, max_keys: int = 1000) -> DataFrame:
+    """The scale-path listing: the volume equality prunes partitions,
+    the prefix pushes to the parquet scan, orderBy+limit compiles to
+    TakeOrderedAndProject (per-file top-k, driver merge)."""
+    df = read_keys_layout(spark, out_dir)
+    return (
+        df.where((F.col("volume") == volume)
+                 & F.col("db_key").startswith(prefix))
+        .select("db_key", "object_id", "data_size")
+        .orderBy("db_key")
+        .limit(max_keys)
+    )
+
+
+def write_bucketed_snapshots(snap1: DataFrame, snap2: DataFrame,
+                             spark: SparkSession, n_buckets: int = 8,
+                             prefix: str = "ozs") -> tuple[str, str]:
+    """Persist both snapshot versions bucketed+sorted by object_id; the
+    diff join then needs no shuffle (co-partitioned scans)."""
+    names = (f"{prefix}_snap1_b", f"{prefix}_snap2_b")
+    for df, name in ((snap1, names[0]), (snap2, names[1])):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, "object_id")
+            .sortBy("object_id")
+            .saveAsTable(name)
+        )
+    return names

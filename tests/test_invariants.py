@@ -1,0 +1,144 @@
+"""Reference-derived invariant tests (FIXTURES.md §3; SURVEY.md §5's
+"views == recompute / golden behavior" strategy)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ozone_spark import tables
+from ozone_spark.functions import dedup
+from ozone_spark.functions.bins import FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX, size_bin_index
+from ozone_spark.operators import listing
+from ozone_spark.operators.namespace import namespace_rollup
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return tables.namespace_views(spark, sf_dir)
+
+
+def test_pagination_concat_equals_full_scan(spark, t):
+    """Invariant 1: concatenating pages (maxKeys=7) over a prefix equals
+    one full sorted scan; is_truncated is correct on every page
+    (OmMetadataManagerImpl.java:1149-1196 contract)."""
+    keys = t["keys"]
+    prefix = "/vol2/b2/"
+    full = [r.db_key for r in
+            keys.where(F.col("db_key").startswith(prefix))
+            .orderBy("db_key").select("db_key").collect()]
+    got, start = [], ""
+    for _ in range(1000):
+        page = listing.list_keys(keys, prefix=prefix, start_key=start,
+                                 max_keys=7).collect()
+        if not page:
+            break
+        got.extend(r.db_key for r in page)
+        truncated = page[0].is_truncated
+        assert all(r.is_truncated == truncated for r in page)
+        if not truncated:
+            break
+        start = page[-1].db_key
+    assert got == full
+
+
+def test_histogram_bin_edges(spark):
+    """Invariant 4: bins match 2^(10+i) upper bounds incl. 0-byte,
+    1-byte, exact powers, power+1, and beyond-max sizes
+    (ReconUtils.java:542-597 nextClosestPowerIndexOfTwo)."""
+    cases = [(0, 0), (1, 0), (1023, 0), (1024, 0), (1025, 1),
+             (2048, 1), (2049, 2), (1 << 20, 10), ((1 << 20) + 1, 11),
+             (1 << 50, 40), ((1 << 60), 40)]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "size long")
+    got = df.select(
+        "size",
+        size_bin_index(F.col("size"), FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX)
+        .alias("bin")).collect()
+    by_size = {r.size: r.bin for r in got}
+    for s, expected in cases:
+        assert by_size[s] == expected, f"size {s}: bin {by_size[s]} != {expected}"
+
+
+def test_delimiter_grouping_cases(spark, t):
+    """Invariant 2: ListObjectsV2 delimiter grouping for prefixes with
+    0, 1, and N delimiter levels (BucketEndpoint.java:187-230)."""
+    keys = t["keys"]
+    # root: everything collapses to level-1 common prefixes
+    root = listing.list_objects_v2(keys, "vol1", "b1").collect()
+    assert all(r.entry_type == "COMMON_PREFIX" for r in root)
+    assert all(r.name.endswith("/") for r in root)
+    # one delimiter level down: still common prefixes (year dirs)
+    mid = listing.list_objects_v2(keys, "vol1", "b1", prefix=root[0].name).collect()
+    assert mid and all(r.entry_type == "COMMON_PREFIX" for r in mid)
+    # leaf prefix: no further delimiter -> plain keys with sizes
+    leaf = listing.list_objects_v2(keys, "vol1", "b1", prefix=mid[0].name).collect()
+    assert leaf and all(r.entry_type == "KEY" and r.data_size is not None
+                        for r in leaf)
+
+
+def test_rollup_parent_equals_sum_of_children(spark, t):
+    """Invariant 3 (NSSummary propagate contract): every level-1 dir
+    total equals the sum of its level-2 children."""
+    rollup = namespace_rollup(t["keys"]).collect()
+    by_path = {r.dir_path: r for r in rollup}
+    lvl1 = [p for p in by_path if p.count("/") == 3]
+    for p in lvl1:
+        children = [r for q, r in by_path.items()
+                    if q.startswith(p + "/") and q.count("/") == 4]
+        assert sum(c.size_of_files for c in children) == by_path[p].size_of_files
+        assert sum(c.num_files for c in children) == by_path[p].num_files
+
+
+def test_quota_equals_rollup_root(spark, t):
+    """Invariant 6: per-bucket quota recompute == rollup bucket root."""
+    from ozone_spark.operators.namespace import quota_usage
+    q = {(r.volume, r.bucket): r for r in quota_usage(t["keys"]).collect()}
+    rollup = namespace_rollup(t["keys"]).collect()
+    for r in rollup:
+        parts = r.dir_path.split("/")
+        if len(parts) == 3:  # /vol/bucket
+            qq = q[(parts[1], parts[2])]
+            assert qq.used_bytes == r.size_of_files
+            assert qq.used_namespace == r.num_files
+
+
+def test_minhash_recall_against_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates must recover the clearly-similar pairs
+    found by exact n-gram Jaccard (estimate noise tolerated via a lower
+    LSH threshold)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    if not exact:
+        pytest.skip("fixture has no >=0.5-Jaccard pairs at this sf")
+    approx = {(r.doc_a, r.doc_b)
+              for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_snapshot_diff_classes_engineered(spark, t):
+    """Invariant 5: the engineered snapshots produce every diff class."""
+    from ozone_spark.operators.snapshot import snapshot_diff
+    classes = {r.diff_type for r in
+               snapshot_diff(t["snap1"], t["snap2"]).collect()}
+    assert classes == {"CREATE", "DELETE", "MODIFY", "RENAME"}
+
+
+def test_multimodal_feature_shapes(spark, sf_dir):
+    """Multimodal plumbing: Arrow batch shape + histogram normalization."""
+    from ozone_spark.functions import multimodal
+    docs = tables.load_table(spark, sf_dir, "documents").limit(50)
+    feats = multimodal.extract_features(multimodal.as_media_table(docs)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.byte_histogram) == multimodal.N_HIST_BINS
+        assert abs(sum(r.byte_histogram) - 1.0) < 1e-9
+        assert r.payload_len > 0
+
+
+def test_media_decode_stub_raises(spark, sf_dir):
+    """The non-fake decode path must fail loudly (no codecs here)."""
+    from ozone_spark.functions import multimodal
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image", fake=False)

@@ -1,0 +1,78 @@
+"""Plan-quality assertions (SURVEY.md §4): the physical plans must show
+the optimizations the layout policy is designed to unlock — partition
+pruning, parquet predicate pushdown, broadcast of dimension sides,
+map-side partial aggregation, top-k instead of global sort, and
+shuffle-free bucketed snapshot diffs."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from ozone_spark import layout, tables
+from ozone_spark.operators import insights, listing
+from ozone_spark.operators.snapshot import snapshot_diff
+from ozone_spark.operators.tpch import pricing_summary
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return tables.namespace_views(spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def plan_of(df) -> str:
+    try:
+        return _plan(df)
+    except Exception:
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+def test_layout_scan_prunes_and_pushes(spark, t, tmp_path):
+    out = str(tmp_path / "keys_layout")
+    layout.write_keys_layout(t["keys"], out)
+    q = layout.list_keys_pruned(spark, out, "vol1", "/vol1/b1/f/", max_keys=25)
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan and "vol1" in plan
+    assert "StringStartsWith" in plan  # db_key prefix reached the scan
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+    # and it returns the same page as the in-memory operator
+    expect = [r.db_key for r in
+              listing.list_keys(t["keys"], prefix="/vol1/b1/f/",
+                                max_keys=25).collect()]
+    got = [r.db_key for r in q.collect()]
+    assert got == expect
+
+
+def test_dimension_joins_broadcast(spark, t):
+    plan = plan_of(insights.datanode_utilization(
+        t["containers"], t["replicas"], t["datanodes"]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, t):
+    plan = plan_of(pricing_summary(t["lineitem"]))
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    # two HashAggregate phases (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_snapshot_diff_no_shuffle(spark, t):
+    n1, n2 = layout.write_bucketed_snapshots(t["snap1"], t["snap2"], spark)
+    s1, s2 = spark.table(n1), spark.table(n2)
+    plan = plan_of(snapshot_diff(s1, s2))
+    join_section = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in join_section or "ShuffledHashJoin" in join_section
+    # bucketed co-partitioned scans: no Exchange feeding the join
+    assert "Exchange hashpartitioning(object_id" not in join_section
