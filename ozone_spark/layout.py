@@ -59,9 +59,16 @@ def write_bucketed_snapshots(snap1: DataFrame, snap2: DataFrame,
                              prefix: str = "ozs") -> tuple[str, str]:
     """Persist both snapshot versions bucketed+sorted by object_id; the
     diff join then needs no shuffle (co-partitioned scans)."""
+    import shutil
+
     names = (f"{prefix}_snap1_b", f"{prefix}_snap2_b")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
     for df, name in ((snap1, names[0]), (snap2, names[1])):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a DROP in a fresh metastore won't clear a location left behind
+        # by an earlier session — remove it physically
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(n_buckets, "object_id")
