@@ -43,7 +43,17 @@ _view_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     if key not in _view_cache:
-        _view_cache[key] = tables.namespace_views(spark, sf_dir)
+        v = tables.namespace_views(spark, sf_dir)
+        # the derived namespace views are this engine's base tables —
+        # keep the hot ones resident (they are small relative to the
+        # raw fact tables; at real scale these are the laid-out parquet
+        # tables of ozone_spark.layout instead)
+        for name in ("keys", "locations", "containers", "replicas",
+                     "datanodes", "directories", "snap1", "snap2",
+                     "open_keys", "deleted_keys",
+                     "documents", "embeddings", "events"):
+            v[name] = v[name].persist()
+        _view_cache[key] = v
     return _view_cache[key]
 
 
