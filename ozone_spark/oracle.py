@@ -76,7 +76,10 @@ _CTES["replicas"] = """replicas AS (
     replica_idx,
     'dn' || CAST((container_id * 5 + replica_idx) % 8 AS VARCHAR) AS datanode,
     CASE WHEN container_id % 9 = 4 AND replica_idx = 1 THEN 'bad' ELSE 'ok' END
-      AS checksum
+      AS checksum,
+    container_id * 10
+      + CASE WHEN container_id % 8 = 3 AND replica_idx = 2 THEN 3 ELSE 7 END
+      AS bcsid
   FROM (SELECT range AS container_id FROM range(50)),
        (SELECT range AS replica_idx FROM range(1, 5))
   WHERE replica_idx <= CASE container_id % 7

@@ -168,6 +168,8 @@ def replicas_view(spark: SparkSession) -> DataFrame:
         .where(i <= rc)
         .withColumn("datanode", F.concat(F.lit("dn"), ((c * 5 + i) % N_DATANODES).cast("string")))
         .withColumn("checksum", F.when((c % 9 == 4) & (i == 1), "bad").otherwise("ok"))
+        # block-commit-sequence id: one replica per 8th container lags (J10)
+        .withColumn("bcsid", c * 10 + F.when((c % 8 == 3) & (i == 2), 3).otherwise(7))
     )
 
 

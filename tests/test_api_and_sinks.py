@@ -1,0 +1,51 @@
+"""Facade + sink coverage: the user-visible API surface works end-to-end
+and exports round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from ozone_spark.api import OzoneSparkNamespace
+from ozone_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def ns(spark, sf_dir):
+    return OzoneSparkNamespace(spark, sf_dir)
+
+
+def test_facade_listing_surface(ns):
+    assert ns.list_volumes().count() == 4
+    assert ns.list_buckets("vol1").count() > 0
+    page = ns.list_keys(prefix="/vol1/", max_keys=10).collect()
+    assert len(page) == 10 and page[0].is_truncated
+    lov2 = ns.list_objects_v2("vol1", "b1").collect()
+    assert {r.entry_type for r in lov2} == {"COMMON_PREFIX"}
+
+
+def test_facade_analytics_surface(ns):
+    assert ns.cluster_state().count() == 1
+    assert ns.file_size_histogram().count() > 0
+    assert ns.du("/vol1/b1", top_k=3).count() <= 3
+    assert {r.diff_type for r in ns.snapshot_diff().collect()} == {
+        "CREATE", "DELETE", "MODIFY", "RENAME"}
+    assert ns.unhealthy_containers().count() > 0
+
+
+def test_facade_scan_kwargs(ns):
+    one = ns.scan(table="keys", filters=[("volume", "EQUALS", "vol1")],
+                  fields=["db_key"], limit=5)
+    assert one.count() == 5 and one.columns == ["db_key"]
+    cnt = ns.scan(table="containers", count=True).collect()[0]["count"]
+    assert cnt == 50
+
+
+def test_sinks_roundtrip(ns, tmp_path):
+    hist = ns.file_size_histogram()
+    n = hist.count()
+    assert sinks.export_parquet(hist, str(tmp_path / "p"),
+                                sort_cols=["volume", "bucket"]) == n
+    assert sinks.export_json(hist, str(tmp_path / "j")) == n
+    assert sinks.export_csv(hist, str(tmp_path / "c")) == n
+    rows = sinks.to_json_rows(hist, limit=5).collect()
+    assert len(rows) == 5 and rows[0].json.startswith("{")
