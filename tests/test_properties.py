@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for contract-critical scalar logic —
+the reference's unit-test layer analog (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from ozone_spark import tables
+from ozone_spark.functions.bins import FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX, size_bin_index
+from ozone_spark.operators import listing
+
+
+def ref_bin_index(size: int, base_exp: int = 10, max_idx: int = 40) -> int:
+    """Pure-python rendering of ReconUtils.nextClosestPowerIndexOfTwo
+    (ReconUtils.java:592-597): smallest i with 2^(base+i) >= size."""
+    i = 0
+    while (1 << (base_exp + i)) < size and i < max_idx:
+        i += 1
+    return i
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_bin_index_matches_reference_math(spark, data):
+    sizes = data.draw(st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 62),
+            # adversarial: exact powers and off-by-one neighbors
+            st.integers(min_value=0, max_value=52).map(lambda e: 1 << e),
+            st.integers(min_value=1, max_value=52).map(lambda e: (1 << e) + 1),
+            st.integers(min_value=1, max_value=52).map(lambda e: (1 << e) - 1),
+        ),
+        min_size=50, max_size=200))
+    df = spark.createDataFrame([(s,) for s in sizes], "size long")
+    got = {r.size: r.bin for r in df.select(
+        "size", size_bin_index(F.col("size"), FILE_BIN_BASE_EXP,
+                               FILE_BIN_MAX_IDX).alias("bin")).collect()}
+    for s in sizes:
+        assert got[s] == ref_bin_index(s), f"size={s}"
+
+
+@settings(max_examples=4, deadline=None)
+@given(page=st.integers(min_value=1, max_value=23))
+def test_pagination_contract_any_page_size(spark, sf_dir, page):
+    """Page-concat == full scan for arbitrary maxKeys (the maxKeys+1 /
+    isTruncated / resume-token contract)."""
+    keys = tables.namespace_views(spark, sf_dir)["keys"]
+    prefix = "/vol3/b0/"
+    full = [r.db_key for r in
+            keys.where(F.col("db_key").startswith(prefix))
+            .orderBy("db_key").select("db_key").collect()]
+    got, start = [], ""
+    while True:
+        rows = listing.list_keys(keys, prefix=prefix, start_key=start,
+                                 max_keys=page).collect()
+        if not rows:
+            break
+        got.extend(r.db_key for r in rows)
+        if not rows[0].is_truncated:
+            break
+        start = rows[-1].db_key
+    assert got == full

@@ -60,6 +60,22 @@ def test_cdc_resume_from_checkpoint(spark, sf_dir, tmpdir):
     assert canon(incremental.toPandas()) == canon(expected.toPandas())
 
 
+def test_stateful_rollup_matches_batch(spark, sf_dir, tmpdir):
+    """A4 incremental (applyInPandasWithState) == batch ancestors-explode
+    rollup of the final key state (NSSummary propagate contract)."""
+    from ozone_spark.operators.namespace import namespace_rollup
+    from ozone_spark.streaming import rollup as sroll
+
+    t = tables.namespace_views(spark, sf_dir)
+    keys, deleted = t["keys"], t["deleted_keys"]
+    cdc.synthesize_cdc_log(keys, deleted, f"{tmpdir}/cdc", n_chunks=5)
+    got = sroll.run_incremental_rollup(spark, f"{tmpdir}/cdc", f"{tmpdir}/ck")
+
+    keys_now = keys.join(deleted.select("object_id"), "object_id", "left_anti")
+    expected = namespace_rollup(keys_now)
+    assert canon(got.toPandas()) == canon(expected.toPandas())
+
+
 def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
     ev_batch = tables.load_table(spark, sf_dir, "events")
     stream = windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
