@@ -108,6 +108,16 @@ class OzoneSparkNamespace:
     def expired_open_keys(self, ttl_ms: int) -> DataFrame:
         return lops.open_keys_expired(self.t["open_keys"], ttl_ms)
 
+    # ---- SQL surface ----
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the namespace: every table/view is registered as
+        a temp view (keys, locations, containers, replicas, datanodes,
+        directories, snap1, snap2, open_keys, deleted_keys + the driver
+        tables)."""
+        for name, df in self.t.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # ---- data plane ----
     def range_read_plan(self, start: int, end: int) -> DataFrame:
         return datapath.range_read_plan(self.t["locations"], start, end)

@@ -3,6 +3,7 @@ and exports round-trip."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from ozone_spark.api import OzoneSparkNamespace
@@ -38,6 +39,31 @@ def test_facade_scan_kwargs(ns):
     assert one.count() == 5 and one.columns == ["db_key"]
     cnt = ns.scan(table="containers", count=True).collect()[0]["count"]
     assert cnt == 50
+
+
+def test_facade_sql_surface(ns):
+    df = ns.sql("""
+        SELECT k.volume, count(*) AS n, sum(k.data_size) AS bytes
+        FROM keys k JOIN locations l ON k.object_id = l.object_id
+        GROUP BY k.volume ORDER BY k.volume
+    """)
+    assert df.count() == 4
+
+
+def test_salted_aggregation_equals_direct(ns, spark):
+    from ozone_spark.functions.skew import salted_join_small, salted_sum_count
+    from tests.util import canon
+    keys = ns.t["keys"]
+    direct = (keys.groupBy("volume", "bucket")
+              .agg(F.count("*").alias("count"),
+                   F.sum("data_size").alias("sum_data_size")))
+    salted = salted_sum_count(keys, ["volume", "bucket"], ["data_size"])
+    assert canon(salted.toPandas()) == canon(direct.toPandas())
+
+    small = ns.t["containers"].select("container_id", "state")
+    big = ns.t["locations"]
+    plain = big.join(small, "container_id").count()
+    assert salted_join_small(big, small, "container_id").count() == plain
 
 
 def test_sinks_roundtrip(ns, tmp_path):
