@@ -79,30 +79,33 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_bucket: int = 200) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard similarity.
-    Self-join on shingle with bucket capping (drop shingles shared by
-    more than `max_bucket` docs — stopword-like shingles carry no
-    discriminating signal and otherwise blow up the pair count)."""
-    # the shingle set feeds three consumers (sizes, bucket stats, the
-    # self-join) — materialize once instead of recomputing the explode;
-    # shingles are hashed to int64 so the shuffle/join keys are 8 bytes
-    # (collision odds are negligible vs the Jaccard estimate's noise)
+
+    Shape: build the shingle->docs inverted index (one shuffle), explode
+    each bucket's pair combinations in place, count per pair (second
+    shuffle).  Replaces the naive index self-join — same result, two
+    fewer shuffles.  The pair blowup is bounded by `max_bucket`:
+    stopword-like shingles shared by more docs carry no discriminating
+    signal and are dropped, exactly like saturated LSH bands at web
+    scale."""
+    # shingles hashed to int64: 8-byte shuffle keys, negligible collisions
     sh = (
         word_shingles(docs, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    bucket_ok = (
-        sh.groupBy("shingle").agg(F.count("*").alias("b"))
-        .where(F.col("b") <= max_bucket).select("shingle")
+    buckets = (
+        sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
     )
-    sh = sh.join(bucket_ok, "shingle", "left_semi")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
