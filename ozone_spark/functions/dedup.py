@@ -121,6 +121,51 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+def winnowing_fingerprints(docs: DataFrame, n: int = 3,
+                           window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every
+    positional word n-gram, slide a `window` over the hash sequence,
+    keep each window's minimum — a deterministic, position-robust
+    fingerprint set per document.  Pure window functions, no Python."""
+    words = F.split(_norm_text(F.col("text")), " ")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = _spread(docs).select("doc_id", F.posexplode(words).alias("pos", "w"))
+    for i in range(1, n):
+        exploded = exploded.withColumn(f"w{i}", F.lead("w", i).over(w))
+    gram = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, n)])
+    hashes = (
+        exploded.where(F.col(f"w{n-1}").isNotNull())
+        .select("doc_id", "pos", F.xxhash64(gram).alias("h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashes.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp").distinct()
+    )
+
+
+def winnowing_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Near-dup candidates: documents sharing >= min_shared winnowing
+    fingerprints (the MOSS-style detector as a groupBy join)."""
+    fp = winnowing_fingerprints(docs).persist()
+    buckets = (
+        fp.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= 200))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> array<long> of N_PERM minhash values.  Permutation i is
     xxhash64(shingle, seed=i); min per doc per permutation — all JVM-side."""

@@ -120,6 +120,71 @@ def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ivf_assignments(embeddings: DataFrame,
+                    n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: centroids are the first `n_centroids`
+    vectors (deterministic, no trained model to ship); every vector is
+    assigned to its max-dot-product centroid.  At scale the assignment
+    is one broadcast join + max_by — a single pass over the corpus."""
+    centroids = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c"))
+    )
+    scored = embeddings.crossJoin(broadcast(centroids)).select(
+        "vec_id", "embedding", "centroid_id",
+        _dot(F.col("embedding"), F.col("c")).alias("dot"))
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max_by("centroid_id", F.col("dot")).alias("centroid_id"),
+             F.first("embedding").alias("embedding"))
+    )
+
+
+def knn_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            n_probe: int = N_PROBE) -> DataFrame:
+    """IVF-probed ANN: rank centroids per query, scan only the `n_probe`
+    best inverted lists, exact-rank the candidates.  Scan fraction ~
+    n_probe / n_centroids of the corpus."""
+    assigned = ivf_assignments(embeddings)
+    centroids = (
+        embeddings.where(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c"))
+    )
+    queries = (
+        embeddings.where(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    from pyspark.sql import Window
+    wq = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
+    probe = (
+        queries.crossJoin(broadcast(centroids))
+        .select("query_id", "q", "centroid_id",
+                _dot(F.col("q"), F.col("c")).alias("dot"))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("query_id", "q", "centroid_id")
+    )
+    cand = (
+        assigned.join(broadcast(probe), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id",
+                    F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """Corpus embedding stats (norm distribution per label) — sanity
     surface for the ANN index."""

@@ -31,6 +31,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# BPE-ish tokenization: word pieces + digit runs + punctuation singles —
+# the cheap regex approximation of a subword tokenizer's pre-tokenizer
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc (training-data token
+    accounting surface)."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id", "lang",
+        token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+        F.round(bpe_ish_token_count(t).cast("double")
+                / F.greatest(token_count(t), F.lit(1)), 6).alias("fertility"),
+    )
+
+
 def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
     return F.size(F.filter(tokens(text), lambda w: F.array_contains(sw, w))).cast("long")

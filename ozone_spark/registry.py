@@ -808,6 +808,17 @@ SELECT lang, predicted, count(*) AS n FROM (
 ) GROUP BY 1, 2 ORDER BY 1, 2""",
     ),
     _q(
+        "token_counts",
+        lambda spark, sf: text.token_counts(views(spark, sf)["documents"]),
+        f"""SELECT doc_id, lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')) AS BIGINT)
+    AS bpe_ish_tokens,
+  round(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))
+        / greatest(len(string_split(text, ' ')), 1), 6) AS fertility
+FROM documents""",
+    ),
+    _q(
         "fingerprint_summary",
         lambda spark, sf: text.fingerprint_summary(views(spark, sf)["documents"]),
         f"""SELECT source, count(*) AS n_docs,
@@ -868,6 +879,11 @@ ORDER BY 1, 2""",
         lambda spark, sf: dedup.simhash_pairs(views(spark, sf)["documents"]),
         None,  # xxhash64-based signature; verified in tests/
     ),
+    _q(
+        "dedup_winnowing",
+        lambda spark, sf: dedup.winnowing_pairs(views(spark, sf)["documents"]),
+        None,  # rolling-hash fingerprints (xxhash64); verified in tests/
+    ),
 ]
 
 _DOT = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
@@ -898,6 +914,12 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
         lambda spark, sf: similarity.knn_lsh(
             views(spark, sf)["embeddings"], [0, 1, 2], k=10),
         None,  # LSH bucketing is Spark-native; recall checked in tests/
+    ),
+    _q(
+        "knn_ivf",
+        lambda spark, sf: similarity.knn_ivf(
+            views(spark, sf)["embeddings"], [20, 21, 22], k=10),
+        None,  # IVF probe path; recall checked in tests/
     ),
     _q(
         "embedding_norms",

@@ -117,6 +117,44 @@ def test_minhash_recall_against_exact_jaccard(spark, sf_dir):
     assert recall >= 0.8, f"minhash recall {recall}"
 
 
+def test_ann_variants_recall(spark, sf_dir):
+    """LSH- and IVF-probed ANN must recover a reasonable share of the
+    brute-force top-10 (random 64-d vectors: weak neighbors, so the bar
+    is deliberately modest) and every result must be exact-ranked."""
+    from ozone_spark.functions import similarity
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    qids = [20, 21, 22]
+    bf = {(r.query_id, r.vec_id)
+          for r in similarity.knn_bruteforce(emb, qids, k=10).collect()}
+    ivf = similarity.knn_ivf(emb, qids, k=10).collect()
+    assert len(ivf) == 30  # full top-k for every query
+    hits = {(r.query_id, r.vec_id) for r in ivf}
+    assert len(bf & hits) / len(bf) >= 0.1
+    # cos_sim of every ANN result must equal the brute-force score
+    bf_scores = {(r.query_id, r.vec_id): r.cos_sim
+                 for r in similarity.knn_bruteforce(emb, qids, k=5000).collect()}
+    for r in ivf:
+        assert abs(bf_scores[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_winnowing_detects_duplicates(spark, sf_dir):
+    """A doc duplicated verbatim must share all fingerprints with its
+    copy; winnowing_pairs must surface the planted pair first."""
+    import pyspark.sql.functions as F
+    from ozone_spark.functions.dedup import winnowing_pairs
+    docs = tables.load_table(spark, sf_dir, "documents").limit(100)
+    clone = docs.where(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(100000).cast("long"))
+    planted = docs.unionByName(clone)
+    pairs = winnowing_pairs(planted, min_shared=2).collect()
+    clone_pair = [r for r in pairs if r.doc_a == 0 and r.doc_b == 100000]
+    assert clone_pair, "verbatim clone not detected"
+    from ozone_spark.functions.dedup import winnowing_fingerprints
+    n_fp = winnowing_fingerprints(planted).where(F.col("doc_id") == 0).count()
+    # identical docs share their entire fingerprint set
+    assert clone_pair[0].shared_fingerprints == n_fp
+
+
 def test_snapshot_diff_classes_engineered(spark, t):
     """Invariant 5: the engineered snapshots produce every diff class."""
     from ozone_spark.operators.snapshot import snapshot_diff

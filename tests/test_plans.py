@@ -22,21 +22,7 @@ def t(spark, sf_dir):
     return tables.namespace_views(spark, sf_dir)
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-
-
-def plan_of(df) -> str:
-    try:
-        return _plan(df)
-    except Exception:
-        import contextlib
-        import io
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        return buf.getvalue()
+from ozone_spark.plans import formatted_plan as plan_of  # noqa: E402
 
 
 def test_layout_scan_prunes_and_pushes(spark, t, tmp_path):
