@@ -86,6 +86,71 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
     assert canon(result.toPandas()) == canon(expected.toPandas())
 
 
+def test_watermark_drops_late_data(spark, tmpdir):
+    """ST6: a row arriving behind the watermark is dropped from an
+    append-mode windowed aggregation; the on-time rows are complete."""
+    import pyspark.sql.functions as F
+
+    on_time = spark.createDataFrame(
+        [(i, f"2024-01-0{d} 10:00:00", 1.0)
+         for i, d in enumerate([1, 1, 2, 2, 3, 4], start=1)],
+        "event_id long, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")) \
+     .withColumn("user_id", F.lit(1)).withColumn("event_type", F.lit("x")) \
+     .withColumn("props", F.lit("{}")).drop("ts_s")
+    late = spark.createDataFrame(
+        [(99, "2024-01-01 10:00:00", 1.0)],
+        "event_id long, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")) \
+     .withColumn("user_id", F.lit(1)).withColumn("event_type", F.lit("x")) \
+     .withColumn("props", F.lit("{}")).drop("ts_s")
+
+    flush = spark.createDataFrame(
+        [(50, "2024-01-04 11:00:00", 1.0)],
+        "event_id long, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")) \
+     .withColumn("user_id", F.lit(1)).withColumn("event_type", F.lit("x")) \
+     .withColumn("props", F.lit("{}")).drop("ts_s")
+
+    src = f"{tmpdir}/src"
+    # batch0: on-time days 1-4 (advances the watermark to day 3);
+    # batch1: one more on-time row — its batch evicts+emits the sealed
+    #   day-1/day-2 windows (the watermark bounds *eviction*, so a
+    #   straggler is only guaranteed dropped once its window's state is
+    #   gone);
+    # batch2: the day-1 straggler — state evicted, watermark ahead -> drop.
+    on_time.coalesce(1).write.parquet(f"{src}/c0")
+    flush.coalesce(1).write.parquet(f"{src}/c1")
+    late.coalesce(1).write.parquet(f"{src}/c2")
+    # the file source orders batches by modification time — pin them
+    import glob
+    import os
+    import time as _time
+    now = _time.time()
+    for i, delta in ((0, -3600), (1, -1800), (2, 0)):
+        for f in glob.glob(f"{src}/c{i}/*"):
+            os.utime(f, (now + delta, now + delta))
+
+    schema = spark.read.parquet(src + "/c0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/c*"))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n")
+    )
+    q = (agg.writeStream.format("memory").queryName("late_test")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmpdir}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.day: r.n for r in spark.table("late_test").collect()}
+    # sealed windows carry on-time counts only — the straggler was dropped
+    assert got.get("2024-01-01") == 2
+    assert got.get("2024-01-02") == 2
+
+
 def test_streaming_sessionize_runs(spark, sf_dir, tmpdir):
     """Session totals must cover every event exactly once."""
     ev_batch = tables.load_table(spark, sf_dir, "events")
