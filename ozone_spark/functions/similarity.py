@@ -185,6 +185,25 @@ def knn_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold).  Baseline formulation is the blocked all-pairs join; the
+    scale path reuses the LSH/IVF bucketing above so only same-bucket
+    pairs are scored."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("eb"))
+    return (
+        _spread(a).join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """Corpus embedding stats (norm distribution per label) — sanity
     surface for the ANN index."""

@@ -9,7 +9,7 @@ single-space-separated word streams; token = split on spaces.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -133,6 +133,37 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id", "lang", "source",
         F.md5(norm).alias("fingerprint"),
         F.sha2(norm, 256).alias("fingerprint_sha256"),
+    )
+
+
+def curation_pipeline(docs: DataFrame, min_tokens: int = 16,
+                      min_stopword_ratio: float = 0.02) -> DataFrame:
+    """End-to-end training-data curation: quality gate (length +
+    stopword ratio) -> exact dedup by normalized fingerprint (keep the
+    lowest doc_id) -> per-(lang, source) corpus stats with kept/dropped
+    accounting.  The composition every 100 TB text pipeline runs; each
+    stage is one of this library's operators."""
+    t = F.col("text")
+    n_tok = token_count(t)
+    sw_ratio = stopword_count(t).cast("double") / n_tok
+    norm = F.regexp_replace(F.lower(t), "[^a-z0-9 ]", "")
+    gated = docs.select(
+        "doc_id", "lang", "source", n_tok.alias("n_tokens"),
+        ((n_tok >= min_tokens) & (sw_ratio >= min_stopword_ratio))
+        .alias("passes_quality"),
+        F.md5(norm).alias("fp"),
+    )
+    keeper = F.min(F.when(F.col("passes_quality"), F.col("doc_id"))).over(
+        Window.partitionBy("fp"))
+    curated = gated.withColumn(
+        "kept", F.col("passes_quality") & (F.col("doc_id") == keeper))
+    return (
+        curated.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+             F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+             .alias("kept_tokens"))
+        .orderBy("lang", "source")
     )
 
 

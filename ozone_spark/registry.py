@@ -819,6 +819,28 @@ SELECT lang, predicted, count(*) AS n FROM (
 FROM documents""",
     ),
     _q(
+        "curation_pipeline",
+        lambda spark, sf: text.curation_pipeline(views(spark, sf)["documents"]),
+        f"""WITH gated AS (
+  SELECT doc_id, lang, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    len(string_split(text, ' ')) >= 16
+      AND len(list_filter(string_split(text, ' '), w -> w IN {_SW}))
+          / len(string_split(text, ' ')) >= 0.02 AS pq,
+    md5({_NORM}) AS fp
+  FROM documents
+), k AS (
+  SELECT *, min(CASE WHEN pq THEN doc_id END) OVER (PARTITION BY fp) AS keeper
+  FROM gated
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN pq AND doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(sum(CASE WHEN pq AND doc_id = keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS kept_tokens
+FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
         "fingerprint_summary",
         lambda spark, sf: text.fingerprint_summary(views(spark, sf)["documents"]),
         f"""SELECT source, count(*) AS n_docs,
@@ -920,6 +942,20 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
         lambda spark, sf: similarity.knn_ivf(
             views(spark, sf)["embeddings"], [20, 21, 22], k=10),
         None,  # IVF probe path; recall checked in tests/
+    ),
+    _q(
+        "embedding_near_dup",
+        lambda spark, sf: similarity.embedding_near_dup_pairs(
+            views(spark, sf)["embeddings"], threshold=0.4),
+        f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.4
+ORDER BY 1, 2""",
     ),
     _q(
         "embedding_norms",
