@@ -104,15 +104,18 @@ def test_quota_equals_rollup_root(spark, t):
 
 def test_minhash_recall_against_exact_jaccard(spark, sf_dir):
     """MinHash-LSH candidates must recover the clearly-similar pairs
-    found by exact n-gram Jaccard (estimate noise tolerated via a lower
-    LSH threshold)."""
-    docs = tables.load_table(spark, sf_dir, "documents")
+    found by exact n-gram Jaccard.  Near-dups are planted (one appended
+    word per variant) so the test always exercises, regardless of how
+    similar the fixture corpus happens to be."""
+    docs = tables.load_table(spark, sf_dir, "documents").limit(200)
+    variant = docs.withColumn("doc_id", F.col("doc_id") + 100000) \
+        .withColumn("text", F.concat("text", F.lit(" planted variant")))
+    corpus = docs.unionByName(variant)
     exact = {(r.doc_a, r.doc_b)
-             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
-    if not exact:
-        pytest.skip("fixture has no >=0.5-Jaccard pairs at this sf")
+             for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert len(exact) >= 200  # every planted pair is >=0.5 Jaccard
     approx = {(r.doc_a, r.doc_b)
-              for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+              for r in dedup.minhash_lsh_pairs(corpus, threshold=0.3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"minhash recall {recall}"
 
@@ -161,6 +164,31 @@ def test_snapshot_diff_classes_engineered(spark, t):
     classes = {r.diff_type for r in
                snapshot_diff(t["snap1"], t["snap2"]).collect()}
     assert classes == {"CREATE", "DELETE", "MODIFY", "RENAME"}
+
+
+def test_bfs_delete_expansion_deep_tree(spark):
+    """B2's join loop must reach fixpoint on trees deeper than the
+    fixture's two levels (here: a 5-level chain with side branches)."""
+    from ozone_spark.operators.fso import directory_delete_expansion
+    dirs = []
+    parent = "/v/b"
+    for d in range(1, 6):
+        path = parent + f"/d{d}"
+        dirs.append(("v", "b", parent, path, f"d{d}", d))
+        dirs.append(("v", "b", parent, parent + f"/side{d}", f"side{d}", d))
+        parent = path
+    directories = spark.createDataFrame(
+        dirs, "volume string, bucket string, parent_path string, "
+              "path string, name string, depth int")
+    keys = spark.createDataFrame(
+        [("/v/b/d1/d2/d3/d4/d5/leaf", 1, 10)],
+        "db_key string, object_id long, data_size long")
+    got = directory_delete_expansion(directories, keys, "/v/b/d1").collect()
+    paths = {(r.entry_type, r.path) for r in got}
+    assert ("DIR", "/v/b/d1/d2/d3/d4/d5") in paths          # full depth
+    assert ("DIR", "/v/b/d1/d2/side3") in paths             # side branch
+    assert ("FILE", "/v/b/d1/d2/d3/d4/d5/leaf") in paths    # contained file
+    assert ("DIR", "/v/b/side1") not in paths               # outside subtree
 
 
 def test_multimodal_feature_shapes(spark, sf_dir):
