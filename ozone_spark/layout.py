@@ -18,6 +18,8 @@ operator library then plans against the laid-out tables.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,6 +54,33 @@ def list_keys_pruned(spark: SparkSession, out_dir: str, volume: str,
         .orderBy("db_key")
         .limit(max_keys)
     )
+
+
+def compact_table(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  sort_cols: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    size-appropriate files (and re-sort, restoring min/max pruning
+    power).  The operational sibling of the reference's RocksDB
+    compactions — at 100 TB streaming sinks and incremental stores
+    accrete small files that this job folds back into scan-efficient
+    ones.  Returns the new file count."""
+    import glob as _glob
+
+    df = spark.read.parquet(path)
+    total = sum(os.path.getsize(f)
+                for f in _glob.glob(f"{path}/**/*.parquet", recursive=True))
+    n_files = max(1, round(total / target_file_bytes))
+    w = df.repartition(n_files)
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    tmp = path + ".compact"
+    w.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    import shutil as _shutil
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return len(_glob.glob(f"{path}/*.parquet"))
 
 
 def write_bucketed_snapshots(snap1: DataFrame, snap2: DataFrame,

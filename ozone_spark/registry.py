@@ -1255,6 +1255,21 @@ def _cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/store")
 
 
+def _cdc_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 for J5: incrementally-maintained container→key index
+    (oracle: batch index over the final key state)."""
+    import tempfile
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ozs_cki_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    scdc.run_incremental_container_index(
+        spark, f"{work}/cdc", t["locations"], f"{work}/store", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/store")
+
+
 def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ozone_spark.streaming import windows as swin
     import tempfile
@@ -1289,6 +1304,18 @@ STREAMING_QUERIES = [
 FROM keys WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
 GROUP BY 1, 2, 3""",
             ["keys", "deleted_keys"],
+        ),
+    ),
+    _q(
+        "cdc_incremental_container_index",
+        lambda spark, sf: _cdc_container_index(spark, sf),
+        with_views(
+            """SELECT container_id, count(*) AS block_count,
+  CAST(sum(block_len) AS BIGINT) AS total_bytes
+FROM locations
+WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
+GROUP BY 1""",
+            ["locations", "deleted_keys"],
         ),
     ),
     _q(

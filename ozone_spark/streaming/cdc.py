@@ -164,6 +164,41 @@ def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
     q.awaitTermination()
 
 
+def run_incremental_container_index(spark: SparkSession, cdc_dir: str,
+                                    locations: DataFrame, store_path: str,
+                                    checkpoint_dir: str) -> None:
+    """ST4 for the container→key inverted index (J5 — the reference
+    maintains it with the same dual contract:
+    ContainerKeyMapperHelper.java:144-175 reprocess, :239-274 delta).
+    Each micro-batch joins its key events to the block-location table
+    (the per-event location decode) and folds signed per-container
+    deltas into the index store."""
+    store = IncrementalViewStore(
+        spark, store_path, ["container_id"],
+        ["block_count", "total_bytes"])
+    loc = locations.select("object_id", "container_id", "block_len")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+        delta = (
+            batch_df.select("object_id", sign.alias("sign"))
+            .join(loc, "object_id")
+            .groupBy("container_id")
+            .agg(F.sum("sign").alias("block_count"),
+                 F.sum(F.col("sign") * F.col("block_len")).alias("total_bytes"))
+        )
+        store.merge(delta)
+
+    q = (
+        read_cdc_stream(spark, cdc_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def reprocess_histogram(keys_now: DataFrame) -> DataFrame:
     """ST3 fallback / invariant oracle: full rebuild from current state
     (the reference's reprocess() path)."""

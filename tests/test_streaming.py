@@ -76,6 +76,40 @@ def test_stateful_rollup_matches_batch(spark, sf_dir, tmpdir):
     assert canon(got.toPandas()) == canon(expected.toPandas())
 
 
+def test_cdc_incremental_container_index_matches_batch(spark, sf_dir, tmpdir):
+    """ST4 for J5: the incrementally-maintained container index equals
+    the batch index of the final (post-delete) key state."""
+    from ozone_spark.operators.containers import container_key_index
+
+    t = tables.namespace_views(spark, sf_dir)
+    keys, deleted, locations = t["keys"], t["deleted_keys"], t["locations"]
+    cdc.synthesize_cdc_log(keys, deleted, f"{tmpdir}/cdc", n_chunks=4)
+    cdc.run_incremental_container_index(
+        spark, f"{tmpdir}/cdc", locations, f"{tmpdir}/store", f"{tmpdir}/ck")
+    got = spark.read.parquet(f"{tmpdir}/store")
+
+    live_locs = locations.join(deleted.select("object_id"), "object_id",
+                               "left_anti")
+    expected = container_key_index(live_locs).select(
+        "container_id", "block_count", "total_bytes")
+    assert canon(got.toPandas()) == canon(expected.toPandas())
+
+
+def test_compact_table_restores_layout(spark, sf_dir, tmpdir):
+    """Compaction folds a fragmented table into few sorted files with
+    identical content."""
+    from ozone_spark import layout
+    keys = tables.namespace_views(spark, sf_dir)["keys"]
+    frag = f"{tmpdir}/frag"
+    keys.repartition(37).write.parquet(frag)  # fragmented store
+    before = keys.count()
+    n_files = layout.compact_table(spark, frag, sort_cols=["db_key"])
+    after = spark.read.parquet(frag)
+    assert n_files <= 4
+    assert after.count() == before
+    assert canon(after.toPandas()) == canon(keys.toPandas())
+
+
 def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
     ev_batch = tables.load_table(spark, sf_dir, "events")
     stream = windows.read_events_stream(spark, f"{sf_dir}/events.parquet")
