@@ -143,16 +143,16 @@ class IncrementalViewStore:
         final.write.mode("overwrite").parquet(self.path)
 
 
-def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
-                              store_path: str, checkpoint_dir: str) -> None:
+def run_incremental_view(spark: SparkSession, cdc_dir: str,
+                         store: IncrementalViewStore, checkpoint_dir: str,
+                         delta_fn) -> None:
     """ST2-ST5 wired together: stream the CDC log (AvailableNow drains
-    the backlog like Recon's catch-up), fold each micro-batch's delta
-    into the histogram view via foreachBatch."""
-    store = IncrementalViewStore(
-        spark, store_path, ["volume", "bucket", "bin_index"], ["delta"])
+    the backlog like Recon's catch-up), fold each micro-batch through
+    `delta_fn` into the view store — the generic ReconOmTask.process()
+    runner; every maintained view below is one delta function."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        store.merge(histogram_delta(batch_df))
+        store.merge(delta_fn(batch_df))
 
     q = (
         read_cdc_stream(spark, cdc_dir)
@@ -162,6 +162,34 @@ def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
+                              store_path: str, checkpoint_dir: str) -> None:
+    """ST4: the file-size histogram (A1) maintained incrementally."""
+    store = IncrementalViewStore(
+        spark, store_path, ["volume", "bucket", "bin_index"], ["delta"])
+    run_incremental_view(spark, cdc_dir, store, checkpoint_dir, histogram_delta)
+
+
+def quota_delta(events: DataFrame) -> DataFrame:
+    """ST4 process() delta for quota accounting (A5 — the incremental
+    usedBytes/usedNamespace path; the repair job is the batch oracle)."""
+    sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+    return (
+        events.groupBy("volume", "bucket")
+        .agg(F.sum(sign).alias("used_namespace"),
+             F.sum(sign * F.col("data_size")).alias("used_bytes"),
+             F.sum(sign * F.col("replicated_size")).alias("used_replicated_bytes"))
+    )
+
+
+def run_incremental_quota(spark: SparkSession, cdc_dir: str,
+                          store_path: str, checkpoint_dir: str) -> None:
+    store = IncrementalViewStore(
+        spark, store_path, ["volume", "bucket"],
+        ["used_namespace", "used_bytes", "used_replicated_bytes"])
+    run_incremental_view(spark, cdc_dir, store, checkpoint_dir, quota_delta)
 
 
 def run_incremental_container_index(spark: SparkSession, cdc_dir: str,
@@ -178,25 +206,17 @@ def run_incremental_container_index(spark: SparkSession, cdc_dir: str,
         ["block_count", "total_bytes"])
     loc = locations.select("object_id", "container_id", "block_len")
 
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def index_delta(batch_df: DataFrame) -> DataFrame:
         sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
-        delta = (
+        return (
             batch_df.select("object_id", sign.alias("sign"))
             .join(loc, "object_id")
             .groupBy("container_id")
             .agg(F.sum("sign").alias("block_count"),
                  F.sum(F.col("sign") * F.col("block_len")).alias("total_bytes"))
         )
-        store.merge(delta)
 
-    q = (
-        read_cdc_stream(spark, cdc_dir)
-        .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_incremental_view(spark, cdc_dir, store, checkpoint_dir, index_delta)
 
 
 def reprocess_histogram(keys_now: DataFrame) -> DataFrame:

@@ -95,6 +95,25 @@ def test_cdc_incremental_container_index_matches_batch(spark, sf_dir, tmpdir):
     assert canon(got.toPandas()) == canon(expected.toPandas())
 
 
+def test_cdc_incremental_quota_matches_repair(spark, sf_dir, tmpdir):
+    """ST4 for A5: incremental quota == the QuotaRepairTask-style full
+    recompute over the final key state."""
+    from ozone_spark.operators.namespace import quota_usage
+
+    t = tables.namespace_views(spark, sf_dir)
+    keys, deleted = t["keys"], t["deleted_keys"]
+    cdc.synthesize_cdc_log(keys, deleted, f"{tmpdir}/cdc", n_chunks=4)
+    cdc.run_incremental_quota(
+        spark, f"{tmpdir}/cdc", f"{tmpdir}/store", f"{tmpdir}/ck")
+    got = spark.read.parquet(f"{tmpdir}/store")
+
+    keys_now = keys.join(deleted.select("object_id"), "object_id", "left_anti")
+    expected = quota_usage(keys_now).select(
+        "volume", "bucket", "used_namespace", "used_bytes",
+        "used_replicated_bytes")
+    assert canon(got.toPandas()) == canon(expected.toPandas())
+
+
 def test_compact_table_restores_layout(spark, sf_dir, tmpdir):
     """Compaction folds a fragmented table into few sorted files with
     identical content."""
