@@ -95,6 +95,46 @@ def longest_prefix_acl(keys: DataFrame, prefixes: list[str]) -> DataFrame:
     )
 
 
+def ec_read_plan(locations: DataFrame, containers: DataFrame,
+                 ec_data: int = 3, ec_parity: int = 5 - 3) -> DataFrame:
+    """EC reconstruction-read planning (ECBlockInputStream.java:53,116;
+    EC group model BlockOutputStream.java:87-142): objects with
+    object_id%5==0 are EC(3,2)-striped — block unit = block_seq %
+    (data+parity), units 0..2 data, 3..4 parity.  A unit is unavailable
+    when its container is SCM-DELETED or absent from SCM entirely.
+
+    Per EC object: DIRECT read if all data blocks are available,
+    RECONSTRUCT if the missing data blocks can be covered by available
+    parity, UNRECOVERABLE otherwise — the classification driving the
+    reference's reconstruction scheduler."""
+    stripe = ec_data + ec_parity
+    unit = F.col("block_seq") % stripe
+    avail_states = containers.where(F.col("state") != "DELETED") \
+        .select("container_id")
+    j = (
+        locations.where(F.col("object_id") % 5 == 0)
+        .join(avail_states.withColumn("_avail", F.lit(1)),
+              "container_id", "left")
+        .select("object_id",
+                (unit < ec_data).alias("is_data"),
+                F.coalesce(F.col("_avail"), F.lit(0)).alias("avail"))
+    )
+    agg = j.groupBy("object_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("avail").alias("n_avail"),
+        F.sum(F.when(F.col("is_data") & (F.col("avail") == 0), 1)
+              .otherwise(0)).alias("n_missing_data"),
+        F.sum(F.when((~F.col("is_data")) & (F.col("avail") == 1), 1)
+              .otherwise(0)).alias("n_parity_avail"),
+    )
+    status = (
+        F.when(F.col("n_missing_data") == 0, "DIRECT")
+        .when(F.col("n_missing_data") <= F.col("n_parity_avail"), "RECONSTRUCT")
+        .otherwise("UNRECOVERABLE")
+    )
+    return agg.withColumn("status", status).orderBy("object_id")
+
+
 def unique_snapshot_objects(snap1: DataFrame, snap2: DataFrame) -> DataFrame:
     """E2: distinct objects touched by either snapshot, per bucket
     (SnapshotDiffManager.java:1067-1070 objectIdToIsDirMap analog)."""

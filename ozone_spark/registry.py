@@ -1113,6 +1113,34 @@ GROUP BY db_key ORDER BY db_key""",
         ),
     ),
     _q(
+        "ec_read_plan",
+        lambda spark, sf: datapath.ec_read_plan(
+            views(spark, sf)["locations"], views(spark, sf)["containers"]),
+        with_views(
+            """SELECT object_id, n_blocks, n_avail, n_missing_data, n_parity_avail,
+  CASE WHEN n_missing_data = 0 THEN 'DIRECT'
+       WHEN n_missing_data <= n_parity_avail THEN 'RECONSTRUCT'
+       ELSE 'UNRECOVERABLE' END AS status
+FROM (
+  SELECT object_id, count(*) AS n_blocks,
+    CAST(sum(avail) AS BIGINT) AS n_avail,
+    CAST(sum(CASE WHEN is_data AND avail = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_missing_data,
+    CAST(sum(CASE WHEN NOT is_data AND avail = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_parity_avail
+  FROM (
+    SELECT l.object_id, l.block_seq % 5 < 3 AS is_data,
+      CASE WHEN c.container_id IS NOT NULL THEN 1 ELSE 0 END AS avail
+    FROM locations l
+    LEFT JOIN (SELECT container_id FROM containers WHERE state <> 'DELETED') c
+      USING (container_id)
+    WHERE l.object_id % 5 = 0
+  ) GROUP BY 1
+) ORDER BY object_id""",
+            ["locations", "containers"],
+        ),
+    ),
+    _q(
         "unique_snapshot_objects",
         lambda spark, sf: datapath.unique_snapshot_objects(
             views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
