@@ -101,3 +101,44 @@ def reclaimable_deleted_keys(deleted_keys: DataFrame,
         .select("db_key", "object_id", "pending_bytes", "num_versions")
         .orderBy("db_key")
     )
+
+
+def gdpr_crypto_shred(deleted_keys: DataFrame,
+                      locations: DataFrame,
+                      gdpr_bucket: str = "b0") -> DataFrame:
+    """GDPR crypto-shred plan (data-plane transform, SURVEY §0).
+
+    Reference: GDPR-enabled buckets keep a per-key symmetric secret in
+    the key's metadata (GDPRSymmetricKey,
+    hadoop-ozone/common/src/main/java/org/apache/hadoop/ozone/security/GDPRSymmetricKey.java:35-76;
+    smoketest/gdpr/).  Deleting the key destroys the secret FIRST —
+    every replica of every block becomes unreadable instantly — and
+    block reclamation proceeds asynchronously afterwards.
+
+    The plan row per deleted key in a GDPR bucket: the secret to
+    destroy plus the blocks/containers/bytes rendered unreadable.
+
+    Scale: the bucket filter prunes at the scan; the block rollup is a
+    map-side-combinable groupBy on object_id; the final equi-join keys
+    on object_id (uniform).  At 100 TB the `locations` side is the big
+    table and the shuffle is one pass over it — no driver-side state.
+    """
+    blocks = locations.groupBy("object_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.count_distinct("container_id").alias("n_containers"),
+        F.sum("block_len").alias("unreadable_bytes"),
+    )
+    return (
+        deleted_keys.where(F.col("bucket") == gdpr_bucket)
+        .join(blocks, "object_id", "left")
+        .select(
+            "db_key",
+            "object_id",
+            F.md5("db_key").alias("secret_id"),
+            F.lit("AES/CTR/NoPadding").alias("algorithm"),
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_containers", F.lit(0)).cast("long").alias("n_containers"),
+            F.coalesce("unreadable_bytes", F.lit(0)).cast("long").alias("unreadable_bytes"),
+        )
+        .orderBy("db_key")
+    )

@@ -598,6 +598,27 @@ ORDER BY db_key""",
             ["deleted_keys", "snap1", "snap2"],
         ),
     ),
+    _q(
+        "gdpr_crypto_shred",
+        lambda spark, sf: lops.gdpr_crypto_shred(
+            views(spark, sf)["deleted_keys"], views(spark, sf)["locations"]),
+        with_views(
+            """SELECT d.db_key, d.object_id,
+  md5(d.db_key) AS secret_id,
+  'AES/CTR/NoPadding' AS algorithm,
+  CAST(COALESCE(b.n_blocks, 0) AS BIGINT) AS n_blocks,
+  CAST(COALESCE(b.n_containers, 0) AS BIGINT) AS n_containers,
+  CAST(COALESCE(b.unreadable_bytes, 0) AS BIGINT) AS unreadable_bytes
+FROM deleted_keys d LEFT JOIN (
+  SELECT object_id, count(*) AS n_blocks,
+         count(DISTINCT container_id) AS n_containers,
+         sum(block_len) AS unreadable_bytes
+  FROM locations GROUP BY object_id) b USING (object_id)
+WHERE d.bucket = 'b0'
+ORDER BY d.db_key""",
+            ["deleted_keys", "locations"],
+        ),
+    ),
 ]
 
 # ---------------------------------------------------------------------------
