@@ -135,3 +135,40 @@ def snapshot_move_deleted_keys(deleted_keys: DataFrame,
              F.max("pending_bytes").alias("pending_bytes"))
         .orderBy("object_id")
     )
+
+
+def tenant_access_report(tenant_access: DataFrame) -> DataFrame:
+    """Multi-tenancy rollup over the tenantStateTable /
+    tenantAccessIdTable / principalToAccessIdsTable / s3SecretTable
+    surface (OMDBDefinition.java:279-296,163-166).
+
+    Per tenant: access-id count, distinct principals, admin count, and
+    the principal->accessIds inverted view's hot principal (the
+    principal holding the most access ids, ties broken lexically) —
+    i.e. both directions of the tenant<->accessId<->principal mapping
+    in one aggregation pass plus a per-tenant argmax (max_by).
+
+    Scale: one groupBy keyed by tenant (low cardinality but the input
+    is one row per access id — partial aggregation collapses it
+    map-side before the exchange)."""
+    from pyspark.sql import Window
+
+    per_principal = tenant_access.groupBy("tenant_id", "principal").agg(
+        F.count("*").alias("n_ids"),
+        F.sum(F.col("is_admin").cast("long")).alias("n_admin"),
+    )
+    w = Window.partitionBy("tenant_id").orderBy(
+        F.desc("n_ids"), F.asc("principal"))
+    return (
+        per_principal
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("tenant_id")
+        .agg(
+            F.sum("n_ids").alias("n_access_ids"),
+            F.count("*").alias("n_principals"),
+            F.sum("n_admin").alias("n_admins"),
+            F.max(F.when(F.col("rn") == 1, F.col("principal")))
+            .alias("top_principal"),
+        )
+        .orderBy("tenant_id")
+    )

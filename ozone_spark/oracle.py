@@ -142,9 +142,20 @@ _CTES["deleted_keys"] = """deleted_keys AS (
   FROM keys WHERE object_id % 9 = 0
 )"""
 
+_CTES["tenant_access"] = """tenant_access AS (
+  SELECT
+    'access-' || CAST(c_custkey AS VARCHAR) AS access_id,
+    'tenant' || CAST(c_custkey % 5 AS VARCHAR) AS tenant_id,
+    'user' || CAST(c_custkey % 10 AS VARCHAR) AS principal,
+    c_custkey % 7 = 0 AS is_admin,
+    md5('access-' || CAST(c_custkey AS VARCHAR)) AS secret
+  FROM customer WHERE c_custkey % 6 = 0
+)"""
+
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
-          "directories", "snap1", "snap2", "open_keys", "deleted_keys"]
+          "directories", "snap1", "snap2", "open_keys", "deleted_keys",
+          "tenant_access"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "open_keys": ["keys"], "deleted_keys": ["keys"]}
 

@@ -1278,6 +1278,29 @@ FROM (
             ["deleted_keys", "snap1"],
         ),
     ),
+    _q(
+        "tenant_access_report",
+        lambda spark, sf: admin.tenant_access_report(
+            views(spark, sf)["tenant_access"]),
+        with_views(
+            """WITH per_principal AS (
+  SELECT tenant_id, principal, count(*) AS n_ids,
+         sum(CASE WHEN is_admin THEN 1 ELSE 0 END) AS n_admin
+  FROM tenant_access GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tenant_id
+            ORDER BY n_ids DESC, principal ASC) AS rn
+  FROM per_principal
+)
+SELECT tenant_id,
+  CAST(sum(n_ids) AS BIGINT) AS n_access_ids,
+  count(*) AS n_principals,
+  CAST(sum(n_admin) AS BIGINT) AS n_admins,
+  max(CASE WHEN rn = 1 THEN principal END) AS top_principal
+FROM ranked GROUP BY 1 ORDER BY 1""",
+            ["tenant_access"],
+        ),
+    ),
 ]
 
 # ---------------------------------------------------------------------------

@@ -262,6 +262,22 @@ def deleted_keys_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def tenant_access_view(customer: DataFrame) -> DataFrame:
+    """Multi-tenancy access-id table analog (tenantAccessIdTable +
+    s3SecretTable — OMDBDefinition.java:279-296,163-166).  One S3 access
+    id per sixth customer; the tenant is a deterministic shard of the
+    customer key, the principal the same user pool as key ownership, and
+    the secret the md5 of the access id (s3SecretTable analog)."""
+    ck = F.col("c_custkey")
+    return customer.where(ck % 6 == 0).select(
+        F.concat(F.lit("access-"), ck.cast("string")).alias("access_id"),
+        F.concat(F.lit("tenant"), (ck % 5).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("user"), (ck % 10).cast("string")).alias("principal"),
+        (ck % 7 == 0).alias("is_admin"),
+        F.md5(F.concat(F.lit("access-"), ck.cast("string"))).alias("secret"),
+    )
+
+
 def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All driver tables + derived namespace views, by name."""
     t = load_all(spark, sf_dir)
@@ -277,5 +293,6 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         snap2=snap2_view(keys),
         open_keys=open_keys_view(keys),
         deleted_keys=deleted_keys_view(keys),
+        tenant_access=tenant_access_view(t["customer"]),
     )
     return t
