@@ -8,15 +8,20 @@ Scale design:
     aggregation.  Hot shingles explode pair counts quadratically, so the
     shingle->docs buckets are capped (`max_bucket`) exactly like LSH
     implementations drop saturated bands at web scale.
-  - MinHash+LSH: 32 xxhash64 permutations, banded into 8 bands of 4;
-    candidate pairs = equi-join on (band, band-signature) — never an
-    all-pairs product; verified by exact Jaccard afterwards.
-  - SimHash: 64-bit signature from per-token hashes; near-dups = pairs
-    sharing a 16-bit block (block permutation trick) within Hamming
-    radius.
+  - MinHash+LSH: ONE md5-derived 28-bit base hash per shingle, then 32
+    Carter-Wegman permutations `(a_i*h + b_i) mod 2^31-1` (universal
+    hashing — the standard MinHash construction), banded into 8 bands
+    of 4; candidate pairs = equi-join on (band, band-signature) — never
+    an all-pairs product; verified by estimated Jaccard afterwards.
+  - SimHash: 60-bit signature from per-token md5-derived hashes;
+    near-dups = pairs sharing a 15-bit block (block permutation trick)
+    within Hamming radius.
 
-Everything is built-in-function only (xxhash64/md5/explode/groupBy) —
-JVM-side, no Python in the hot path.
+Everything is built-in-function only (md5/conv/explode/groupBy) —
+JVM-side, no Python in the hot path.  All hash math is integer-exact
+and engine-portable: the DuckDB oracles replay the identical
+`md5 -> hex -> int -> modular arithmetic` pipeline, so every dedup
+operator is value-checked against SQL, not just row-counted.
 """
 
 from __future__ import annotations
@@ -27,6 +32,35 @@ from pyspark.sql import Column, DataFrame, Window
 N_PERM = 32          # minhash permutations
 N_BANDS = 8          # LSH bands (4 rows each)
 ROWS_PER_BAND = N_PERM // N_BANDS
+MERSENNE31 = (1 << 31) - 1   # Carter-Wegman modulus
+SIM_BITS = 60        # simhash width (60 bits = 15 hex digits of md5)
+
+
+def perm_consts(n: int = N_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the Carter-Wegman permutations,
+    from a seeded LCG — generated at plan-build time and inlined as
+    literals in both the Spark plan and the DuckDB oracle."""
+    state = 0x2545F4914F6CDD1D
+    out: list[tuple[int, int]] = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (state >> 33) % (MERSENNE31 - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def hash28(col: Column) -> Column:
+    """28-bit integer hash of a string via md5 hex prefix — bit-exact in
+    any engine with md5 (DuckDB: CAST('0x'||substr(md5(s),1,7) AS BIGINT)).
+    28 bits keeps a*h+b inside 63 bits for 31-bit multipliers."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash of a string via md5 hex prefix (15 digits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -135,7 +169,7 @@ def winnowing_fingerprints(docs: DataFrame, n: int = 3,
     gram = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, n)])
     hashes = (
         exploded.where(F.col(f"w{n-1}").isNotNull())
-        .select("doc_id", "pos", F.xxhash64(gram).alias("h"))
+        .select("doc_id", "pos", hash60(gram).alias("h"))
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     return (
@@ -167,23 +201,30 @@ def winnowing_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id -> array<long> of N_PERM minhash values.  Permutation i is
-    xxhash64(shingle, i); min per doc per permutation.
+    """doc_id -> array<long> of N_PERM minhash values.  One md5-derived
+    28-bit base hash per shingle, then permutation i is the universal
+    hash (a_i*h + b_i) mod 2^31-1 with literal (a_i, b_i) constants.
 
-    Computed entirely per-row (shingle array + array_min over a hash
-    transform): ZERO shuffles — unlike the explode+groupBy formulation
-    this needs no repartition by doc_id and no aggregation exchange, so
-    at 100 TB the signature stage is a pure map over the corpus.
-    Measured ~30% faster than explode+groupBy at sf0.1 too."""
+    Computed entirely per-row (shingle array + array_min over an
+    arithmetic transform): ZERO shuffles — unlike the explode+groupBy
+    formulation this needs no repartition by doc_id and no aggregation
+    exchange, so at 100 TB the signature stage is a pure map over the
+    corpus.  One hash call per shingle (not N_PERM of them) keeps the
+    map cheap; the 32 permutations are 3-op integer arithmetic."""
     words = F.split(_norm_text(F.col("text")), " ")
     d = _spread(docs).select("doc_id", words.alias("ws")).where(F.size("ws") >= n)
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    d = d.select("doc_id", shingles.alias("sh"))
+    d = d.select("doc_id", F.transform(shingles, hash28).alias("hs"))
+
+    def _perm(a: int, b: int):
+        # single-arg lambda: pyspark passes (element, index) to 2-arg ones
+        return lambda h: (h * a + b) % MERSENNE31
+
     sig = F.array(*[
-        F.array_min(F.transform("sh", lambda s, _i=i: F.xxhash64(s, F.lit(_i))))
-        for i in range(N_PERM)])
+        F.array_min(F.transform("hs", _perm(a, b)))
+        for a, b in perm_consts()])
     return d.select("doc_id", sig.alias("signature"))
 
 
@@ -224,24 +265,26 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over word unigrams: for each bit, sum +-1 weighted
-    by token hash bits; sign -> bit.  Expressed with explode + groupBy
-    (bit-parallel via 64 conditional sums)."""
+    """SIM_BITS-wide SimHash over word unigrams: for each bit, sum +-1
+    weighted by token hash bits; sign -> bit.  Expressed with explode +
+    groupBy (bit-parallel via SIM_BITS conditional sums).  Token hash is
+    md5-derived so the whole signature is replayable in the DuckDB
+    oracle."""
     words = (
         _spread(docs)
         .select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " "))
                 .alias("w"))
         .where(F.col("w") != "")
-        .select("doc_id", F.xxhash64("w").alias("h"))
+        .select("doc_id", hash60("w").alias("h"))
     )
     sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIM_BITS)
     ]
     agg = words.groupBy("doc_id").agg(*sums)
     sim = None
-    for i in range(64):
+    for i in range(SIM_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseXOR(term)
@@ -250,15 +293,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """SimHash near-dups: block-permutation LSH — pairs sharing any of
-    the four 16-bit blocks are candidates, verified by exact Hamming
+    the four 15-bit blocks are candidates, verified by exact Hamming
     distance (bit_count of xor)."""
     sig = simhash_signatures(docs)
     blocks = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
-                     F.shiftright(F.col("simhash"), i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                     F.shiftright(F.col("simhash"), i * 15)
+                     .bitwiseAND(F.lit(0x7FFF)).alias("val"))
             for i in range(4)])).alias("bb"),
     ).select("doc_id", "simhash", "bb.blk", "bb.val")
     a, b = blocks.alias("a"), blocks.alias("b")

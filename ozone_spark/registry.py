@@ -870,6 +870,25 @@ FROM documents GROUP BY 1 ORDER BY 1""",
     ),
 ]
 
+def _minhash_sig_sql() -> str:
+    """The 32 Carter-Wegman minima as a DuckDB list literal body."""
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in dedup.perm_consts())
+
+
+def _simhash_sums_sql() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dedup.SIM_BITS))
+
+
+def _simhash_combine_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dedup.SIM_BITS))
+
+
 DEDUP_QUERIES = [
     _q(
         "dedup_exact",
@@ -914,22 +933,106 @@ ORDER BY 1, 2""",
         "dedup_minhash_lsh",
         lambda spark, sf: dedup.minhash_lsh_pairs(
             views(spark, sf)["documents"], threshold=0.1),
-        None,  # xxhash64 permutations are Spark-native; verified in tests/
+        # replays the exact md5->28-bit->Carter-Wegman pipeline with the
+        # same literal (a, b) constants the Spark plan inlines
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(
+    list_distinct(list_transform(
+      range(1, greatest(len(w) - 2, 0) + 1),
+      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
+    s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM words
+), sig AS (
+  SELECT doc_id, [{_minhash_sig_sql()}] AS sig FROM hs
+), bands AS (
+  SELECT doc_id, sig, band,
+    md5(concat_ws(',', sig[band * 4 + 1], sig[band * 4 + 2],
+                  sig[band * 4 + 3], sig[band * 4 + 4])) AS bucket
+  FROM (SELECT doc_id, sig, unnest(range(8)) AS band FROM sig)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) / 32.0, 6)
+    AS est_jaccard
+FROM cands
+WHERE len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) / 32.0 >= 0.1
+ORDER BY 1, 2""",
         bench=True,
     ),
     _q(
         "dedup_simhash",
         lambda spark, sf: dedup.simhash_pairs(views(spark, sf)["documents"]),
-        None,  # xxhash64-based signature; verified in tests/
+        f"""WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+), agg AS (
+  SELECT doc_id, {_simhash_sums_sql()}
+  FROM tok GROUP BY 1
+), sig AS (
+  SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM agg
+), blocks AS (
+  SELECT doc_id, simhash, blk,
+    (simhash >> (blk * 15)) & 32767 AS val
+  FROM (SELECT doc_id, simhash, unnest(range(4)) AS blk FROM sig)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS ha, b.simhash AS hb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= 8 ORDER BY 1, 2""",
     ),
     _q(
         "dedup_winnowing",
         lambda spark, sf: dedup.winnowing_pairs(views(spark, sf)["documents"]),
-        None,  # rolling-hash fingerprints (xxhash64); verified in tests/
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, pos, w[pos] || ' ' || w[pos + 1] || ' ' || w[pos + 2] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS pos
+        FROM words)
+), fps AS (
+  SELECT DISTINCT doc_id,
+    min(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT))
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+  FROM grams
+), ok AS (
+  SELECT fp FROM fps GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 200
+), f2 AS (
+  SELECT fps.* FROM fps JOIN ok USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  count(*) AS shared_fingerprints
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""",
     ),
 ]
 
 _DOT = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
+
+
+def _lsh_sig_sql(vec: str) -> str:
+    """DuckDB expression for the hyperplane signature, inlining the same
+    literal ±1 coefficient arrays the Spark plan embeds."""
+    terms = []
+    for p, row in enumerate(similarity.plane_coeffs()):
+        lits = "[" + ", ".join(str(c) for c in row) + "]"
+        terms.append(
+            f"(CASE WHEN {_DOT.format(a=vec, b=lits)} >= 0"
+            f" THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
 
 SIMILARITY_QUERIES = [
     _q(
@@ -956,13 +1059,67 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
         "knn_lsh",
         lambda spark, sf: similarity.knn_lsh(
             views(spark, sf)["embeddings"], [0, 1, 2], k=10),
-        None,  # LSH bucketing is Spark-native; recall checked in tests/
+        # same literal hyperplanes as the Spark plan (plane_coeffs), so
+        # the signature/bucket math is replayed exactly in DuckDB
+        f"""WITH sig AS (
+  SELECT vec_id, embedding, ({_lsh_sig_sql('embedding')}) AS sig
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM sig
+  WHERE vec_id IN (0, 1, 2)
+), cand AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM sig, q
+  WHERE bit_count(xor(sig, qsig)) <= 2 AND vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
+) WHERE rank <= 10 ORDER BY query_id, rank""",
     ),
     _q(
         "knn_ivf",
         lambda spark, sf: similarity.knn_ivf(
             views(spark, sf)["embeddings"], [20, 21, 22], k=10),
-        None,  # IVF probe path; recall checked in tests/
+        # assignment tie-break mirrors array_max over struct(dot, id):
+        # higher dot wins, ties -> higher centroid_id (DESC)
+        f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_DOT.format(a='e.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (20, 21, 22)
+), probe AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_DOT.format(a='q.qe', b='c.c')} DESC,
+                 c.centroid_id ASC) AS rn
+    FROM q, cents c
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+    round({_DOT.format(a='p.qe', b='a.embedding')}
+      / (sqrt({_DOT.format(a='p.qe', b='p.qe')})
+         * sqrt({_DOT.format(a='a.embedding', b='a.embedding')})), 6) AS cos_sim
+  FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
+) WHERE rank <= 10 ORDER BY query_id, rank""",
     ),
     _q(
         "embedding_near_dup",
