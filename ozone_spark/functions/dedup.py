@@ -92,21 +92,17 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs of distinct word n-grams; docs shorter
     than n tokens yield no shingles.
 
-    Formulated as posexplode + lead() windows rather than a
-    transform/slice higher-order function: the HOF path falls out of
-    whole-stage codegen and measured ~8x slower; the window version
-    stays fully code-generated and shuffles by doc_id (uniform keys)."""
+    Computed per-row (sequence/slice/concat over the word array, then
+    array_distinct + explode): ZERO shuffles — the lead()-window
+    formulation this replaces repartitioned the whole corpus by doc_id
+    just to look ahead n-1 words, a full extra exchange at 100 TB for
+    the same output."""
     words = F.split(_norm_text(F.col("text")), " ")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = _spread(docs).select("doc_id", F.posexplode(words).alias("pos", "w"))
-    for i in range(1, n):
-        exploded = exploded.withColumn(f"w{i}", F.lead("w", i).over(w))
-    shingle = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, n)])
-    return (
-        exploded.where(F.col(f"w{n-1}").isNotNull())
-        .select("doc_id", shingle.alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
+    d = _spread(docs).select("doc_id", words.alias("ws")).where(F.size("ws") >= n)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,

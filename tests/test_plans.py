@@ -54,6 +54,30 @@ def test_aggregation_is_partial_then_final(spark, t):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_minhash_signature_stage_is_shuffle_free(spark, t):
+    """The signature builder is a pure map over the corpus: shingling,
+    hashing and the 32 permutation minima all happen per-row, so the
+    plan must contain no Exchange at all (the round-robin fan-out of a
+    single-file local input is the only allowed repartition)."""
+    from ozone_spark.functions.dedup import minhash_signatures
+    plan = plan_of(minhash_signatures(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in body
+    assert "Exchange rangepartitioning" not in body
+
+
+def test_ivf_assignment_corpus_side_never_shuffles(spark, t):
+    """The IVF quantizer folds the centroids into one broadcast row;
+    the corpus side must reach the assignment via BroadcastNestedLoopJoin
+    with no hash/range exchange of the embeddings."""
+    from ozone_spark.functions.similarity import ivf_assignments
+    plan = plan_of(ivf_assignments(t["embeddings"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body
+    assert "Exchange hashpartitioning" not in body
+    assert "Exchange rangepartitioning" not in body
+
+
 def test_bucketed_snapshot_diff_no_shuffle(spark, t):
     n1, n2 = layout.write_bucketed_snapshots(t["snap1"], t["snap2"], spark)
     s1, s2 = spark.table(n1), spark.table(n2)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""10x-corpus dedup/ANN scale check (reproducible).
+
+Builds a 50k-document corpus (each sf0.1 document spawns 9 deterministic
+near-duplicate variants), then measures:
+  - exact n-gram Jaccard pair discovery (the quadratic-ish baseline),
+  - MinHash+LSH pair discovery and its recall vs exact,
+  - IVF ANN top-k latency on a 10x embedding corpus.
+
+This is the evidence behind the README's claim that the sub-quadratic
+scale paths (LSH banding, IVF probing) hold up when the corpus grows
+10x: the candidate-join costs grow with matching pairs, not all pairs.
+
+Usage: python tools/scale_check.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ozone_spark.functions import similarity
+from ozone_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from ozone_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+VARIANTS = 10
+
+
+def build_corpus(spark):
+    """Each doc spawns VARIANTS-1 near-dup variants: variant i keeps the
+    text but appends i deterministic filler tokens — high-Jaccard pairs
+    inside each group, disjoint across groups."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    v = spark.range(VARIANTS).withColumnRenamed("id", "variant")
+    filler = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.col("variant")),
+        lambda i: F.concat(F.lit("xv"), F.col("variant"), F.lit("f"), i)))
+    return (
+        docs.crossJoin(v)
+        .select(
+            (F.col("doc_id") * VARIANTS + F.col("variant")).alias("doc_id"),
+            F.when(F.col("variant") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", filler)).alias("text"))
+    )
+
+
+def build_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v = spark.range(VARIANTS).withColumnRenamed("id", "variant")
+    jitter = F.transform(
+        "embedding", lambda x: x + F.col("variant").cast("float") * F.lit(1e-4))
+    return (
+        emb.crossJoin(v)
+        .select((F.col("vec_id") * VARIANTS + F.col("variant")).alias("vec_id"),
+                jitter.alias("embedding"), "label")
+    )
+
+
+def main() -> int:
+    spark = get_spark("ozone-spark-scale-check",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
+                      (os.cpu_count() or 8))
+    corpus = build_corpus(spark).persist()
+    n_docs = corpus.count()
+
+    t0 = time.perf_counter()
+    exact = ngram_jaccard_pairs(corpus, threshold=0.1).select("doc_a", "doc_b")
+    exact_pairs = exact.persist()
+    n_exact = exact_pairs.count()
+    t_exact = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    lsh = minhash_lsh_pairs(corpus, threshold=0.1).select("doc_a", "doc_b")
+    lsh_pairs = lsh.persist()
+    n_lsh = lsh_pairs.count()
+    t_lsh = round(time.perf_counter() - t0, 1)
+    n_hit = exact_pairs.join(lsh_pairs, ["doc_a", "doc_b"], "left_semi").count()
+
+    emb = build_embeddings(spark).persist()
+    n_vecs = emb.count()
+    t0 = time.perf_counter()
+    similarity.knn_ivf(emb, [20, 21, 22], k=10).count()
+    t_ivf = round(time.perf_counter() - t0, 1)
+
+    print(json.dumps({
+        "n_docs": n_docs, "n_vectors": n_vecs,
+        "exact_pairs": n_exact, "exact_sec": t_exact,
+        "lsh_pairs": n_lsh, "lsh_sec": t_lsh,
+        "lsh_recall_vs_exact": round(n_hit / max(n_exact, 1), 4),
+        "ivf_knn_sec": t_ivf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
