@@ -54,7 +54,16 @@ def perm_consts(n: int = N_PERM) -> list[tuple[int, int]]:
 def hash28(col: Column) -> Column:
     """28-bit integer hash of a string via md5 hex prefix — bit-exact in
     any engine with md5 (DuckDB: CAST('0x'||substr(md5(s),1,7) AS BIGINT)).
-    28 bits keeps a*h+b inside 63 bits for 31-bit multipliers."""
+    28 bits keeps a*h+b inside 63 bits for 31-bit multipliers.
+
+    Value-space regime: 2^28 ≈ 2.7e8 distinct base hashes.  Expected
+    distinct-shingle collision share for a document with s shingles is
+    ~s/2^28, biasing estimated Jaccard upward by roughly that fraction —
+    negligible (<0.4%) up to ~1e6 shingles/doc (≈ multi-MB documents).
+    Corpora of near-arbitrary SIZE are fine (collisions are per-document,
+    not global); only per-document shingle counts beyond ~1e6 warrant
+    widening the base hash (e.g. 61-bit Mersenne modulus with bounded
+    multipliers keeping a*h+b in the 127-bit headroom of DECIMAL math)."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 

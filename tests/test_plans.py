@@ -78,6 +78,31 @@ def test_ivf_assignment_corpus_side_never_shuffles(spark, t):
     assert "Exchange rangepartitioning" not in body
 
 
+def test_near_dup_pairs_never_all_pairs(spark, t):
+    """The banded-LSH pair generator must candidate-join on (band, sig)
+    — a hash equi-join — never the n² cross product of the corpus with
+    itself (the r01 all-pairs formulation this replaced)."""
+    from ozone_spark.functions.similarity import embedding_near_dup_pairs
+    plan = plan_of(embedding_near_dup_pairs(t["embeddings"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "CartesianProduct" not in body
+    assert "SortMergeJoin" in body or "ShuffledHashJoin" in body \
+        or "BroadcastHashJoin" in body
+
+
+def test_knn_lsh_probe_is_equi_join(spark, t):
+    """Multi-probe kNN: queries explode into probe signatures and the
+    candidate lookup is an equi-join on sig (hash join), not a
+    BroadcastNestedLoopJoin filter scanning the corpus per query."""
+    from ozone_spark.functions.similarity import knn_lsh
+    plan = plan_of(knn_lsh(t["embeddings"], [0, 1, 2]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "BroadcastHashJoin" in body or "SortMergeJoin" in body \
+        or "ShuffledHashJoin" in body
+
+
 def test_bucketed_snapshot_diff_no_shuffle(spark, t):
     n1, n2 = layout.write_bucketed_snapshots(t["snap1"], t["snap2"], spark)
     s1, s2 = spark.table(n1), spark.table(n2)

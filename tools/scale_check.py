@@ -71,7 +71,12 @@ def main() -> int:
     n_docs = corpus.count()
 
     t0 = time.perf_counter()
-    exact = ngram_jaccard_pairs(corpus, threshold=0.1).select("doc_a", "doc_b")
+    # the recall ground truth must be TRULY exact: lift the hot-shingle
+    # bucket cap (the planted variants put 10 near-identical docs in
+    # every shingle bucket, so the default cap would silently drop
+    # shared shingles and truncate the baseline)
+    exact = ngram_jaccard_pairs(corpus, threshold=0.1,
+                                max_bucket=1 << 30).select("doc_a", "doc_b")
     exact_pairs = exact.persist()
     n_exact = exact_pairs.count()
     t_exact = round(time.perf_counter() - t0, 1)
