@@ -56,7 +56,7 @@ def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
     frontier = directories.sparkSession.createDataFrame(
         [(root_path,)], "path string")
     all_dirs = frontier
-    for _ in range(16):  # depth bound; fixture depth is 2
+    for _ in range(16):  # depth bound; fixture depth reaches 4 (m/d dirs)
         children = (
             directories.join(
                 F.broadcast(frontier.withColumnRenamed("path", "parent_path")),

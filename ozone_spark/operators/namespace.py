@@ -22,15 +22,24 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-# keys in this engine have two directory levels below the bucket
-# (key_name = lvl1/lvl2/leaf); ancestors = bucket root, lvl1, lvl1/lvl2.
-
-
-def _ancestors() -> F.Column:
+def ancestors_expr() -> F.Column:
+    """Every ancestor directory of a key, at ANY depth: the bucket root
+    plus each proper directory prefix of key_name — the declarative
+    replacement for the reference's parent-pointer walk
+    (NSSummaryTaskDbEventHandler.java:426-449 propagates upward through
+    arbitrarily deep trees)."""
     root = F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"))
-    p1 = F.concat(root, F.lit("/"), F.substring_index(F.col("key_name"), "/", 1))
-    p2 = F.concat(root, F.lit("/"), F.substring_index(F.col("key_name"), "/", 2))
-    return F.array(root, p1, p2)
+    parts = F.split(F.col("key_name"), "/")
+    dirs = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.concat(root, F.lit("/"),
+                           F.array_join(F.slice(parts, F.lit(1), i), "/")))
+    # keys at the bucket root (no '/' in key_name) have only the root
+    return F.when(F.size(parts) > 1,
+                  F.concat(F.array(root), dirs)).otherwise(F.array(root))
+
+
+_ancestors = ancestors_expr
 
 
 def namespace_rollup(keys: DataFrame) -> DataFrame:

@@ -23,6 +23,10 @@ _CTES["keys"] = """keys AS (
       'vol' || CAST(o_custkey % 4 AS VARCHAR) AS volume,
       'b' || CAST(o_custkey % 3 AS VARCHAR) AS bucket,
       lower(o_orderstatus) || '/y' || CAST(year(o_orderdate) AS VARCHAR)
+        || CASE WHEN o_orderkey % 10 = 7
+           THEN '/m' || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+             || '/d' || lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0')
+           ELSE '' END
         || '/order-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_name,
       CAST(floor(o_totalprice * 100) AS BIGINT) AS data_size,
       CAST(1 + o_orderkey % 3 AS INT) AS repl_factor,
@@ -96,19 +100,18 @@ _CTES["datanodes"] = """datanodes AS (
 
 _CTES["directories"] = """directories AS (
   SELECT DISTINCT volume, bucket,
-    '/' || volume || '/' || bucket AS parent_path,
-    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1) AS path,
-    split_part(key_name, '/', 1) AS name,
-    1 AS depth
-  FROM keys
-  UNION
-  SELECT DISTINCT volume, bucket,
-    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1),
-    '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1)
-      || '/' || split_part(key_name, '/', 2),
-    split_part(key_name, '/', 2),
-    2
-  FROM keys
+    CASE WHEN depth = 1 THEN '/' || volume || '/' || bucket
+         ELSE '/' || volume || '/' || bucket || '/'
+              || array_to_string(parts[1:depth-1], '/') END AS parent_path,
+    '/' || volume || '/' || bucket || '/'
+      || array_to_string(parts[1:depth], '/') AS path,
+    parts[depth] AS name,
+    depth
+  FROM (
+    SELECT volume, bucket, string_split(key_name, '/') AS parts,
+      unnest(range(1, len(string_split(key_name, '/')))) AS depth
+    FROM keys
+  )
 )"""
 
 _CTES["snap1"] = """snap1 AS (

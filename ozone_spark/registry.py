@@ -496,16 +496,17 @@ GROUP BY 1 ORDER BY 1""",
 # namespace rollup / du / quota (A4, A5, O5)
 # ---------------------------------------------------------------------------
 
-_ROLLUP_SQL = """WITH anc AS (
-  SELECT '/' || volume || '/' || bucket AS dir_path, data_size, replicated_size
+# depth-generic ancestor explode: bucket root + every proper directory
+# prefix of key_name (mirrors namespace.ancestors_expr)
+_ANC_LIST = """list_concat(
+    ['/' || volume || '/' || bucket],
+    list_transform(range(1, len(string_split(key_name, '/'))),
+      i -> '/' || volume || '/' || bucket || '/'
+           || array_to_string(string_split(key_name, '/')[1:i], '/')))"""
+
+_ROLLUP_SQL = f"""WITH anc AS (
+  SELECT unnest({_ANC_LIST}) AS dir_path, data_size, replicated_size
   FROM keys
-  UNION ALL
-  SELECT '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1),
-         data_size, replicated_size FROM keys
-  UNION ALL
-  SELECT '/' || volume || '/' || bucket || '/' || split_part(key_name, '/', 1)
-         || '/' || split_part(key_name, '/', 2),
-         data_size, replicated_size FROM keys
 )
 SELECT dir_path, count(*) AS num_files,
   CAST(sum(data_size) AS BIGINT) AS size_of_files,
@@ -1217,7 +1218,7 @@ FSO_QUERIES = [
   SELECT name, 'DIR' AS entry_type, CAST(NULL AS BIGINT) AS data_size
   FROM directories WHERE parent_path = '/vol1/b1/f/y1996'
   UNION ALL
-  SELECT split_part(key_name, '/', 3), 'FILE', data_size
+  SELECT regexp_extract(key_name, '[^/]+$'), 'FILE', data_size
   FROM keys WHERE regexp_replace(db_key, '/[^/]+$', '') = '/vol1/b1/f/y1996'
 ) ORDER BY name LIMIT 30""",
             ["keys", "directories"],
@@ -1232,9 +1233,9 @@ FSO_QUERIES = [
             """SELECT entry_type, path FROM (
   SELECT 'DIR' AS entry_type, '/vol1/b1/f' AS path
   UNION ALL
-  SELECT 'DIR', path FROM directories WHERE parent_path = '/vol1/b1/f'
-     OR parent_path IN (SELECT path FROM directories
-                        WHERE parent_path = '/vol1/b1/f')
+  -- materialized paths: the BFS fixpoint over the adjacency list equals
+  -- the prefix match, at any tree depth
+  SELECT 'DIR', path FROM directories WHERE path LIKE '/vol1/b1/f/%'
   UNION ALL
   SELECT 'FILE', db_key FROM keys WHERE db_key LIKE '/vol1/b1/f/%'
 ) ORDER BY entry_type, path""",

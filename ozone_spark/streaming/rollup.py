@@ -51,13 +51,13 @@ STATE_SCHEMA = StructType([
 
 def ancestor_deltas(events: DataFrame) -> DataFrame:
     """Step 1: the upward-propagation set — one signed delta row per
-    (event, ancestor directory)."""
+    (event, ancestor directory), depth-generic (shares the ancestor
+    expression with the batch rollup so process()==reprocess() holds at
+    any tree depth)."""
+    from ozone_spark.operators.namespace import ancestors_expr
     sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
-    root = F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"))
-    p1 = F.concat(root, F.lit("/"), F.substring_index("key_name", "/", 1))
-    p2 = F.concat(root, F.lit("/"), F.substring_index("key_name", "/", 2))
     return events.select(
-        F.explode(F.array(root, p1, p2)).alias("dir_path"),
+        F.explode(ancestors_expr()).alias("dir_path"),
         sign.alias("d_files"),
         (sign * F.col("data_size")).alias("d_size"),
         (sign * F.col("replicated_size")).alias("d_repl"),

@@ -76,10 +76,25 @@ def keys_view(orders: DataFrame) -> DataFrame:
     levels so listings/delimiter-grouping/rollup have a real hierarchy."""
     volume = F.concat(F.lit("vol"), (F.col("o_custkey") % 4).cast("string"))
     bucket = F.concat(F.lit("b"), (F.col("o_custkey") % 3).cast("string"))
-    key_name = F.concat(
+    leaf = F.concat(F.lit("order-"),
+                    F.lpad(F.col("o_orderkey").cast("string"), 10, "0"))
+    # every 10th key (orderkey%10==7) nests two levels deeper (month/day
+    # dirs) so the namespace has arbitrary-depth branches — rollups,
+    # directory listings and BFS deletes must be depth-generic, matching
+    # the reference's parent-pointer walk (NSSummaryTaskDbEventHandler
+    # .java:426-449 propagates to ANY depth)
+    base = F.concat(
         F.lower("o_orderstatus"),
         F.lit("/y"), F.year("o_orderdate").cast("string"),
-        F.lit("/order-"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    )
+    deep = F.concat(
+        base,
+        F.lit("/m"), F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+        F.lit("/d"), F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0"),
+    )
+    key_name = F.concat(
+        F.when(F.col("o_orderkey") % 10 == 7, deep).otherwise(base),
+        F.lit("/"), leaf,
     )
     data_size = F.floor(F.col("o_totalprice") * 100).cast("long")
     repl = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
@@ -212,27 +227,29 @@ def snap2_view(keys: DataFrame) -> DataFrame:
 
 def directories_view(keys: DataFrame) -> DataFrame:
     """FSO directoryTable analog (OMDBDefinition.java:260,
-    OmDirectoryInfo.java:38-53): the two directory levels implied by
-    key_name, as an adjacency list keyed by materialized path (the Spark
-    replacement for parentObjectId pointers — SURVEY.md §1.1)."""
+    OmDirectoryInfo.java:38-53): every directory implied by key_name at
+    ANY depth, as an adjacency list keyed by materialized path (the
+    Spark replacement for parentObjectId pointers — SURVEY.md §1.1)."""
     root = F.concat(F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"))
-    p1 = F.substring_index(F.col("key_name"), "/", 1)
-    p2 = F.substring_index(F.col("key_name"), "/", 2)
-    lvl1 = keys.select(
+    parts = F.split(F.col("key_name"), "/")
+    depths = F.sequence(F.lit(1), F.size(parts) - 1)  # proper dir prefixes
+    exploded = keys.where(F.size(parts) > 1).select(
+        "volume", "bucket", root.alias("root"), parts.alias("parts"),
+        F.explode(depths).alias("depth"),
+    )
+    prefix = F.array_join(F.slice("parts", F.lit(1), F.col("depth")), "/")
+    parent = F.when(
+        F.col("depth") == 1, F.col("root")
+    ).otherwise(F.concat(
+        F.col("root"), F.lit("/"),
+        F.array_join(F.slice("parts", F.lit(1), F.col("depth") - 1), "/")))
+    return exploded.select(
         "volume", "bucket",
-        root.alias("parent_path"),
-        F.concat(root, F.lit("/"), p1).alias("path"),
-        p1.alias("name"),
-        F.lit(1).alias("depth"),
+        parent.alias("parent_path"),
+        F.concat(F.col("root"), F.lit("/"), prefix).alias("path"),
+        F.element_at("parts", F.col("depth")).alias("name"),
+        F.col("depth"),
     ).distinct()
-    lvl2 = keys.select(
-        "volume", "bucket",
-        F.concat(root, F.lit("/"), p1).alias("parent_path"),
-        F.concat(root, F.lit("/"), p2).alias("path"),
-        F.substring_index(p2, "/", -1).alias("name"),
-        F.lit(2).alias("depth"),
-    ).distinct()
-    return lvl1.unionByName(lvl2)
 
 
 def open_keys_view(keys: DataFrame) -> DataFrame:
