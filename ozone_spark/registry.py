@@ -1514,7 +1514,7 @@ def _cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
     scdc.run_incremental_histogram(spark, f"{work}/cdc", f"{work}/store",
                                    f"{work}/ckpt")
-    return spark.read.parquet(f"{work}/store")
+    return spark.read.parquet(f"{work}/store").drop("view_bucket")
 
 
 def _cdc_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,7 +1529,7 @@ def _cdc_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
     scdc.run_incremental_container_index(
         spark, f"{work}/cdc", t["locations"], f"{work}/store", f"{work}/ckpt")
-    return spark.read.parquet(f"{work}/store")
+    return spark.read.parquet(f"{work}/store").drop("view_bucket")
 
 
 def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

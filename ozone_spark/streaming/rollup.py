@@ -83,29 +83,36 @@ def _fold(key: Any, pdfs: Iterator[pd.DataFrame],
 
 
 def run_incremental_rollup(spark: SparkSession, cdc_dir: str,
-                           checkpoint_dir: str) -> DataFrame:
+                           checkpoint_dir: str,
+                           store_path: str | None = None) -> DataFrame:
     """Drain the CDC log maintaining the rollup statefully; returns the
-    final NSSummary table (last emitted row per directory, folded on the
-    driver in batch order — the Recon async-flusher analog)."""
+    final NSSummary table.  Each micro-batch's updated directory rows
+    are merged into a bucket-partitioned parquet store (replace-by-key —
+    the Recon async-flusher analog, NSSummaryAsyncFlusher): state scales
+    with the executors' state store and the view with the parquet store;
+    nothing is ever collected to the driver."""
+    from ozone_spark.streaming.cdc import IncrementalViewStore
+
     stream = ancestor_deltas(read_cdc_stream(spark, cdc_dir))
     updated = stream.groupBy("dir_path").applyInPandasWithState(
         _fold, ROLLUP_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
 
-    final: dict[str, tuple] = {}
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            final[r.dir_path] = (r.num_files, r.size_of_files,
-                                 r.replicated_size)
+    store = IncrementalViewStore(
+        spark, store_path or checkpoint_dir.rstrip("/") + "_view",
+        ["dir_path"], ["num_files", "size_of_files", "replicated_size"],
+        mode="replace")
 
     q = (
-        updated.writeStream.foreachBatch(on_batch)
+        updated.writeStream.foreachBatch(
+            lambda batch_df, _bid: store.merge(batch_df))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    rows = [(k, *v) for k, v in sorted(final.items()) if v[0] != 0]
-    return spark.createDataFrame(rows, ROLLUP_SCHEMA)
+    cur = store.current()
+    if cur is None:
+        return spark.createDataFrame([], ROLLUP_SCHEMA)
+    return cur
