@@ -29,11 +29,19 @@ DAY_MS = 86400000
 
 @dataclass(frozen=True)
 class LifecycleRule:
-    """OmLCRule analog: prefix + age expiration."""
+    """OmLCRule analog: (prefix AND tags) + age expiration.
+
+    The reference's rule filter is either a bare prefix, a bare tag, or
+    an AndOperator of prefix plus a tag set that must ALL match
+    (OmLCFilter.java, OmLifecycleRuleAndOperator.java:43-54); `tags`
+    here is that conjunctive tag set, evaluated with map element_at so
+    keys missing a tag never match (null-propagating equality — same as
+    the reference's map lookup)."""
     rule_id: str
     volume: str
     bucket: str
     prefix: str = ""
+    tags: tuple[tuple[str, str], ...] = ()
     expiration_days: int | None = None
     expiration_date_ms: int | None = None
     enabled: bool = True
@@ -42,6 +50,8 @@ class LifecycleRule:
         p = (F.col("volume") == self.volume) & (F.col("bucket") == self.bucket)
         if self.prefix:
             p = p & F.col("key_name").startswith(self.prefix)
+        for tag_key, tag_val in self.tags:
+            p = p & (F.element_at(F.col("tags"), tag_key) == tag_val)
         if self.expiration_days is not None:
             p = p & (F.col("creation_time") + self.expiration_days * DAY_MS <= now_ms)
         if self.expiration_date_ms is not None:
@@ -58,6 +68,46 @@ DEFAULT_RULES = [
     LifecycleRule("rule-disabled", "vol0", "b0", prefix="", expiration_days=0,
                   enabled=False),
 ]
+
+
+# Tag-filtered rule set (OmLCFilter's tag / AndOperator shapes): a bare
+# tag rule, a prefix∧tag∧age AndOperator rule, and a tag rule whose age
+# threshold nothing reaches (evaluates to empty, like a freshly-added
+# rule in the reference).
+TAGGED_RULES = [
+    LifecycleRule("rule-tmp-purge", "vol1", "b1",
+                  tags=(("tmp", "true"),), expiration_days=1800),
+    LifecycleRule("rule-low-tier", "vol2", "b2", prefix="o/",
+                  tags=(("tier", "low"),), expiration_days=2000),
+    LifecycleRule("rule-urgent-frozen", "vol3", "b0",
+                  tags=(("tier", "urgent"),), expiration_days=36500),
+]
+
+
+def lifecycle_tagged_expired(keys: DataFrame,
+                             rules: list[LifecycleRule] | None = None,
+                             now_ms: int = NOW_MS) -> DataFrame:
+    """B4/P5 with tag predicates: keys expired by any enabled tag-
+    filtered rule (KeyLifecycleService.java:394-437 evaluates the same
+    prefix∧tags∧age conjunction per rule).  Output carries the tier tag
+    as a scalar so the gate exercises map extraction end-to-end."""
+    rules = [r for r in (rules or TAGGED_RULES) if r.enabled]
+    matched = None
+    for r in rules:
+        m = keys.where(r.predicate(now_ms)).select(
+            "db_key", "data_size",
+            F.element_at(F.col("tags"), "tier").alias("tier"),
+            F.lit(r.rule_id).alias("rule_id"))
+        matched = m if matched is None else matched.unionByName(m)
+    if matched is None:
+        raise ValueError("no enabled lifecycle rules")
+    return (
+        matched.groupBy("db_key")
+        .agg(F.min("rule_id").alias("rule_id"),
+             F.min("tier").alias("tier"),
+             F.min("data_size").alias("data_size"))
+        .orderBy("db_key")
+    )
 
 
 def lifecycle_expired(keys: DataFrame,

@@ -58,6 +58,34 @@ def namespace_rollup(keys: DataFrame) -> DataFrame:
     )
 
 
+def namespace_dist(keys: DataFrame, prefix: str | None = None) -> DataFrame:
+    """A4's per-directory file-size distribution: the NSSummary node
+    carries a 41-bin log2 histogram per directory (fileSizeBucket[41],
+    NSSummary.java:38-44) served by /namespace/dist
+    (NSSummaryEndpoint.java:148-173).  Same ancestors-explode shuffle as
+    the rollup with (dir_path, bin) as the grouping key — bins are
+    bounded (41), so the key cardinality is at most 41x the directory
+    count; partial aggregation keeps the shuffle proportional to
+    distinct (dir, bin) pairs, not keys."""
+    from ozone_spark.functions.bins import (
+        FILE_BIN_BASE_EXP, FILE_BIN_MAX_IDX, size_bin_index, size_bin_upper_bound,
+    )
+    binned = keys.select(
+        F.explode(_ancestors()).alias("dir_path"),
+        size_bin_index(F.col("data_size"), FILE_BIN_BASE_EXP,
+                       FILE_BIN_MAX_IDX).alias("bin_index"),
+    )
+    if prefix is not None:
+        binned = binned.where(F.col("dir_path").startswith(prefix))
+    return (
+        binned.groupBy("dir_path", "bin_index")
+        .agg(F.count("*").alias("file_count"))
+        .withColumn("bin_upper_bound",
+                    size_bin_upper_bound(F.col("bin_index"), FILE_BIN_BASE_EXP))
+        .orderBy("dir_path", "bin_index")
+    )
+
+
 def du_children(keys: DataFrame, parent: str, top_k: int | None = None) -> DataFrame:
     """O5: immediate children of `parent` ordered by subtree size desc
     (top consumers first), deterministic tie-break on path."""

@@ -33,7 +33,12 @@ _CTES["keys"] = """keys AS (
       CAST(floor(o_totalprice * 100) AS BIGINT) * (1 + o_orderkey % 3) AS replicated_size,
       epoch_ms(o_orderdate) AS creation_time,
       'user' || CAST(o_custkey % 10 AS VARCHAR) AS owner,
-      o_orderpriority AS priority
+      o_orderpriority AS priority,
+      CASE WHEN o_orderkey % 5 = 0
+        THEN map(['tier', 'tmp'],
+                 [lower(string_split(o_orderpriority, '-')[-1]), 'true'])
+        ELSE map(['tier'], [lower(string_split(o_orderpriority, '-')[-1])])
+      END AS tags
     FROM orders
   )
 )"""

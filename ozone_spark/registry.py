@@ -521,6 +521,21 @@ NAMESPACE_QUERIES = [
         bench=True,
     ),
     _q(
+        "namespace_dist",
+        lambda spark, sf: nops.namespace_dist(views(spark, sf)["keys"],
+                                              prefix="/vol1/b1"),
+        with_views(
+            f"""WITH anc AS (
+  SELECT unnest({_ANC_LIST}) AS dir_path, data_size FROM keys
+)
+SELECT dir_path, {_FILE_BIN} AS bin_index, count(*) AS file_count,
+  CAST(pow(2.0, CAST(10 + {_FILE_BIN} AS DOUBLE)) AS BIGINT) AS bin_upper_bound
+FROM anc WHERE dir_path LIKE '/vol1/b1%'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+            ["keys"],
+        ),
+    ),
+    _q(
         "du_top_children",
         lambda spark, sf: nops.du_children(views(spark, sf)["keys"],
                                            "/vol1/b1/f", top_k=5),
@@ -570,6 +585,35 @@ LIFECYCLE_QUERIES = [
     AND creation_time < {NOW_MS - 4 * 365 * 86400000}
 )
 SELECT db_key, min(rule_id) AS rule_id, min(data_size) AS data_size
+FROM m GROUP BY 1 ORDER BY 1""",
+            ["keys"],
+        ),
+    ),
+    _q(
+        "lifecycle_tagged_expired",
+        lambda spark, sf: lops.lifecycle_tagged_expired(views(spark, sf)["keys"]),
+        with_views(
+            f"""WITH m AS (
+  SELECT db_key, data_size, element_at(tags, 'tier')[1] AS tier,
+         'rule-tmp-purge' AS rule_id FROM keys
+  WHERE volume = 'vol1' AND bucket = 'b1'
+    AND element_at(tags, 'tmp')[1] = 'true'
+    AND creation_time + {1800 * 86400000} <= {NOW_MS}
+  UNION ALL
+  SELECT db_key, data_size, element_at(tags, 'tier')[1], 'rule-low-tier'
+  FROM keys
+  WHERE volume = 'vol2' AND bucket = 'b2' AND key_name LIKE 'o/%'
+    AND element_at(tags, 'tier')[1] = 'low'
+    AND creation_time + {2000 * 86400000} <= {NOW_MS}
+  UNION ALL
+  SELECT db_key, data_size, element_at(tags, 'tier')[1], 'rule-urgent-frozen'
+  FROM keys
+  WHERE volume = 'vol3' AND bucket = 'b0'
+    AND element_at(tags, 'tier')[1] = 'urgent'
+    AND creation_time + {36500 * 86400000} <= {NOW_MS}
+)
+SELECT db_key, min(rule_id) AS rule_id, min(tier) AS tier,
+  min(data_size) AS data_size
 FROM m GROUP BY 1 ORDER BY 1""",
             ["keys"],
         ),

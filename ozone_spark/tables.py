@@ -98,6 +98,17 @@ def keys_view(orders: DataFrame) -> DataFrame:
     )
     data_size = F.floor(F.col("o_totalprice") * 100).cast("long")
     repl = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    # tags map<string,string> (OmKeyInfo.java:110 tags; exercised by the
+    # lifecycle tag filters, OmLCFilter / OmLifecycleRuleAndOperator
+    # .java:43-54): every key carries a 'tier' tag; every 5th key an
+    # additional 'tmp' marker — so map_contains/absent-key semantics are
+    # both represented.
+    tier = F.lower(F.substring_index(F.col("o_orderpriority"), "-", -1))
+    tags = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.map_concat(F.create_map(F.lit("tier"), tier),
+                     F.create_map(F.lit("tmp"), F.lit("true"))),
+    ).otherwise(F.create_map(F.lit("tier"), tier))
     return (
         orders.select(
             F.col("o_orderkey").alias("object_id"),
@@ -109,6 +120,7 @@ def keys_view(orders: DataFrame) -> DataFrame:
             F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("creation_time"),
             F.concat(F.lit("user"), (F.col("o_custkey") % 10).cast("string")).alias("owner"),
             F.col("o_orderpriority").alias("priority"),
+            tags.alias("tags"),
         )
         .withColumn("replicated_size", F.col("data_size") * F.col("repl_factor"))
         .withColumn(

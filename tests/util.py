@@ -32,6 +32,12 @@ def _norm_cell(v):
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(str(_norm_cell(x)) for x in v) + "]"
+    if isinstance(v, dict):
+        # map columns: PySpark -> {k: v}; DuckDB -> {'key': [...], 'value': [...]}
+        if set(v.keys()) == {"key", "value"} and isinstance(v["key"], (list, tuple)):
+            v = dict(zip(v["key"], v["value"]))
+        items = sorted((str(k), str(_norm_cell(x))) for k, x in v.items())
+        return "{" + ",".join(f"{k}={x}" for k, x in items) + "}"
     return str(v)
 
 
