@@ -153,6 +153,88 @@ def reclaimable_deleted_keys(deleted_keys: DataFrame,
     )
 
 
+# B4's second action: abort incomplete multipart uploads older than
+# DaysAfterInitiation (OmLCAbortIncompleteMultipartUpload.java; rule
+# evaluation alongside expiration in KeyLifecycleService.java:394-437).
+MPU_ABORT_RULES = [
+    LifecycleRule("mpu-abort-v1b1", "vol1", "b1", expiration_days=1200),
+    LifecycleRule("mpu-abort-v2o", "vol2", "b2", prefix="o/",
+                  expiration_days=2000),
+]
+
+
+def lifecycle_mpu_aborts(multipart_uploads: DataFrame,
+                         rules: list[LifecycleRule] | None = None,
+                         now_ms: int = NOW_MS) -> DataFrame:
+    """B4 (abort action): in-flight uploads whose initiation age exceeds
+    a rule's days-after-initiation threshold.  Reuses the rule predicate
+    machinery with `creation_time` bound to `initiated_ms` — the
+    reference evaluates abort rules in the same per-bucket scan pass as
+    expiration rules."""
+    rules = [r for r in (rules or MPU_ABORT_RULES) if r.enabled]
+    mpus = multipart_uploads.withColumn("creation_time", F.col("initiated_ms"))
+    matched = None
+    for r in rules:
+        m = mpus.where(r.predicate(now_ms)).select(
+            "upload_id", "db_key", "n_parts", "part_bytes",
+            F.lit(r.rule_id).alias("rule_id"))
+        matched = m if matched is None else matched.unionByName(m)
+    if matched is None:
+        raise ValueError("no enabled MPU abort rules")
+    return (
+        matched.groupBy("upload_id")
+        .agg(F.min("rule_id").alias("rule_id"),
+             F.min("db_key").alias("db_key"),
+             F.min("n_parts").alias("n_parts"),
+             F.min("part_bytes").alias("reclaimed_bytes"))
+        .orderBy("upload_id")
+    )
+
+
+TRASH_RETENTION_MS = 30 * DAY_MS
+
+
+def trash_expunge_plan(trash_entries: DataFrame,
+                       retention_ms: int = TRASH_RETENTION_MS,
+                       now_ms: int = NOW_MS) -> DataFrame:
+    """B5 (TrashPolicyOzone emptier, expunge half): trash checkpoints
+    older than the retention interval, rolled up per
+    (volume, bucket, user, checkpoint) — the emptier deletes whole
+    checkpoint directories, so the plan is one row per directory with
+    the files/bytes it reclaims."""
+    return (
+        trash_entries
+        .where(F.col("checkpoint_ms").isNotNull()
+               & (F.col("checkpoint_ms") + retention_ms <= now_ms))
+        .groupBy("volume", "bucket", "owner", "checkpoint")
+        .agg(F.count("*").alias("n_files"),
+             F.sum("data_size").alias("reclaimed_bytes"))
+        .orderBy("volume", "bucket", "owner", "checkpoint")
+    )
+
+
+def trash_checkpoint_plan(trash_entries: DataFrame,
+                          now_ms: int = NOW_MS) -> DataFrame:
+    """B5 (checkpoint half): every Current entry is renamed into a new
+    timestamped checkpoint directory (the emptier's per-user Current ->
+    ckpt-<now> rotation; rename is a metadata move, so the plan is the
+    src/dst path pair per entry)."""
+    new_ckpt = F.concat(F.lit("ckpt-"), F.lit(now_ms).cast("string"))
+    return (
+        trash_entries.where(F.col("checkpoint_ms").isNull())
+        .select(
+            "object_id",
+            F.col("trash_path").alias("src_path"),
+            F.concat(
+                F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"),
+                F.lit("/.Trash/"), F.col("owner"), F.lit("/"), new_ckpt,
+                F.lit("/"), F.col("key_name"),
+            ).alias("dst_path"),
+        )
+        .orderBy("object_id")
+    )
+
+
 def gdpr_crypto_shred(deleted_keys: DataFrame,
                       locations: DataFrame,
                       gdpr_bucket: str = "b0") -> DataFrame:

@@ -20,6 +20,24 @@ DIFF_COLS = ["object_id", "diff_type", "old_key", "new_key",
              "old_size", "new_size"]
 
 
+def _classify(j: DataFrame) -> DataFrame:
+    """Shared CREATE/DELETE/RENAME/MODIFY cascade over a joined frame
+    with (object_id, old_key, new_key, old_size, new_size)."""
+    diff_type = (
+        F.when(F.col("new_key").isNull(), "DELETE")
+        .when(F.col("old_key").isNull(), "CREATE")
+        .when(F.col("old_key") != F.col("new_key"), "RENAME")
+        .when(F.col("old_size") != F.col("new_size"), "MODIFY")
+        .otherwise("NONE")
+    )
+    return (
+        j.where(F.col("old_key").isNotNull() | F.col("new_key").isNotNull())
+        .withColumn("diff_type", diff_type)
+        .where(F.col("diff_type") != "NONE")
+        .select(*DIFF_COLS)
+    )
+
+
 def snapshot_diff(snap_from: DataFrame, snap_to: DataFrame) -> DataFrame:
     """J2/E1: classify namespace changes between two snapshot versions."""
     a = snap_from.select(
@@ -32,11 +50,95 @@ def snapshot_diff(snap_from: DataFrame, snap_to: DataFrame) -> DataFrame:
         F.col("key_name").alias("new_key"),
         F.col("data_size").alias("new_size"),
     )
+    return _classify(a.join(b, "object_id", "full_outer"))
+
+
+def compose_diffs(d1: DataFrame, d2: DataFrame) -> DataFrame:
+    """Compose two consecutive snapshot diffs (A→B, B→C) into the A→C
+    diff WITHOUT reading either endpoint snapshot — the chained-diff
+    path along previous-snapshot pointers (SnapshotInfo.java:53-117;
+    SnapshotDiffManager composes per-link deltas the same way when
+    diffing non-adjacent snapshots).
+
+    Per object: the A-side state comes from d1 when the object changed
+    in A→B (else it was stable through B, so d2's old side IS the A
+    state); the C-side state symmetrically from d2, else d1.  Objects
+    created then deleted within the chain collapse to nothing; rename-
+    backs collapse to MODIFY/NONE — exactly what a direct A→C join
+    yields.  Scale: diffs are deltas (small vs the snapshots), so the
+    composition join shuffles only changed objects."""
+    a = d1.select(
+        "object_id", F.col("diff_type").alias("_t1"),
+        F.col("old_key").alias("_o1"), F.col("new_key").alias("_n1"),
+        F.col("old_size").alias("_os1"), F.col("new_size").alias("_ns1"))
+    b = d2.select(
+        "object_id", F.col("diff_type").alias("_t2"),
+        F.col("old_key").alias("_o2"), F.col("new_key").alias("_n2"),
+        F.col("old_size").alias("_os2"), F.col("new_size").alias("_ns2"))
     j = a.join(b, "object_id", "full_outer")
+    in1, in2 = F.col("_t1").isNotNull(), F.col("_t2").isNotNull()
+    merged = j.select(
+        "object_id",
+        F.when(in1, F.col("_o1")).otherwise(F.col("_o2")).alias("old_key"),
+        F.when(in2, F.col("_n2")).otherwise(F.col("_n1")).alias("new_key"),
+        F.when(in1, F.col("_os1")).otherwise(F.col("_os2")).alias("old_size"),
+        F.when(in2, F.col("_ns2")).otherwise(F.col("_ns1")).alias("new_size"),
+    )
+    return _classify(merged)
+
+
+def chain_diff(snapshots: list[DataFrame]) -> DataFrame:
+    """Diff across a chain of N snapshots (first → last) by composing
+    the N-1 per-link diffs."""
+    if len(snapshots) < 2:
+        raise ValueError("chain_diff needs at least two snapshots")
+    links = [snapshot_diff(snapshots[i], snapshots[i + 1])
+             for i in range(len(snapshots) - 1)]
+    composed = links[0]
+    for link in links[1:]:
+        composed = compose_diffs(composed, link)
+    return composed
+
+
+def renamed_entries(snap_from: DataFrame, snap_to: DataFrame,
+                    transition: str) -> DataFrame:
+    """snapshotRenamedTable analog (OMDBDefinition.java:309-323): one
+    row per object whose key name changed between two consecutive
+    snapshots — the recorded-rename source the reference's diff
+    consults instead of re-deriving renames from names."""
+    a = snap_from.select("object_id", F.col("key_name").alias("old_key"))
+    b = snap_to.select("object_id", F.col("key_name").alias("new_key"))
+    return (
+        a.join(b, "object_id")
+        .where(F.col("old_key") != F.col("new_key"))
+        .withColumn("transition", F.lit(transition))
+        .select("transition", "object_id", "old_key", "new_key")
+    )
+
+
+def snapshot_diff_with_renames(snap_from: DataFrame, snap_to: DataFrame,
+                               renamed: DataFrame) -> DataFrame:
+    """J2 using the recorded rename table: RENAME classification comes
+    from snapshotRenamedTable membership (broadcast join on the small
+    rename set) rather than name comparison — the reference's actual
+    diff path (SnapshotDiffManager.java:994-1230 consults the renamed
+    table per objectId)."""
+    a = snap_from.select(
+        "object_id",
+        F.col("key_name").alias("old_key"),
+        F.col("data_size").alias("old_size"),
+    )
+    b = snap_to.select(
+        "object_id",
+        F.col("key_name").alias("new_key"),
+        F.col("data_size").alias("new_size"),
+    )
+    r = renamed.select("object_id", F.lit(True).alias("_renamed"))
+    j = a.join(b, "object_id", "full_outer").join(F.broadcast(r), "object_id", "left")
     diff_type = (
         F.when(F.col("new_key").isNull(), "DELETE")
         .when(F.col("old_key").isNull(), "CREATE")
-        .when(F.col("old_key") != F.col("new_key"), "RENAME")
+        .when(F.col("_renamed"), "RENAME")
         .when(F.col("old_size") != F.col("new_size"), "MODIFY")
         .otherwise("NONE")
     )

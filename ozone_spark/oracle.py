@@ -134,6 +134,25 @@ _CTES["snap2"] = """snap2 AS (
   FROM keys WHERE object_id % 7 <> 0
 )"""
 
+_CTES["snap3"] = """snap3 AS (
+  SELECT object_id, volume, bucket,
+    CASE WHEN object_id % 19 = 0 THEN key_name || '.v3' ELSE key_name END
+      AS key_name,
+    data_size + CASE WHEN object_id % 5 = 0 THEN 1024 ELSE 0 END
+              + CASE WHEN object_id % 4 = 0 THEN 3072 ELSE 0 END AS data_size
+  FROM keys
+  WHERE (object_id % 7 <> 0 OR object_id % 14 = 0) AND object_id % 17 <> 0
+)"""
+
+_CTES["snapshot_chain"] = """snapshot_chain AS (
+  SELECT 'snap' || CAST(i AS VARCHAR) AS snapshot_name,
+    CAST(i AS INT) AS chain_pos,
+    CASE WHEN i > 1 THEN 'snap' || CAST(i - 1 AS VARCHAR) END
+      AS previous_snapshot,
+    CAST(1009843200000 - (4 - i) * 30 * 86400000 AS BIGINT) AS create_time
+  FROM (SELECT range AS i FROM range(1, 4))
+)"""
+
 _CTES["open_keys"] = """open_keys AS (
   SELECT db_key, object_id, volume, bucket, key_name, data_size, creation_time,
     object_id * 3 AS client_id,
@@ -150,6 +169,32 @@ _CTES["deleted_keys"] = """deleted_keys AS (
   FROM keys WHERE object_id % 9 = 0
 )"""
 
+_CTES["multipart_uploads"] = """multipart_uploads AS (
+  SELECT md5(db_key) AS upload_id, db_key, object_id, volume, bucket,
+    key_name, owner, creation_time AS initiated_ms,
+    CAST(1 + object_id % 5 AS INT) AS n_parts,
+    data_size AS part_bytes
+  FROM keys WHERE object_id % 23 = 0
+)"""
+
+_CTES["trash_entries"] = f"""trash_entries AS (
+  SELECT object_id, volume, bucket, owner, key_name, data_size,
+    checkpoint_ms,
+    CASE WHEN checkpoint_ms IS NULL THEN 'Current'
+         ELSE 'ckpt-' || CAST(checkpoint_ms AS VARCHAR) END AS checkpoint,
+    '/' || volume || '/' || bucket || '/.Trash/' || owner || '/'
+      || CASE WHEN checkpoint_ms IS NULL THEN 'Current'
+              ELSE 'ckpt-' || CAST(checkpoint_ms AS VARCHAR) END
+      || '/' || key_name AS trash_path
+  FROM (
+    SELECT *,
+      CASE WHEN (object_id // 21) % 3 = 1 THEN CAST({NOW_MS - 10 * 86400000} AS BIGINT)
+           WHEN (object_id // 21) % 3 = 2 THEN CAST({NOW_MS - 40 * 86400000} AS BIGINT)
+      END AS checkpoint_ms
+    FROM keys WHERE object_id % 21 = 0
+  )
+)"""
+
 _CTES["tenant_access"] = """tenant_access AS (
   SELECT
     'access-' || CAST(c_custkey AS VARCHAR) AS access_id,
@@ -162,10 +207,12 @@ _CTES["tenant_access"] = """tenant_access AS (
 
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
-          "directories", "snap1", "snap2", "open_keys", "deleted_keys",
+          "directories", "snap1", "snap2", "snap3", "snapshot_chain",
+          "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
           "tenant_access"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
-         "open_keys": ["keys"], "deleted_keys": ["keys"]}
+         "snap3": ["keys"], "open_keys": ["keys"], "deleted_keys": ["keys"],
+         "multipart_uploads": ["keys"], "trash_entries": ["keys"]}
 
 
 def with_views(sql: str, views: list[str]) -> str:

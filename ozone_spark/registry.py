@@ -238,6 +238,64 @@ FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE' GROUP BY 1 ORDER BY 1""",
             ["snap1", "snap2"],
         ),
     ),
+    _q(
+        "snapshot_chain_diff",
+        lambda spark, sf: snops.chain_diff(
+            [views(spark, sf)["snap1"], views(spark, sf)["snap2"],
+             views(spark, sf)["snap3"]]),
+        with_views(
+            """SELECT * FROM (
+  SELECT COALESCE(a.object_id, b.object_id) AS object_id,
+    CASE WHEN b.object_id IS NULL THEN 'DELETE'
+         WHEN a.object_id IS NULL THEN 'CREATE'
+         WHEN a.key_name <> b.key_name THEN 'RENAME'
+         WHEN a.data_size <> b.data_size THEN 'MODIFY'
+         ELSE 'NONE' END AS diff_type,
+    a.key_name AS old_key, b.key_name AS new_key,
+    a.data_size AS old_size, b.data_size AS new_size
+  FROM snap1 a FULL OUTER JOIN snap3 b ON a.object_id = b.object_id
+) WHERE diff_type <> 'NONE'""",
+            ["snap1", "snap3"],
+        ),
+    ),
+    _q(
+        "snapshot_renamed_entries",
+        lambda spark, sf: snops.renamed_entries(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"],
+            "snap1->snap2",
+        ).unionByName(snops.renamed_entries(
+            views(spark, sf)["snap2"], views(spark, sf)["snap3"],
+            "snap2->snap3")),
+        with_views(
+            """SELECT 'snap1->snap2' AS transition, a.object_id,
+  a.key_name AS old_key, b.key_name AS new_key
+FROM snap1 a JOIN snap2 b USING (object_id) WHERE a.key_name <> b.key_name
+UNION ALL
+SELECT 'snap2->snap3', a.object_id, a.key_name, b.key_name
+FROM snap2 a JOIN snap3 b USING (object_id) WHERE a.key_name <> b.key_name""",
+            ["snap1", "snap2", "snap3"],
+        ),
+    ),
+    _q(
+        "snapshot_chain_info",
+        lambda spark, sf: views(spark, sf)["snapshot_chain"]
+        .orderBy("chain_pos"),
+        with_views(
+            "SELECT * FROM snapshot_chain ORDER BY chain_pos",
+            ["snapshot_chain"],
+        ),
+    ),
+    _q(
+        "snapshot_diff_renamed_table",
+        lambda spark, sf: snops.snapshot_diff_with_renames(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"],
+            snops.renamed_entries(views(spark, sf)["snap1"],
+                                  views(spark, sf)["snap2"], "x")),
+        with_views(
+            f"SELECT * FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE'",
+            ["snap1", "snap2"],
+        ),
+    ),
 ]
 
 # ---------------------------------------------------------------------------
@@ -627,6 +685,55 @@ FROM m GROUP BY 1 ORDER BY 1""",
 FROM open_keys WHERE {NOW_MS} - creation_time > {_TTL_5Y}
 ORDER BY db_key""",
             ["open_keys"],
+        ),
+    ),
+    _q(
+        "lifecycle_mpu_aborts",
+        lambda spark, sf: lops.lifecycle_mpu_aborts(
+            views(spark, sf)["multipart_uploads"]),
+        with_views(
+            f"""WITH m AS (
+  SELECT upload_id, db_key, n_parts, part_bytes,
+    'mpu-abort-v1b1' AS rule_id
+  FROM multipart_uploads
+  WHERE volume = 'vol1' AND bucket = 'b1'
+    AND initiated_ms + {1200 * 86400000} <= {NOW_MS}
+  UNION ALL
+  SELECT upload_id, db_key, n_parts, part_bytes, 'mpu-abort-v2o'
+  FROM multipart_uploads
+  WHERE volume = 'vol2' AND bucket = 'b2' AND key_name LIKE 'o/%'
+    AND initiated_ms + {2000 * 86400000} <= {NOW_MS}
+)
+SELECT upload_id, min(rule_id) AS rule_id, min(db_key) AS db_key,
+  min(n_parts) AS n_parts, min(part_bytes) AS reclaimed_bytes
+FROM m GROUP BY 1 ORDER BY 1""",
+            ["multipart_uploads"],
+        ),
+    ),
+    _q(
+        "trash_expired_checkpoints",
+        lambda spark, sf: lops.trash_expunge_plan(
+            views(spark, sf)["trash_entries"]),
+        with_views(
+            f"""SELECT volume, bucket, owner, checkpoint,
+  count(*) AS n_files, CAST(sum(data_size) AS BIGINT) AS reclaimed_bytes
+FROM trash_entries
+WHERE checkpoint_ms IS NOT NULL
+  AND checkpoint_ms + {30 * 86400000} <= {NOW_MS}
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+            ["trash_entries"],
+        ),
+    ),
+    _q(
+        "trash_checkpoint_plan",
+        lambda spark, sf: lops.trash_checkpoint_plan(
+            views(spark, sf)["trash_entries"]),
+        with_views(
+            f"""SELECT object_id, trash_path AS src_path,
+  '/' || volume || '/' || bucket || '/.Trash/' || owner
+    || '/ckpt-{NOW_MS}/' || key_name AS dst_path
+FROM trash_entries WHERE checkpoint_ms IS NULL ORDER BY object_id""",
+            ["trash_entries"],
         ),
     ),
     _q(

@@ -237,6 +237,43 @@ def snap2_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def snap3_view(keys: DataFrame) -> DataFrame:
+    """Frozen snapshot version 3 — third link of the snapshot chain
+    (snap1 <- snap2 <- snap3 previous-pointers, SnapshotInfo.java:53-117).
+    vs snap2: object_id%17==0 dropped (DELETE), object_id%14==0 return
+    after being absent from snap2 (re-CREATE — exercises delete-then-
+    recreate in chained diffs), object_id%19==0 renamed '.v3',
+    object_id%4==0 grew 3 KiB (MODIFY).  Sizes/names are pure functions
+    of the base key table so the DuckDB oracle replays them exactly."""
+    oid = F.col("object_id")
+    live = ((oid % 7 != 0) | (oid % 14 == 0)) & (oid % 17 != 0)
+    size3 = (
+        F.col("data_size")
+        + F.when(oid % 5 == 0, 1024).otherwise(0)
+        + F.when(oid % 4 == 0, 3072).otherwise(0)
+    )
+    return keys.where(live).select(
+        "object_id", "volume", "bucket",
+        F.when(oid % 19 == 0, F.concat(F.col("key_name"), F.lit(".v3")))
+        .otherwise(F.col("key_name")).alias("key_name"),
+        size3.alias("data_size"),
+    )
+
+
+def snapshot_chain_view(spark: SparkSession) -> DataFrame:
+    """snapshotInfoTable analog (OMDBDefinition.java:302-305): the chain
+    of snapshots linked by previous-snapshot pointers
+    (SnapshotInfo.java:53-117), one taken every 30 days."""
+    sid = F.col("id")
+    return spark.range(1, 4).select(
+        F.concat(F.lit("snap"), sid.cast("string")).alias("snapshot_name"),
+        sid.cast("int").alias("chain_pos"),
+        F.when(sid > 1, F.concat(F.lit("snap"), (sid - 1).cast("string")))
+        .alias("previous_snapshot"),
+        (F.lit(NOW_MS) - (F.lit(4) - sid) * 30 * 86400000).alias("create_time"),
+    )
+
+
 def directories_view(keys: DataFrame) -> DataFrame:
     """FSO directoryTable analog (OMDBDefinition.java:260,
     OmDirectoryInfo.java:38-53): every directory implied by key_name at
@@ -291,6 +328,50 @@ def deleted_keys_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def multipart_uploads_view(keys: DataFrame) -> DataFrame:
+    """multipartInfoTable analog (OMDBDefinition.java:230-233,
+    OmMultipartKeyInfo): in-flight uploads — one per 23rd key, initiated
+    at the key's creation time, upload id = md5(db_key) (the reference's
+    ids are UUIDs; md5 keeps it oracle-replayable)."""
+    oid = F.col("object_id")
+    return keys.where(oid % 23 == 0).select(
+        F.md5("db_key").alias("upload_id"),
+        "db_key", "object_id", "volume", "bucket", "key_name", "owner",
+        F.col("creation_time").alias("initiated_ms"),
+        (F.lit(1) + oid % 5).cast("int").alias("n_parts"),
+        F.col("data_size").alias("part_bytes"),
+    )
+
+
+def trash_entries_view(keys: DataFrame) -> DataFrame:
+    """.Trash namespace analog (TrashPolicyOzone.java /
+    TrashOzoneFileSystem.java — HDFS-style per-user trash under each
+    bucket): one per 21st key, living in Current or in one of two
+    timestamped checkpoints (10 and 40 days old)."""
+    oid = F.col("object_id")
+    # selector must be independent of the %21 membership filter
+    # (oid%21==0 forces oid%3==0) — use the quotient's residue instead
+    sel = F.expr("object_id div 21") % 3
+    checkpoint_ms = (
+        F.when(sel == 1, F.lit(NOW_MS - 10 * 86400000))
+        .when(sel == 2, F.lit(NOW_MS - 40 * 86400000))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    checkpoint = F.when(
+        checkpoint_ms.isNull(), F.lit("Current")
+    ).otherwise(F.concat(F.lit("ckpt-"), checkpoint_ms.cast("string")))
+    return keys.where(oid % 21 == 0).select(
+        "object_id", "volume", "bucket", "owner", "key_name", "data_size",
+        checkpoint_ms.alias("checkpoint_ms"),
+        checkpoint.alias("checkpoint"),
+        F.concat(
+            F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"),
+            F.lit("/.Trash/"), F.col("owner"), F.lit("/"), checkpoint,
+            F.lit("/"), F.col("key_name"),
+        ).alias("trash_path"),
+    )
+
+
 def tenant_access_view(customer: DataFrame) -> DataFrame:
     """Multi-tenancy access-id table analog (tenantAccessIdTable +
     s3SecretTable — OMDBDefinition.java:279-296,163-166).  One S3 access
@@ -320,8 +401,12 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         datanodes=datanodes_view(spark),
         snap1=snap1_view(keys),
         snap2=snap2_view(keys),
+        snap3=snap3_view(keys),
+        snapshot_chain=snapshot_chain_view(spark),
         open_keys=open_keys_view(keys),
         deleted_keys=deleted_keys_view(keys),
+        multipart_uploads=multipart_uploads_view(keys),
+        trash_entries=trash_entries_view(keys),
         tenant_access=tenant_access_view(t["customer"]),
     )
     return t

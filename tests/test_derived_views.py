@@ -11,7 +11,8 @@ from ozone_spark.oracle import with_views
 from tests.util import assert_match
 
 VIEWS = ["keys", "locations", "containers", "replicas", "datanodes",
-         "directories", "snap1", "snap2", "open_keys", "deleted_keys"]
+         "directories", "snap1", "snap2", "snap3", "snapshot_chain",
+         "open_keys", "deleted_keys"]
 
 
 @pytest.mark.parametrize("view", VIEWS)
