@@ -82,29 +82,32 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     fake = fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
         for pdf in it:
-            rows = []
-            for doc_id, mtype, payload in zip(
-                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "media decode requires codec libraries not available "
-                        "here; use fake_decode=True")
-                data = list(bytes(payload))
-                hist = [0.0] * n_bins
-                for b in data:
-                    hist[b * n_bins // 256] += 1.0
-                n = max(len(data), 1)
-                rows.append({
-                    "doc_id": doc_id,
-                    "media_type": mtype,
-                    "payload_len": len(data),
-                    "byte_histogram": [h / n for h in hist],
-                    "byte_mean": sum(data) / n,
-                })
-            yield _pd.DataFrame(rows, columns=out_cols)
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not available "
+                    "here; use fake_decode=True")
+            lens, hists, means = [], [], []
+            for payload in pdf["payload"]:
+                # vectorized per payload: the bytes never become Python
+                # ints (frombuffer is zero-copy; bincount is C)
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                n = max(arr.size, 1)
+                bins = (arr.astype(_np.int32) * n_bins) >> 8  # b*n_bins//256
+                hist = _np.bincount(bins, minlength=n_bins).astype(_np.float64)
+                lens.append(arr.size)
+                hists.append((hist / n).tolist())
+                means.append(float(arr.sum()) / n)
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": pdf["media_type"].to_numpy(),
+                "payload_len": _np.asarray(lens, dtype=_np.int64),
+                "byte_histogram": hists,
+                "byte_mean": _np.asarray(means, dtype=_np.float64),
+            }, columns=out_cols)
 
     # fan a single-file input out across cores before the CPU-bound UDF
     target = media.sparkSession.sparkContext.defaultParallelism

@@ -169,3 +169,27 @@ def pending_deletion_by_datanode(deleted_keys: DataFrame, locations: DataFrame,
              F.count("*").alias("pending_blocks"))
         .orderBy("datanode")
     )
+
+
+def cluster_growth_daily(keys: DataFrame) -> DataFrame:
+    """CLUSTER_GROWTH_DAILY analog (UtilizationSchemaDefinition.java:
+    75-83 — the one time-bucketed Recon table): per-day namespace
+    growth from key creation times, with running totals.  The daily
+    pre-aggregation shuffles on day (bounded cardinality: one row per
+    day); the running-sum window then orders the few thousand daily
+    rows in a single partition — bounded by calendar days, not keys,
+    so the single-partition window is safe at any data scale."""
+    day_idx = F.expr("creation_time div 86400000")
+    daily = (
+        keys.groupBy(day_idx.alias("day_idx"))
+        .agg(F.count("*").alias("new_keys"),
+             F.sum("data_size").alias("new_bytes"))
+    )
+    w = (Window.orderBy("day_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        (F.col("day_idx") * 86400000).alias("day_ms"),
+        "new_keys", "new_bytes",
+        F.sum("new_keys").over(w).alias("total_keys"),
+        F.sum("new_bytes").over(w).alias("total_bytes"),
+    ).orderBy("day_ms")

@@ -195,6 +195,23 @@ _CTES["trash_entries"] = f"""trash_entries AS (
   )
 )"""
 
+_CTES["acl_entries"] = """acl_entries AS (
+  SELECT '/vol' || CAST(v AS VARCHAR) AS path, 'USER' AS entity_type,
+    'user' || CAST(v AS VARCHAR) AS entity, r AS "right"
+  FROM (SELECT range AS v FROM range(4)), (SELECT unnest(['r','w']) AS r)
+  UNION ALL
+  SELECT '/vol' || CAST(v AS VARCHAR), 'WORLD', '', 'r'
+  FROM (SELECT range AS v FROM range(4)) WHERE v % 2 = 0
+  UNION ALL
+  SELECT '/vol' || CAST(v AS VARCHAR) || '/b' || CAST(b AS VARCHAR),
+    'GROUP', 'grp' || CAST(b AS VARCHAR), 'r'
+  FROM (SELECT range AS v FROM range(4)), (SELECT range AS b FROM range(3))
+  UNION ALL
+  SELECT '/vol' || CAST(v AS VARCHAR) || '/b' || CAST(b AS VARCHAR),
+    'USER', 'user' || CAST((v + b) % 10 AS VARCHAR), 'w'
+  FROM (SELECT range AS v FROM range(4)), (SELECT range AS b FROM range(3))
+)"""
+
 _CTES["tenant_access"] = """tenant_access AS (
   SELECT
     'access-' || CAST(c_custkey AS VARCHAR) AS access_id,
@@ -209,7 +226,7 @@ _CTES["tenant_access"] = """tenant_access AS (
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
           "directories", "snap1", "snap2", "snap3", "snapshot_chain",
           "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
-          "tenant_access"]
+          "acl_entries", "tenant_access"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "snap3": ["keys"], "open_keys": ["keys"], "deleted_keys": ["keys"],
          "multipart_uploads": ["keys"], "trash_entries": ["keys"]}

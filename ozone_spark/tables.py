@@ -372,6 +372,40 @@ def trash_entries_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def acl_entries_view(spark: SparkSession) -> DataFrame:
+    """ACL grant table analog (volume/bucket/key acl arrays —
+    OmKeyInfo.java:72-113, OmVolumeArgs.java:50-71; evaluated on every
+    read, KeyManagerImpl.java:814).  Flat rows (path, entity_type,
+    entity, right) with ONE right per row so rights-set unions stay
+    relational: volume-level USER r+w grants for the volume's 'home'
+    users, WORLD read on even volumes, bucket-level GROUP read and a
+    cross-user write grant."""
+    vols = spark.range(4).select(F.col("id").alias("v"))
+    buckets = spark.range(3).select(F.col("id").alias("b"))
+    vpath = F.concat(F.lit("/vol"), F.col("v").cast("string"))
+    bpath = F.concat(vpath, F.lit("/b"), F.col("b").cast("string"))
+    vol_user = vols.crossJoin(
+        spark.createDataFrame([("r",), ("w",)], "right string")).select(
+        vpath.alias("path"), F.lit("USER").alias("entity_type"),
+        F.concat(F.lit("user"), F.col("v").cast("string")).alias("entity"),
+        "right")
+    vol_world = vols.where(F.col("v") % 2 == 0).select(
+        vpath.alias("path"), F.lit("WORLD").alias("entity_type"),
+        F.lit("").alias("entity"), F.lit("r").alias("right"))
+    bk = vols.crossJoin(buckets)
+    bucket_group = bk.select(
+        bpath.alias("path"), F.lit("GROUP").alias("entity_type"),
+        F.concat(F.lit("grp"), F.col("b").cast("string")).alias("entity"),
+        F.lit("r").alias("right"))
+    bucket_user = bk.select(
+        bpath.alias("path"), F.lit("USER").alias("entity_type"),
+        F.concat(F.lit("user"),
+                 ((F.col("v") + F.col("b")) % 10).cast("string")).alias("entity"),
+        F.lit("w").alias("right"))
+    return (vol_user.unionByName(vol_world).unionByName(bucket_group)
+            .unionByName(bucket_user))
+
+
 def tenant_access_view(customer: DataFrame) -> DataFrame:
     """Multi-tenancy access-id table analog (tenantAccessIdTable +
     s3SecretTable — OMDBDefinition.java:279-296,163-166).  One S3 access
@@ -407,6 +441,7 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         deleted_keys=deleted_keys_view(keys),
         multipart_uploads=multipart_uploads_view(keys),
         trash_entries=trash_entries_view(keys),
+        acl_entries=acl_entries_view(spark),
         tenant_access=tenant_access_view(t["customer"]),
     )
     return t
