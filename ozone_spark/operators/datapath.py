@@ -135,6 +135,63 @@ def ec_read_plan(locations: DataFrame, containers: DataFrame,
     return agg.withColumn("status", status).orderBy("object_id")
 
 
+def ec_reconstruction_plan(locations: DataFrame, containers: DataFrame,
+                           ec_data: int = 3, ec_parity: int = 2) -> DataFrame:
+    """The decode plan for RECONSTRUCT-class EC objects
+    (ECBlockInputStream.java:53,116 — reconstruction reads ANY k
+    available units of the group and RS-decodes; source selection
+    prefers data units over parity, mirroring the reconstructed-stripe
+    reader).  Per object: the missing data units, the k source blocks
+    fed to the decoder (data-first, then parity, deterministic
+    tie-break), and the byte cost of the decode reads.
+
+    Scale: one broadcast join against the container states + two
+    aggregations keyed by object_id; the per-object window ranks at
+    most data+parity rows — no skew beyond the EC group width."""
+    stripe = ec_data + ec_parity
+    unit = F.col("block_seq") % stripe
+    avail_states = containers.where(F.col("state") != "DELETED") \
+        .select("container_id")
+    blocks = (
+        locations.where(F.col("object_id") % 5 == 0)
+        .join(broadcast(avail_states.withColumn("_avail", F.lit(1))),
+              "container_id", "left")
+        .select("object_id", "block_seq", "container_id", "block_len",
+                unit.alias("unit"),
+                (unit < ec_data).alias("is_data"),
+                (F.coalesce(F.col("_avail"), F.lit(0)) == 1).alias("avail"))
+    )
+    w = Window.partitionBy("object_id")
+    flagged = blocks.select(
+        "*",
+        F.sum(F.when(F.col("is_data") & ~F.col("avail"), 1).otherwise(0))
+        .over(w).alias("n_missing_data"),
+        F.sum(F.when(~F.col("is_data") & F.col("avail"), 1).otherwise(0))
+        .over(w).alias("n_parity_avail"),
+    ).where((F.col("n_missing_data") > 0)
+            & (F.col("n_missing_data") <= F.col("n_parity_avail")))
+    rank = F.row_number().over(
+        Window.partitionBy("object_id").orderBy(
+            F.desc("avail"), F.desc("is_data"), "unit", "block_seq",
+            "container_id", "block_len"))
+    ranked = flagged.withColumn(
+        "src_rank", F.when(F.col("avail"), rank))
+    return (
+        ranked.groupBy("object_id")
+        .agg(
+            F.max("n_missing_data").alias("n_missing_data"),
+            F.array_join(F.array_sort(F.collect_set(
+                F.when(F.col("is_data") & ~F.col("avail"), F.col("unit")))),
+                ",").alias("missing_units"),
+            F.sum(F.when(F.col("src_rank") <= ec_data, 1).otherwise(0))
+            .alias("n_sources"),
+            F.sum(F.when(F.col("src_rank") <= ec_data, F.col("block_len"))
+                  .otherwise(0)).alias("decode_read_bytes"),
+        )
+        .orderBy("object_id")
+    )
+
+
 def unique_snapshot_objects(snap1: DataFrame, snap2: DataFrame) -> DataFrame:
     """E2: distinct objects touched by either snapshot, per bucket
     (SnapshotDiffManager.java:1067-1070 objectIdToIsDirMap analog)."""

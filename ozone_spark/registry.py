@@ -1503,6 +1503,48 @@ FROM (
         ),
     ),
     _q(
+        "ec_reconstruction_plan",
+        lambda spark, sf: datapath.ec_reconstruction_plan(
+            views(spark, sf)["locations"], views(spark, sf)["containers"]),
+        with_views(
+            """WITH blocks AS (
+  SELECT l.object_id, l.block_seq, l.container_id, l.block_len,
+    l.block_seq % 5 AS unit,
+    l.block_seq % 5 < 3 AS is_data,
+    c.container_id IS NOT NULL AS avail
+  FROM locations l
+  LEFT JOIN (SELECT container_id FROM containers WHERE state <> 'DELETED') c
+    USING (container_id)
+  WHERE l.object_id % 5 = 0
+), flagged AS (
+  SELECT *,
+    sum(CASE WHEN is_data AND NOT avail THEN 1 ELSE 0 END)
+      OVER (PARTITION BY object_id) AS n_missing_data,
+    sum(CASE WHEN NOT is_data AND avail THEN 1 ELSE 0 END)
+      OVER (PARTITION BY object_id) AS n_parity_avail
+  FROM blocks
+), ranked AS (
+  SELECT *, CASE WHEN avail THEN row_number() OVER (
+      PARTITION BY object_id
+      ORDER BY CAST(avail AS INT) DESC, CAST(is_data AS INT) DESC,
+               unit, block_seq, container_id, block_len) END AS src_rank
+  FROM flagged
+  WHERE n_missing_data > 0 AND n_missing_data <= n_parity_avail
+)
+SELECT object_id,
+  CAST(max(n_missing_data) AS BIGINT) AS n_missing_data,
+  array_to_string(list_sort(list(DISTINCT
+    CASE WHEN is_data AND NOT avail THEN unit END)
+    FILTER (is_data AND NOT avail)), ',') AS missing_units,
+  CAST(sum(CASE WHEN src_rank <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sources,
+  CAST(sum(CASE WHEN src_rank <= 3 THEN block_len ELSE 0 END) AS BIGINT)
+    AS decode_read_bytes
+FROM ranked GROUP BY 1 ORDER BY object_id""",
+            ["locations", "containers"],
+        ),
+    ),
+    _q(
         "unique_snapshot_objects",
         lambda spark, sf: datapath.unique_snapshot_objects(
             views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
