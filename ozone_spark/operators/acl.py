@@ -20,15 +20,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def _path_ancestors() -> F.Column:
-    """All grant-bearing ancestor paths of db_key: /vol, /vol/bucket,
-    each directory prefix, and the key path itself."""
-    parts = F.split(F.col("db_key"), "/")  # leading '' then components
-    n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(2), n),
-        lambda i: F.concat(F.lit("/"),
-                           F.array_join(F.slice(parts, F.lit(2), i - 1), "/")))
+def _explode_path_ancestors(df: DataFrame, carry: list[str]) -> DataFrame:
+    """All grant-bearing ancestor paths of db_key (/vol, /vol/bucket,
+    each directory prefix, the key path itself), depth index exploded
+    first and each path built with one codegen'd substring_index —
+    substring_index(db_key, '/', i) for i in 2..n_parts is exactly the
+    i-1 leading components (count >= #delimiters returns the whole
+    string, covering the key path itself)."""
+    n = F.size(F.split(F.col("db_key"), "/"))
+    e = df.select("db_key", *carry,
+                  F.explode(F.sequence(F.lit(2), n)).alias("_i"))
+    return e.select(
+        "db_key", *carry,
+        F.expr("substring_index(db_key, '/', _i)").alias("path"))
 
 
 def effective_acls(keys: DataFrame, acl_entries: DataFrame) -> DataFrame:
@@ -36,7 +40,7 @@ def effective_acls(keys: DataFrame, acl_entries: DataFrame) -> DataFrame:
     the key's ancestor chain — the materialized form of the
     authorizer's walk (sorted-concatenated rights string, so the set is
     one deterministic scalar)."""
-    anc = keys.select("db_key", F.explode(_path_ancestors()).alias("path"))
+    anc = _explode_path_ancestors(keys.select("db_key"), [])
     j = anc.join(F.broadcast(acl_entries), "path")
     return (
         j.groupBy("db_key", "entity_type", "entity")
@@ -52,9 +56,9 @@ def read_allowed(keys: DataFrame, acl_entries: DataFrame) -> DataFrame:
     carries 'r' (KeyManagerImpl.java:814 -> checkAcls).  Left-semi
     against the broadcast grant table; the output keeps deny rows so
     deny is an observable verdict, not an absent row."""
-    anc = keys.select(
-        "db_key", F.col("owner").alias("principal"),
-        F.explode(_path_ancestors()).alias("path"))
+    anc = _explode_path_ancestors(
+        keys.select("db_key", F.col("owner").alias("principal")),
+        ["principal"])
     grants = acl_entries.where(F.col("right") == "r").select(
         "path", "entity_type", "entity")
     j = anc.join(F.broadcast(grants), "path", "left")

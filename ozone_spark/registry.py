@@ -1913,4 +1913,6 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {q.name: q.fn for q in ALL_QUERIES if q.bench}
+    # stable hand-written order (NOT the rotated gate order) so per-query
+    # bench timings are comparable round over round
+    return {q.name: q.fn for q in _REGISTRY_ORDER if q.bench}

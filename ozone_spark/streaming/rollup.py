@@ -54,14 +54,15 @@ def ancestor_deltas(events: DataFrame) -> DataFrame:
     (event, ancestor directory), depth-generic (shares the ancestor
     expression with the batch rollup so process()==reprocess() holds at
     any tree depth)."""
-    from ozone_spark.operators.namespace import ancestors_expr
+    from ozone_spark.operators.namespace import explode_ancestors
     sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
-    return events.select(
-        F.explode(ancestors_expr()).alias("dir_path"),
+    deltas = events.select(
+        "volume", "bucket", "key_name",
         sign.alias("d_files"),
         (sign * F.col("data_size")).alias("d_size"),
         (sign * F.col("replicated_size")).alias("d_repl"),
     )
+    return explode_ancestors(deltas, ["d_files", "d_size", "d_repl"])
 
 
 def _fold(key: Any, pdfs: Iterator[pd.DataFrame],
