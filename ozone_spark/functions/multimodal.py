@@ -116,6 +116,81 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SIZE = 256  # fake codec: fixed-size frames inside the payload
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("resized", ArrayType(DoubleType())),
+])
+
+
+def media_frame_sample(media: DataFrame, k: int = 4,
+                       frame_size: int = FRAME_SIZE) -> DataFrame:
+    """Frame sampling for video rows: pick k evenly-spaced frame indices
+    over the payload's frame count (payload_len / frame_size frames in
+    the fake codec).  Pure JVM-side arithmetic — the sampling *plan*
+    needs no decode, mirroring how a real pipeline prunes frames before
+    ever touching codec bytes; only the chosen frames would be handed
+    to the (stubbed) decoder."""
+    n_frames = F.greatest(
+        (F.col("payload_len") / frame_size).cast("long"), F.lit(1))
+    idx = F.when(
+        n_frames <= k,
+        F.sequence(F.lit(0), (n_frames - 1).cast("int"))
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (i * (n_frames - 1) / (k - 1)).cast("int")))
+    return (
+        media.where(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.explode(idx).alias("frame_index"),
+        )
+        .withColumn("byte_offset", F.col("frame_index") * frame_size)
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+def media_resize(media: DataFrame, out_dim: int = 8) -> DataFrame:
+    """Resize plumbing (decode -> downsample -> fixed-size vector):
+    Arrow-batched mapInPandas producing an out_dim-float vector per
+    payload via block-mean pooling over the fake-decoded bytes.  A real
+    deployment swaps the pooling body for the codec + interpolation
+    kernel; schema, batching and partitioning stay identical."""
+    n_out = out_dim
+    out_cols = [f.name for f in RESIZE_SCHEMA]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            vecs = []
+            for payload in pdf["payload"]:
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                if arr.size == 0:
+                    vecs.append([0.0] * n_out)
+                    continue
+                # block-mean pooling to a fixed length (the 'resize')
+                edges = _np.linspace(0, arr.size, n_out + 1).astype(_np.int64)
+                sums = _np.add.reduceat(arr.astype(_np.float64),
+                                        edges[:-1].clip(max=arr.size - 1))
+                counts = _np.maximum(_np.diff(edges), 1)
+                vecs.append((sums / counts).tolist())
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": pdf["media_type"].to_numpy(),
+                "resized": vecs,
+            }, columns=out_cols)
+
+    target = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — runs entirely JVM-side (no decode)."""
     return (

@@ -141,6 +141,45 @@ def open_keys_expired(open_keys: DataFrame, ttl_ms: int,
     )
 
 
+def lease_recovery_plan(open_keys: DataFrame, locations: DataFrame,
+                        containers: DataFrame,
+                        lease_ttl_ms: int, now_ms: int = NOW_MS) -> DataFrame:
+    """ST8 (hsync + lease recovery, the query-plane half): hsync'd open
+    files whose writer lease expired are finalized at their last
+    durably-flushed length — RecoverLease (OmClientProtocol.proto:138)
+    commits the key with the block-committed bytes
+    (KeyOutputStream.java:517-541 hsync persists block lengths;
+    OpenKeyCleanupService.java:79-111 applies the lease threshold).
+
+    A block only counts as committed if its container still exists and
+    is not DELETED in SCM — flushed bytes on reclaimed containers are
+    gone.  Per expired lease: COMMIT with the committed byte count when
+    any durable blocks remain, DELETE when none do.  Non-hsync open
+    keys are B3's plain expiry instead — disjoint by construction."""
+    expired = open_keys.where(
+        F.col("hsync") & (F.lit(now_ms) - F.col("creation_time") > lease_ttl_ms))
+    live = containers.where(F.col("state") != "DELETED").select("container_id")
+    committed = (
+        locations.join(F.broadcast(live), "container_id", "left_semi")
+        .groupBy("object_id").agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("block_len").alias("committed_bytes"),
+        )
+    )
+    return (
+        expired.join(committed, "object_id", "left")
+        .select(
+            "db_key", "object_id", "client_id",
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("committed_bytes", F.lit(0)).cast("long")
+            .alias("committed_bytes"),
+            F.when(F.coalesce("n_blocks", F.lit(0)) > 0, "COMMIT")
+            .otherwise("DELETE").alias("action"),
+        )
+        .orderBy("db_key")
+    )
+
+
 def reclaimable_deleted_keys(deleted_keys: DataFrame,
                              snapshot_keys: DataFrame) -> DataFrame:
     """B1/P7: deleted keys safe to purge = not referenced by any snapshot

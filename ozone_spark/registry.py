@@ -737,6 +737,32 @@ FROM trash_entries WHERE checkpoint_ms IS NULL ORDER BY object_id""",
         ),
     ),
     _q(
+        "lease_recovery_plan",
+        lambda spark, sf: lops.lease_recovery_plan(
+            views(spark, sf)["open_keys"], views(spark, sf)["locations"],
+            views(spark, sf)["containers"], lease_ttl_ms=_TTL_5Y),
+        with_views(
+            f"""SELECT o.db_key, o.object_id, o.client_id,
+  CAST(COALESCE(c.n_blocks, 0) AS BIGINT) AS n_blocks,
+  CAST(COALESCE(c.committed_bytes, 0) AS BIGINT) AS committed_bytes,
+  CASE WHEN COALESCE(c.n_blocks, 0) > 0 THEN 'COMMIT' ELSE 'DELETE' END
+    AS action
+FROM open_keys o
+LEFT JOIN (
+  SELECT object_id, count(*) AS n_blocks,
+    CAST(sum(block_len) AS BIGINT) AS committed_bytes
+  FROM locations l
+  WHERE EXISTS (SELECT 1 FROM containers c2
+                WHERE c2.container_id = l.container_id
+                  AND c2.state <> 'DELETED')
+  GROUP BY 1
+) c USING (object_id)
+WHERE o.hsync AND {NOW_MS} - o.creation_time > {_TTL_5Y}
+ORDER BY o.db_key""",
+            ["open_keys", "locations", "containers"],
+        ),
+    ),
+    _q(
         "reclaimable_deleted_keys",
         lambda spark, sf: lops.reclaimable_deleted_keys(
             views(spark, sf)["deleted_keys"],
@@ -1348,6 +1374,33 @@ FROM documents GROUP BY 1 ORDER BY 1""",
         lambda spark, sf: multimodal.extract_features(
             multimodal.as_media_table(views(spark, sf)["documents"])),
         None,  # pandas-UDF plumbing; byte-histogram checked in tests/
+    ),
+    _q(
+        "media_frame_sample",
+        lambda spark, sf: multimodal.media_frame_sample(
+            multimodal.as_media_table(views(spark, sf)["documents"])),
+        """WITH v AS (
+  SELECT doc_id,
+    greatest(octet_length(encode(text)) // 256, 1) AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+  CAST(frame_index AS INT) AS frame_index,
+  CAST(frame_index * 256 AS BIGINT) AS byte_offset
+FROM (
+  SELECT doc_id, n_frames,
+    unnest(CASE WHEN n_frames <= 4
+      THEN range(0, CAST(n_frames AS BIGINT))
+      ELSE [0, (n_frames - 1) // 3, 2 * (n_frames - 1) // 3, n_frames - 1]
+    END) AS frame_index
+  FROM v
+) ORDER BY doc_id, frame_index""",
+    ),
+    _q(
+        "media_resize",
+        lambda spark, sf: multimodal.media_resize(
+            multimodal.as_media_table(views(spark, sf)["documents"])),
+        None,  # pandas-UDF plumbing; pooling checked in tests/
     ),
 ]
 

@@ -203,6 +203,27 @@ def test_multimodal_feature_shapes(spark, sf_dir):
         assert r.payload_len > 0
 
 
+def test_media_resize_pooling(spark, sf_dir):
+    """Resize plumbing: fixed output dim, and the block-mean pool
+    preserves the overall byte mean (weighted by block sizes)."""
+    import numpy as np
+
+    from ozone_spark.functions import multimodal
+    docs = tables.load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.as_media_table(docs)
+    out = {r.doc_id: r.resized
+           for r in multimodal.media_resize(media, out_dim=8).collect()}
+    src = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert set(out) == set(src)
+    for doc_id, vec in out.items():
+        assert len(vec) == 8
+        arr = np.frombuffer(src[doc_id], dtype=np.uint8)
+        edges = np.linspace(0, arr.size, 9).astype(np.int64)
+        weights = np.diff(edges)
+        pooled_mean = float(np.dot(vec, weights)) / arr.size
+        assert abs(pooled_mean - arr.mean()) < 1e-6
+
+
 def test_media_decode_stub_raises(spark, sf_dir):
     """The non-fake decode path must fail loudly (no codecs here)."""
     from ozone_spark.functions import multimodal
