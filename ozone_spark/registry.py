@@ -1763,6 +1763,22 @@ def _cdc_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/store").drop("view_bucket")
 
 
+def _cdc_namespace_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 for the per-directory size distribution (/namespace/dist):
+    incrementally-maintained fileSizeBucket counts (oracle: batch dist
+    over the final key state)."""
+    import tempfile
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ozs_dist_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    scdc.run_incremental_namespace_dist(
+        spark, f"{work}/cdc", f"{work}/store", f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/store").drop("view_bucket")
+
+
 def _cdc_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 for J5: incrementally-maintained container→key index
     (oracle: batch index over the final key state)."""
@@ -1811,6 +1827,20 @@ STREAMING_QUERIES = [
   count(*) AS delta
 FROM keys WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
 GROUP BY 1, 2, 3""",
+            ["keys", "deleted_keys"],
+        ),
+    ),
+    _q(
+        "cdc_incremental_namespace_dist",
+        _cdc_namespace_dist,
+        with_views(
+            f"""WITH anc AS (
+  SELECT unnest({_ANC_LIST}) AS dir_path, data_size FROM keys
+  WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
+)
+SELECT dir_path, {_FILE_BIN} AS bin_index,
+  count(*) AS file_count
+FROM anc GROUP BY 1, 2""",
             ["keys", "deleted_keys"],
         ),
     ),

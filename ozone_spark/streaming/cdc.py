@@ -226,6 +226,36 @@ def run_incremental_histogram(spark: SparkSession, cdc_dir: str,
     run_incremental_view(spark, cdc_dir, store, checkpoint_dir, histogram_delta)
 
 
+def namespace_dist_delta(events: DataFrame) -> DataFrame:
+    """ST4 process() delta for the per-directory file-size distribution
+    (NSSummary fileSizeBucket[41] — NSSummary.java:38-44): signed counts
+    per (ancestor dir, bin).  Same codegen'd ancestors explode as the
+    batch operator, so process()==reprocess() holds bin-for-bin."""
+    from ozone_spark.operators.namespace import explode_ancestors
+
+    sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+    bin_idx = size_bin_index(F.col("data_size"), FILE_BIN_BASE_EXP,
+                             FILE_BIN_MAX_IDX)
+    rows = events.select(
+        "volume", "bucket", "key_name",
+        sign.alias("sign"), bin_idx.alias("bin_index"))
+    return (
+        explode_ancestors(rows, ["bin_index", "sign"])
+        .groupBy("dir_path", "bin_index")
+        .agg(F.sum("sign").alias("file_count"))
+    )
+
+
+def run_incremental_namespace_dist(spark: SparkSession, cdc_dir: str,
+                                   store_path: str,
+                                   checkpoint_dir: str) -> None:
+    """ST4: the /namespace/dist histogram maintained incrementally."""
+    store = IncrementalViewStore(
+        spark, store_path, ["dir_path", "bin_index"], ["file_count"])
+    run_incremental_view(spark, cdc_dir, store, checkpoint_dir,
+                         namespace_dist_delta)
+
+
 def quota_delta(events: DataFrame) -> DataFrame:
     """ST4 process() delta for quota accounting (A5 — the incremental
     usedBytes/usedNamespace path; the repair job is the batch oracle)."""

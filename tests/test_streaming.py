@@ -114,6 +114,24 @@ def test_cdc_incremental_quota_matches_repair(spark, sf_dir, tmpdir):
     assert canon(got.toPandas()) == canon(expected.toPandas())
 
 
+def test_cdc_incremental_namespace_dist_matches_batch(spark, sf_dir, tmpdir):
+    """ST4 for the per-directory size distribution: incremental bin
+    counts equal the batch namespace_dist of the final key state."""
+    from ozone_spark.operators.namespace import namespace_dist
+
+    t = tables.namespace_views(spark, sf_dir)
+    keys, deleted = t["keys"], t["deleted_keys"]
+    cdc.synthesize_cdc_log(keys, deleted, f"{tmpdir}/cdc", n_chunks=4)
+    cdc.run_incremental_namespace_dist(
+        spark, f"{tmpdir}/cdc", f"{tmpdir}/store", f"{tmpdir}/ck")
+    got = spark.read.parquet(f"{tmpdir}/store").drop("view_bucket")
+
+    keys_now = keys.join(deleted.select("object_id"), "object_id", "left_anti")
+    expected = namespace_dist(keys_now).select(
+        "dir_path", "bin_index", "file_count")
+    assert canon(got.toPandas()) == canon(expected.toPandas())
+
+
 def test_view_store_partial_rewrite(spark, tmpdir):
     """A merge rewrites ONLY the hash buckets its delta touches: files in
     untouched bucket directories are byte-identical and not re-written
