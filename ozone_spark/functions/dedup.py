@@ -234,28 +234,51 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-dup candidates: band the signature, equi-join on
-    (band, md5(band-slice)), then verify candidates with estimated
-    Jaccard = fraction of agreeing minhash components."""
-    sig = minhash_signatures(docs, n)
+                      threshold: float = 0.5,
+                      max_bucket: int = 200) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature, bucket by
+    (band, md5(band-slice)), pair up within buckets, then verify
+    candidates with estimated Jaccard = fraction of agreeing minhash
+    components.
+
+    Shape (scale-chosen): the signature stage — the expensive map — is
+    computed ONCE and persisted; a band-bucket self-join would compute
+    it once per join side (the physical plan had two parquet scans and
+    zero ReusedExchange).  Candidate pairs are generated in-bucket from
+    id-only rows (groupBy + pair explode, one shuffle of 8-byte ids)
+    instead of equi-joining rows that each carry the full 32-long
+    signature 8× (once per band).  Signatures are re-attached to the
+    (distinct, so much smaller) pair set afterwards.  Saturated buckets
+    (> `max_bucket` docs) carry no discriminating signal and explode
+    quadratically, so they are dropped — same policy as
+    `ngram_jaccard_pairs` and standard practice for web-scale LSH."""
+    sig = minhash_signatures(docs, n).persist()
     bands = sig.select(
-        "doc_id", "signature",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws(",", *[
                          F.col("signature")[b * ROWS_PER_BAND + r].cast("string")
                          for r in range(ROWS_PER_BAND)])).alias("bucket"))
             for b in range(N_BANDS)])).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = (
+        bands.groupBy("band", "bucket").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+        .join(sig.select(F.col("doc_id").alias("doc_a"),
+                         F.col("signature").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("signature").alias("sig_b")), "doc_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -296,27 +319,43 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  max_bucket: int = 200) -> DataFrame:
     """SimHash near-dups: block-permutation LSH — pairs sharing any of
     the four 15-bit blocks are candidates, verified by exact Hamming
-    distance (bit_count of xor)."""
-    sig = simhash_signatures(docs)
+    distance (bit_count of xor).
+
+    Same scale shape as `minhash_lsh_pairs`: the signature (an explode
+    + 60-conditional-sum groupBy — the expensive stage) is computed ONCE
+    and persisted instead of once per self-join side; candidates come
+    from an in-bucket pair explode over id-only rows with saturated
+    buckets dropped; signatures are re-attached to the distinct pairs."""
+    sig = simhash_signatures(docs).persist()
     blocks = sig.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
                      F.shiftright(F.col("simhash"), i * 15)
                      .bitwiseAND(F.lit(0x7FFF)).alias("val"))
             for i in range(4)])).alias("bb"),
-    ).select("doc_id", "simhash", "bb.blk", "bb.val")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    ).select("doc_id", "bb.blk", "bb.val")
+    buckets = (
+        blocks.groupBy("blk", "val").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     cands = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.val") == F.col("b.val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+        .join(sig.select(F.col("doc_id").alias("doc_a"),
+                         F.col("simhash").alias("sim_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("sim_b")), "doc_b")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

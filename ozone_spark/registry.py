@@ -1130,10 +1130,15 @@ ORDER BY 1, 2""",
     md5(concat_ws(',', sig[band * 4 + 1], sig[band * 4 + 2],
                   sig[band * 4 + 3], sig[band * 4 + 4])) AS bucket
   FROM (SELECT doc_id, sig, unnest(range(8)) AS band FROM sig)
+), ok AS (
+  SELECT band, bucket FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 200
+), bf AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, bucket)
 ), cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     a.sig AS sa, b.sig AS sb
-  FROM bands a JOIN bands b
+  FROM bf a JOIN bf b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -1161,10 +1166,15 @@ ORDER BY 1, 2""",
   SELECT doc_id, simhash, blk,
     (simhash >> (blk * 15)) & 32767 AS val
   FROM (SELECT doc_id, simhash, unnest(range(4)) AS blk FROM sig)
+), ok AS (
+  SELECT blk, val FROM blocks GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 200
+), bf AS (
+  SELECT blocks.* FROM blocks JOIN ok USING (blk, val)
 ), cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     a.simhash AS ha, b.simhash AS hb
-  FROM blocks a JOIN blocks b
+  FROM bf a JOIN bf b
     ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
