@@ -292,6 +292,85 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components of the pair graph, labeling every member with the
+    component's minimum doc_id (`cluster_id`).
+
+    This is the step every dedup pipeline needs after candidate
+    generation — pairs (a,b),(b,c) are ONE duplicate group {a,b,c}, and
+    the keeper is chosen per group, not per pair.
+
+    Scale shape: iterative min-label propagation over the edge list —
+    each round takes the min label across neighbors (join + groupBy),
+    then pointer-jumps (label := label's label) so long chains collapse
+    in O(log diameter) rounds rather than O(diameter).  Each round is a
+    bounded number of hash-partition shuffles of (id, label) pairs and
+    the result is `localCheckpoint`ed to truncate lineage — without
+    that, round k re-executes rounds 1..k-1 and the plan grows without
+    bound.  LSH pair graphs are sparse (bucket-capped upstream), so the
+    edge list is O(pairs), never O(n^2)."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct().persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("nbr_min", F.col("cluster_id")))
+                    .alias("cluster_id"))
+        )
+        # pointer jump: label := label's current label (path halving)
+        jump = (
+            stepped.alias("s")
+            .join(stepped.select(F.col("doc_id").alias("cluster_id"),
+                                 F.col("cluster_id").alias("root"))
+                  .alias("r"), "cluster_id", "left")
+            .select("doc_id",
+                    F.coalesce("root", F.col("cluster_id")).alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            jump.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+            .where(F.col("cluster_id") != F.col("prev")).limit(1).count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
+                       n: int = 3) -> DataFrame:
+    """End-to-end dedup resolution: n-gram Jaccard pairs -> connected
+    components -> per-doc cluster assignment with the keeper flagged
+    (minimum doc_id per cluster, the same keeper rule as
+    `exact_duplicates`)."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    return (
+        cc.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_keeper")
+        .orderBy("doc_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """SIM_BITS-wide SimHash over word unigrams: for each bit, sum +-1
     weighted by token hash bits; sign -> bit.  Expressed with explode +

@@ -1108,6 +1108,48 @@ ORDER BY 1, 2""",
         bench=True,
     ),
     _q(
+        "dedup_clusters",
+        lambda spark, sf: dedup.duplicate_clusters(
+            views(spark, sf)["documents"], threshold=0.1),
+        # pairs -> connected components via recursive transitive closure;
+        # cluster_id = min doc_id of the component (same keeper rule as
+        # dedup_exact)
+        f"""WITH RECURSIVE words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc_id, a AS root FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+)
+SELECT doc_id, min(root) AS cluster_id,
+  min(root) = doc_id AS is_keeper
+FROM reach GROUP BY doc_id ORDER BY doc_id""",
+    ),
+    _q(
         "dedup_minhash_lsh",
         lambda spark, sf: dedup.minhash_lsh_pairs(
             views(spark, sf)["documents"], threshold=0.1),

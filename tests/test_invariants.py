@@ -229,3 +229,40 @@ def test_media_decode_stub_raises(spark, sf_dir):
     from ozone_spark.functions import multimodal
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image", fake=False)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 6-hop chain must collapse into ONE cluster labeled by its min
+    member (pointer jumping handles diameter > iteration count of the
+    naive propagation), and disjoint islands must stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),   # chain
+         (20, 21),                                          # island
+         (30, 31), (31, 32), (30, 32)],                     # triangle
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == ({(i, 1) for i in range(1, 8)}
+                   | {(20, 20), (21, 20)}
+                   | {(i, 30) for i in (30, 31, 32)})
+
+
+def test_duplicate_clusters_cover_all_pairs(spark, sf_dir):
+    """Every near-dup pair's endpoints share a cluster; every cluster
+    is labeled by its minimum member; keepers are exactly one per
+    cluster."""
+    docs = tables.load_table(spark, sf_dir, "documents").limit(150)
+    variant = docs.withColumn("doc_id", F.col("doc_id") + 100000) \
+        .withColumn("text", F.concat("text", F.lit(" planted variant")))
+    corpus = docs.unionByName(variant)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    assert pairs
+    label = {r.doc_id: r.cluster_id
+             for r in dedup.duplicate_clusters(corpus, threshold=0.5).collect()}
+    for r in pairs:
+        assert label[r.doc_a] == label[r.doc_b]
+    members: dict[int, list[int]] = {}
+    for doc, c in label.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs_in in members.items():
+        assert c == min(docs_in)
