@@ -167,6 +167,93 @@ def curation_pipeline(docs: DataFrame, min_tokens: int = 16,
     )
 
 
+def document_chunks(docs: DataFrame, chunk_tokens: int = 32,
+                    overlap: int = 8) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    preprocessing step of every LLM training / RAG pipeline (sequence
+    packing, context-window fitting).
+
+    Chunk starts are 0, stride, 2*stride, ... with
+    stride = chunk_tokens - overlap; every token belongs to at least one
+    chunk and the last chunk keeps its `overlap` lookback.  Emits the
+    md5 of each chunk's text (compact at any scale) plus its token
+    count, not the chunk text itself.
+
+    Pure per-row array math (split + sequence + slice): ZERO shuffles —
+    at 100 TB this is a map-only pass that Catalyst pipelines into the
+    parquet scan."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    words = F.split(F.col("text"), " ")
+    n_tok = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_tok - overlap - 1, F.lit(0)), F.lit(stride))
+    chunk = F.explode(F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.least(n_tok - s, F.lit(chunk_tokens)).cast("long")
+            .alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens)))
+            .alias("chunk_md5"))))
+    return (
+        docs.where(n_tok > 0)
+        .select("doc_id", chunk.alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5")
+    )
+
+
+# Gopher-style quality rule bounds (Rae et al. 2021, §A1.1 heuristics,
+# adapted to the fixture's single-line word-stream corpus)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+
+
+def gopher_quality_filters(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher/C4-style quality rule evaluation: each rule
+    as an explicit boolean column plus the conjunction, so a pipeline
+    can both filter and report per-rule drop accounting.  All built-in
+    expressions, map-only."""
+    t = F.col("text")
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    mean_wl = (F.length(t) - n_words + 1).cast("double") / n_words
+    n_sym = (F.length(t)
+             - F.length(F.regexp_replace(t, r"[^a-z0-9 ]", ""))).cast("long")
+    sym_ratio = n_sym.cast("double") / F.greatest(n_words, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw_distinct = F.size(F.array_intersect(F.array_distinct(words), sw))
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1)))
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = ((mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+             & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN))
+    ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_sw = n_sw_distinct >= GOPHER_MIN_DISTINCT_STOPWORDS
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO
+    return docs.select(
+        "doc_id", "source",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        n_sw_distinct.cast("long").alias("n_distinct_stopwords"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_sw.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_words & ok_wl & ok_sym & ok_sw & ok_alpha).alias("passes_gopher"),
+    )
+
+
 def fingerprint_summary(docs: DataFrame) -> DataFrame:
     """Per-source corpus dedup stats: docs vs distinct fingerprints."""
     return (

@@ -1046,6 +1046,66 @@ FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
   CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique
 FROM documents GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "document_chunks",
+        lambda spark, sf: text.document_chunks(views(spark, sf)["documents"]),
+        """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+    len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), s AS (
+  SELECT doc_id, words, n_tok,
+    unnest(generate_series(0, greatest(n_tok - 9, 0), 24)) AS start
+  FROM w WHERE n_tok > 0
+)
+SELECT doc_id,
+  CAST(start // 24 AS BIGINT) AS chunk_id,
+  CAST(least(n_tok - start, 32) AS BIGINT) AS n_tokens,
+  md5(array_to_string(list_slice(words, start + 1, start + 32), ' '))
+    AS chunk_md5
+FROM s""",
+    ),
+    _q(
+        "gopher_quality",
+        lambda spark, sf: text.gopher_quality_filters(
+            views(spark, sf)["documents"]),
+        f"""WITH m AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_words,
+    (length(text) - len(string_split(text, ' ')) + 1)
+      / len(string_split(text, ' ')) AS mean_wl,
+    (length(text)
+      - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+      / greatest(len(string_split(text, ' ')), 1) AS sym_ratio,
+    len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the', 'a', 'of', 'and', 'to', 'in'])) AS n_sw,
+    len(list_filter(string_split(text, ' '),
+        w -> regexp_matches(w, '[a-zA-Z]')))
+      / greatest(len(string_split(text, ' ')), 1) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(sym_ratio, 6) AS symbol_ratio,
+  CAST(n_sw AS BIGINT) AS n_distinct_stopwords,
+  round(alpha_ratio, 6) AS alpha_word_ratio,
+  n_words >= {text.GOPHER_MIN_WORDS}
+    AND n_words <= {text.GOPHER_MAX_WORDS} AS ok_word_count,
+  mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+    AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN} AS ok_mean_word_len,
+  sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+  n_sw >= {text.GOPHER_MIN_DISTINCT_STOPWORDS} AS ok_stopwords,
+  alpha_ratio >= {text.GOPHER_MIN_ALPHA_WORD_RATIO} AS ok_alpha_words,
+  (n_words >= {text.GOPHER_MIN_WORDS}
+    AND n_words <= {text.GOPHER_MAX_WORDS})
+    AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+      AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+    AND sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+    AND n_sw >= {text.GOPHER_MIN_DISTINCT_STOPWORDS}
+    AND alpha_ratio >= {text.GOPHER_MIN_ALPHA_WORD_RATIO} AS passes_gopher
+FROM m""",
+    ),
 ]
 
 def _minhash_sig_sql() -> str:
