@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ozone_spark import tables
-from ozone_spark.functions import dedup, multimodal, similarity, text
+from ozone_spark.functions import dedup, multimodal, pipeline, similarity, text
 from ozone_spark.functions.bins import bin_sql
 from ozone_spark.operators import (
     admin,
@@ -1108,6 +1108,118 @@ FROM m""",
     ),
 ]
 
+# 5-word shingle list over the normalized text, as a DuckDB expression
+_SH5 = ("list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
+        "i -> array_to_string(list_slice(w, i, i + 4), ' ')))")
+# the portable Bernoulli sample key (functions/pipeline.py sample_key)
+_SKEY = ("CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), "
+         "1, 7) AS BIGINT) % 10000")
+_RATE = ("CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.4 "
+         "ELSE 1.0 END AS DOUBLE)")
+
+PIPELINE_QUERIES = [
+    _q(
+        "decontaminate_overlap",
+        lambda spark, sf: pipeline.decontaminate(
+            views(spark, sf)["documents"].where("doc_id % 25 <> 0"),
+            views(spark, sf)["documents"].where("doc_id % 25 = 0")),
+        f"""WITH shl AS (
+  SELECT doc_id, {_SH5} AS shs
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+), ev AS (
+  SELECT DISTINCT unnest(shs) AS s FROM shl WHERE doc_id % 25 = 0
+), tr AS (
+  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM shl
+  WHERE doc_id % 25 <> 0
+), agg AS (
+  SELECT tr.doc_id, any_value(tr.n_sh) AS n_sh, count(ev.s) AS n_hit
+  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+  CAST(n_hit AS BIGINT) AS n_overlapping,
+  round(n_hit / n_sh, 6) AS overlap_fraction,
+  n_hit / n_sh >= {pipeline.DECONTAM_MIN_OVERLAP} AS contaminated
+FROM agg ORDER BY doc_id""",
+    ),
+    _q(
+        "repetition_metrics",
+        lambda spark, sf: pipeline.repetition_metrics(
+            views(spark, sf)["documents"]),
+        f"""WITH m AS (
+  SELECT doc_id, source, len(ws) AS n_words,
+    len(ws) - len(list_distinct(ws)) AS n_dup,
+    list_max(list_transform(list_distinct(ws),
+      v -> len(list_filter(ws, x -> x = v)))) AS top_w,
+    list_max(list_transform(list_distinct(bg),
+      v -> len(list_filter(bg, x -> x = v)))) AS top_bg
+  FROM (
+    SELECT doc_id, source, ws,
+      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+    FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS ws
+          FROM documents)
+    WHERE len(ws) >= 2)
+)
+SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+  round(n_dup / n_words, 6) AS dup_word_fraction,
+  round(top_w / n_words, 6) AS top_word_fraction,
+  round(top_bg / greatest(n_words - 1, 1), 6) AS top_bigram_fraction,
+  n_dup / n_words <= {pipeline.REP_MAX_DUP_WORD_FRACTION} AS ok_dup_words,
+  top_w / n_words <= {pipeline.REP_MAX_TOP_WORD_FRACTION} AS ok_top_word,
+  top_bg / greatest(n_words - 1, 1)
+    <= {pipeline.REP_MAX_TOP_BIGRAM_FRACTION} AS ok_top_bigram,
+  n_dup / n_words <= {pipeline.REP_MAX_DUP_WORD_FRACTION}
+    AND top_w / n_words <= {pipeline.REP_MAX_TOP_WORD_FRACTION}
+    AND top_bg / greatest(n_words - 1, 1)
+      <= {pipeline.REP_MAX_TOP_BIGRAM_FRACTION} AS passes_repetition
+FROM m ORDER BY doc_id""",
+    ),
+    _q(
+        "stratified_sample",
+        lambda spark, sf: pipeline.stratified_sample(
+            views(spark, sf)["documents"]),
+        f"""SELECT doc_id, lang, source, sample_key FROM (
+  SELECT doc_id, lang, source, {_SKEY} AS sample_key,
+    CAST({_RATE} * 10000 AS INT) AS cut
+  FROM documents
+) WHERE sample_key < cut ORDER BY doc_id""",
+    ),
+    _q(
+        "stratified_sample_summary",
+        lambda spark, sf: pipeline.stratified_sample_summary(
+            views(spark, sf)["documents"]),
+        f"""WITH k AS (
+  SELECT lang AS stratum, {_RATE} AS target_rate,
+    CASE WHEN {_SKEY} < CAST({_RATE} * 10000 AS INT)
+      THEN 1 ELSE 0 END AS kept,
+    len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT stratum, any_value(target_rate) AS target_rate,
+  count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_tok) AS BIGINT) AS kept_tokens,
+  round(sum(kept) / count(*), 6) AS realized_rate
+FROM k GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "pack_sequences",
+        lambda spark, sf: pipeline.pack_sequences(
+            views(spark, sf)["documents"]),
+        f"""WITH b AS (
+  SELECT source AS shard, doc_id, n_tok,
+    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) - n_tok) // {pipeline.PACK_BUDGET} AS bin
+  FROM (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents)
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(sum(n_tok) / {pipeline.PACK_BUDGET}, 6) AS fill_ratio
+FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+]
+
 def _minhash_sig_sql() -> str:
     """The 32 Carter-Wegman minima as a DuckDB list literal body."""
     return ", ".join(
@@ -2057,7 +2169,8 @@ ORDER BY day_ms""",
 _REGISTRY_ORDER: list[QuerySpec] = (
     LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
     + NAMESPACE_QUERIES + LIFECYCLE_QUERIES + SCALAR_QUERIES + TPCH_QUERIES
-    + EVENT_QUERIES + TEXT_QUERIES + DEDUP_QUERIES + SIMILARITY_QUERIES
+    + EVENT_QUERIES + TEXT_QUERIES + PIPELINE_QUERIES + DEDUP_QUERIES
+    + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES
 )

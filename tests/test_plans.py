@@ -111,3 +111,35 @@ def test_bucketed_snapshot_diff_no_shuffle(spark, t):
     assert "SortMergeJoin" in join_section or "ShuffledHashJoin" in join_section
     # bucketed co-partitioned scans: no Exchange feeding the join
     assert "Exchange hashpartitioning(object_id" not in join_section
+
+
+def test_decontaminate_broadcasts_eval_side(spark, t):
+    """Decontamination must broadcast the (small) eval-set shingles so
+    the training corpus is never shuffled for the overlap probe; the
+    only hash exchange is the final per-doc count groupBy."""
+    from ozone_spark.functions.pipeline import decontaminate
+    docs = t["documents"]
+    plan = plan_of(decontaminate(
+        docs.where("doc_id % 25 <> 0"), docs.where("doc_id % 25 = 0")))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "CartesianProduct" not in body
+
+
+def test_repetition_metrics_is_map_only(spark, t):
+    """Repetition quality rules are per-row array expressions — no
+    Exchange besides the output sort (drop the orderBy for the check)."""
+    from ozone_spark.functions.pipeline import repetition_metrics
+    plan = plan_of(repetition_metrics(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_stratified_sample_is_shuffle_free_filter(spark, t):
+    """The deterministic Bernoulli sample is a map-only filter: zero
+    hash exchanges of the corpus."""
+    from ozone_spark.functions.pipeline import stratified_sample
+    plan = plan_of(stratified_sample(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange hashpartitioning" not in body
