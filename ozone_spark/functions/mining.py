@@ -1,0 +1,121 @@
+"""Corpus-mining operators: PII detection/redaction and TF-IDF / BM25
+term scoring (training-data pipeline surface, additive to the reference
+— SURVEY.md §2.10 north star, same family as functions/pipeline.py).
+
+Scale notes (100 TB):
+- PII redaction is pure per-row regex work: map-only, zero shuffles,
+  whole-stage-codegen'd JVM regexes (no Python UDFs).
+- TF-IDF shuffles exactly three times: token counts by (doc_id, term),
+  document frequency by term, and the per-doc top-k window by doc_id.
+  The scalar corpus stats (N, avgdl) ride along as a broadcast one-row
+  crossJoin — no collect(), no driver round-trip.
+- All floating-point scores are deterministic-by-construction (fixed
+  fold order, integer inputs) and rounded to 6 decimals so any engine
+  replays them bit-identically; the DuckDB oracles in registry.py do.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+# ------------------------------------------------------------------ PII
+
+# The synthetic documents are word-salad with no natural PII, so the
+# operator derives a deterministic contact tail per doc (email, IPv4,
+# phone) and then detects/redacts it — the regex path is exercised for
+# real, and the DuckDB oracle replays the same derivation.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b555-\d{4}\b"
+
+
+def _with_contact_tail(docs: DataFrame) -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit(".0."), ((d * 7) % 256).cast("string"),
+        F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+def pii_redaction(docs: DataFrame) -> DataFrame:
+    """Detect and redact emails / IPv4s / phone numbers: per-doc match
+    counts plus an md5 fingerprint of the redacted text (compact proof
+    the full replacement happened, verifiable by any engine with md5).
+
+    Redaction order matters: emails first (their host part would
+    otherwise be chewed up by later passes), then IPs, then phones.
+    """
+    aug = _with_contact_tail(docs)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+# ------------------------------------------------------- TF-IDF / BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOP_TERMS = 3
+
+
+def tf_idf_top_terms(docs: DataFrame, top_n: int = TOP_TERMS) -> DataFrame:
+    """Per-doc top-n terms by TF-IDF with a BM25 score alongside.
+
+    tfidf = tf * ln(N / df);  bm25 = ln((N-df+0.5)/(df+0.5) + 1) *
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).  Ties broken by term
+    ascending so the top-n set is total-order deterministic.
+    """
+    toks = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # corpus scalars as a broadcast one-row join (no collect())
+    scalars = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.filter(F.split(F.col("text"), " "),
+                              lambda w: w != ""))).alias("avgdl"))
+    dl_w = Window.partitionBy("doc_id")
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(broadcast(scalars))
+        .withColumn("dl", F.sum("tf").over(dl_w))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .withColumn(
+            "bm25",
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1
+               * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tf", "df",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("tfidf", 6).alias("tfidf"),
+                F.round("bm25", 6).alias("bm25"))
+    )

@@ -80,3 +80,98 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )
+
+
+# ------------------------------------------------------------ as-of join
+
+def _epoch_ms(ts: F.Column) -> F.Column:
+    # events.ts is TIMESTAMP_NTZ; the session tz is pinned to UTC, so the
+    # NTZ→TZ cast is the identity instant and unix_millis is engine-portable
+    # (DuckDB epoch_ms on the NTZ value gives the same integer).
+    return F.unix_millis(F.col(ts).cast("timestamp") if isinstance(ts, str)
+                         else ts.cast("timestamp"))
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (the classic point-in-time / trade-quote join).
+
+    Shape: instead of a range join (which explodes to candidate pairs),
+    the two sides are UNIONed with a side marker and a single running
+    `last(click, ignorenulls)` window per user resolves every purchase in
+    one pass — one shuffle on user_id, O(1) state per row, no pair
+    blowup.  Ordering (ts, marker, event_id) is total, so ties at the
+    same timestamp deterministically pick the highest click event_id and
+    a same-instant click IS visible to the purchase (marker orders the
+    click first)."""
+    sides = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id",
+        _epoch_ms("ts").alias("ts_ms"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("m"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_ms", "m", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    click = F.last(
+        F.when(F.col("m") == 0,
+               F.struct(F.col("ts_ms"), F.col("event_id"))),
+        ignorenulls=True).over(w)
+    return (
+        sides.withColumn("c", click)
+        .where(F.col("m") == 1)
+        .select(F.col("event_id").alias("purchase_event_id"),
+                "user_id",
+                F.col("ts_ms").alias("purchase_ms"),
+                F.col("c.ts_ms").alias("click_ms"),
+                F.col("c.event_id").alias("click_event_id"),
+                (F.col("ts_ms") - F.col("c.ts_ms")).alias("gap_ms"))
+    )
+
+
+def rolling_user_1h(events: DataFrame) -> DataFrame:
+    """Per event: that user's activity over the trailing hour (RANGE
+    frame on event-time, current row inclusive) — count and exact
+    integer-cents value sum, so the rolling sums hash identically in any
+    engine regardless of float summation order."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts_ms"))
+         .rangeBetween(-3_600_000, 0))
+    return (
+        events.select("event_id", "user_id", "event_type",
+                      _epoch_ms("ts").alias("ts_ms"),
+                      cents.alias("cents"))
+        .select("event_id", "user_id", "event_type", "ts_ms",
+                F.count("*").over(w).alias("n_1h"),
+                F.sum("cents").over(w).alias("cents_1h"))
+    )
+
+
+def events_rollup_daily(events: DataFrame) -> DataFrame:
+    """ROLLUP over (event_type, day): leaf rows, per-type subtotals and
+    the grand total in one pass (partial-agg friendly; NULL group-outs
+    re-labelled 'ALL' — both columns are natural-NULL-free)."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("event_type", day, cents.alias("cents"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("total_cents"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("day", F.lit("ALL")).alias("day"),
+                "n_events", "total_cents")
+    )
+
+
+def props_k_histogram(events: DataFrame) -> DataFrame:
+    """JSON path extraction over the props column: histogram of the
+    'k' attribute in buckets of 10 per event type (the engine's JSON
+    scalar surface — get_json_object stays JVM-side/codegen'd)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", F.floor(k / 10).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "k_bucket")
+    )

@@ -17,7 +17,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ozone_spark import tables
-from ozone_spark.functions import dedup, multimodal, pipeline, similarity, text
+from ozone_spark.functions import (
+    dedup, mining, multimodal, pipeline, similarity, text)
 from ozone_spark.functions.bins import bin_sql
 from ozone_spark.operators import (
     admin,
@@ -2166,8 +2167,187 @@ ORDER BY day_ms""",
     ),
 ]
 
+# ---------------------------------------------------------------------------
+# corpus mining / event analytics batch 2 (PII, TF-IDF, as-of, rolling,
+# rollup, JSON, k-means — training-pipeline north star)
+# ---------------------------------------------------------------------------
+
+_PII_TAIL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_RED = (
+    "regexp_replace(regexp_replace(regexp_replace(t, '"
+    + mining.EMAIL_RE + "', '<EMAIL>', 'g'), '"
+    + mining.IPV4_RE + "', '<IP>', 'g'), '"
+    + mining.PHONE_RE + "', '<PHONE>', 'g')"
+)
+
+_TFIDF_K1P1 = repr(mining.BM25_K1 + 1)
+_TFIDF_1MB = repr(1 - mining.BM25_B)
+
+
+def _kmeans_oracle(k: int = similarity.KM_K, iters: int = similarity.KM_ITERS,
+                   dims: int = 64, quant: int = similarity.KM_QUANT) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — the same fixed-point
+    math as similarity.kmeans_assign, term-by-term in the same left-assoc
+    fold order so every double is bit-identical."""
+    def dist(cols):
+        return " + ".join(
+            f"(q.qv[{i + 1}] - c.{cols(i)}) * (q.qv[{i + 1}] - c.{cols(i)})"
+            for i in range(dims))
+
+    d_init = dist(lambda i: f"qv[{i + 1}]")
+    d_mean = dist(lambda i: f"m{i + 1}")
+    means = ", ".join(
+        f"sum(qv[{i + 1}]) / count(*) AS m{i + 1}" for i in range(dims))
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (SELECT vec_id AS cid, qv FROM q WHERE vec_id < {k})"""]
+    prev = "c0"
+    d_expr = d_init
+    for it in range(iters):
+        parts.append(f""", a{it} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cid AS cluster,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {d_expr}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c) WHERE rn = 1
+), c{it + 1} AS (
+  SELECT cluster AS cid, {means} FROM a{it} GROUP BY cluster)""")
+        prev = f"c{it + 1}"
+        d_expr = d_mean
+    parts.append(f"""
+SELECT vec_id, cluster, CAST(floor(d) AS BIGINT) AS dist_sq_q FROM (
+  SELECT q.vec_id, c.cid AS cluster, {d_expr} AS d,
+    row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {d_expr}, c.cid) AS rn
+  FROM q CROSS JOIN {prev} c) WHERE rn = 1""")
+    return "".join(parts)
+
+
+MINING_QUERIES = [
+    _q(
+        "pii_redaction",
+        lambda spark, sf: mining.pii_redaction(views(spark, sf)["documents"]),
+        f"""WITH aug AS (
+  SELECT doc_id, {_PII_TAIL} AS t FROM documents
+), red AS (
+  SELECT doc_id, t, {_PII_RED} AS r FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{mining.EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{mining.IPV4_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{mining.PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(r) AS redacted_fp,
+  CAST(length(r) AS BIGINT) AS redacted_len
+FROM red""",
+    ),
+    _q(
+        "tf_idf_top_terms",
+        lambda spark, sf: mining.tf_idf_top_terms(views(spark, sf)["documents"]),
+        f"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+    AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scal AS (
+  SELECT count(*) AS n_docs,
+    avg(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS avgdl
+  FROM documents
+), dl AS (
+  SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+), scored AS (
+  SELECT d.doc_id, d.term, d.tf, f.df,
+    d.tf * ln(s.n_docs / f.df) AS tfidf,
+    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      * (d.tf * {_TFIDF_K1P1})
+      / (d.tf + {mining.BM25_K1} * ({_TFIDF_1MB}
+         + {mining.BM25_B} * d.dl / s.avgdl)) AS bm25
+  FROM dl d JOIN dfreq f USING (term) CROSS JOIN scal s
+)
+SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank,
+  round(tfidf, 6) AS tfidf, round(bm25, 6) AS bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank FROM scored)
+WHERE rank <= {mining.TOP_TERMS}""",
+    ),
+    _q(
+        "asof_last_click",
+        lambda spark, sf: eops.asof_last_click(views(spark, sf)["events"]),
+        """WITH u AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS m
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *,
+    last_value(CASE WHEN m = 0 THEN ts_ms END IGNORE NULLS) OVER w
+      AS click_ms,
+    last_value(CASE WHEN m = 0 THEN event_id END IGNORE NULLS) OVER w
+      AS click_event_id
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts_ms AS purchase_ms,
+  click_ms, click_event_id, ts_ms - click_ms AS gap_ms
+FROM f WHERE m = 1""",
+    ),
+    _q(
+        "rolling_user_1h",
+        lambda spark, sf: eops.rolling_user_1h(views(spark, sf)["events"]),
+        """WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_ms,
+  count(*) OVER w AS n_1h,
+  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
+    ),
+    _q(
+        "events_rollup_daily",
+        lambda spark, sf: eops.events_rollup_daily(views(spark, sf)["events"]),
+        """WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+  coalesce(day, 'ALL') AS day,
+  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM e GROUP BY ROLLUP(event_type, day)""",
+    ),
+    _q(
+        "props_k_histogram",
+        lambda spark, sf: eops.props_k_histogram(views(spark, sf)["events"]),
+        """SELECT event_type,
+  CAST(floor(CAST(props->>'$.k' AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+  count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "kmeans_assign",
+        lambda spark, sf: similarity.kmeans_assign(
+            views(spark, sf)["embeddings"]),
+        _kmeans_oracle(),
+    ),
+]
+
+
 _REGISTRY_ORDER: list[QuerySpec] = (
-    LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
+    MINING_QUERIES
+    + LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
     + NAMESPACE_QUERIES + LIFECYCLE_QUERIES + SCALAR_QUERIES + TPCH_QUERIES
     + EVENT_QUERIES + TEXT_QUERIES + PIPELINE_QUERIES + DEDUP_QUERIES
     + SIMILARITY_QUERIES

@@ -33,8 +33,14 @@ def read_events_stream(spark: SparkSession, events_dir_or_file: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with local tz); the NTZ→TZ cast
+        # keeps the wall-clock instant in the session tz, so window starts
+        # and date_format day strings match the batch twin reading NTZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

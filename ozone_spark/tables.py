@@ -57,8 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ns-precision parquet timestamp read as long (nanosAsLong);
         # integer-divide to micros — exact, no double round-trip.
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is pinned UTC, so NTZ→TZ keeps the wall clock AND
+            # the instant; unix_millis/window/watermark all require TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -143,3 +143,42 @@ def test_stratified_sample_is_shuffle_free_filter(spark, t):
     plan = plan_of(stratified_sample(t["documents"]))
     body = plan.split("== Physical Plan ==")[-1]
     assert "Exchange hashpartitioning" not in body
+
+
+def test_pii_redaction_is_map_only(spark, t):
+    """Regex detect/redact is pure per-row work: no Exchange anywhere."""
+    from ozone_spark.functions.mining import pii_redaction
+    plan = plan_of(pii_redaction(t["documents"]))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # JVM regexes, no Python UDFs
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, t):
+    """Every assignment pass must be corpus × broadcast ONE-ROW centroid
+    table — never a nested-loop of corpus against centroid rows, and
+    never a corpus-side shuffle for the crossJoin."""
+    from ozone_spark.functions.similarity import kmeans_assign
+    plan = plan_of(kmeans_assign(t["embeddings"]))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row build side only
+    assert "BroadcastExchange" in plan
+    # the corpus scan feeds the join directly (no Exchange between the
+    # embeddings scan and the first join)
+    assert plan.count("Scan parquet") >= 1
+
+
+def test_asof_join_is_single_pass_union_window(spark, t):
+    """The as-of join must not expand to candidate pairs: plan has a
+    window over the unioned sides and NO join operator at all."""
+    from ozone_spark.operators.events import asof_last_click
+    plan = plan_of(asof_last_click(t["events"]))
+    assert "Join" not in plan  # no range/theta join blowup
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # one hash-partition on user_id
+                                        # (+AQE may tag a reused one)
+
+
+def test_tfidf_aggregates_partially(spark, t):
+    from ozone_spark.functions.mining import tf_idf_top_terms
+    plan = plan_of(tf_idf_top_terms(t["documents"]))
+    assert "partial" in plan.lower()  # tf/df counts map-side combined
+    assert "BatchEvalPython" not in plan
