@@ -24,7 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .dedup import _norm_text, _spread, hash28
+from .dedup import (_norm_text, _spread, connected_components, hash28,
+                    ngram_jaccard_pairs, word_shingles)
 
 # ---------------------------------------------------------------- decontam
 
@@ -232,4 +233,234 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
              F.round(F.sum("n_tok").cast("double") / budget, 6)
              .alias("fill_ratio"))
         .orderBy("shard", "bin")
+    )
+
+
+# ------------------------------------------------------- cluster resolution
+
+def resolve_keep_best(docs: DataFrame, threshold: float = 0.1,
+                      n: int = 3) -> DataFrame:
+    """Duplicate-cluster resolution with QUALITY-based canonical
+    selection: near-dup pairs -> connected components -> keep the
+    highest-quality member of each cluster (ties broken by lowest
+    doc_id).  This is the "keep best, not first" policy real curation
+    pipelines use — min-doc_id keeps whichever copy happened to be
+    crawled first; keep-best retains the cleanest copy.
+
+    Every doc appears in the output: singletons (no near-dup) are their
+    own cluster and always keepers.  Scale shape: the pair graph and
+    components come from the capped LSH-style machinery (never
+    all-pairs); the per-cluster argmax is one window over (cluster_id)
+    — clusters are near-dup groups, so partitions are tiny by
+    construction."""
+    from .text import quality_features
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    q = quality_features(docs).select("doc_id", "quality_score")
+    labeled = (
+        docs.select("doc_id").join(cc, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id")))
+    return (
+        labeled.select(
+            "doc_id", "cluster_id", "quality_score",
+            F.count("*").over(w).alias("cluster_size"),
+            (rk == 1).alias("is_keeper"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- domain mixture
+
+def domain_mixture(docs: DataFrame,
+                   stratum_col: str = "source") -> DataFrame:
+    """Domain-mixture report: per-domain token share and the
+    downsample-only resampling weight that moves the corpus toward a
+    UNIFORM target mix (weight = min(1, target_share / token_share) —
+    over-represented domains are thinned, under-represented ones kept
+    whole; the standard recipe for re-weighting web crawls before
+    training).
+
+    Plan shape: one partial-aggregated groupBy(domain); the share /
+    target math runs as windows over the AGGREGATE (one row per
+    domain — thousands at web scale, not corpus-sized), so the
+    unpartitioned window is benign by construction."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    agg = (
+        docs.select(F.col(stratum_col).alias("domain"), n_tok.alias("n_tok"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()  # over per-domain rows only
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    weight = F.least(F.lit(1.0), target / share)
+    return (
+        agg.select(
+            "domain", "n_docs", "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(weight, 6).alias("mix_weight"),
+            F.floor(weight * F.col("n_tokens")).cast("long")
+            .alias("effective_tokens"))
+        .orderBy("domain")
+    )
+
+
+# --------------------------------------------------------- duplicated spans
+
+DUP_SPAN_NGRAM = 8       # span width in words (Lee et al. 2022 use 50-token
+                         # substrings; the synthetic docs are short)
+DUP_SPAN_MIN_DOCS = 2    # a span is "duplicated" when >= this many docs have it
+
+
+def duplicated_spans(docs: DataFrame, n: int = DUP_SPAN_NGRAM,
+                     min_docs: int = DUP_SPAN_MIN_DOCS) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's
+    distinct n-word spans that also occur in other documents — the
+    span-level dup metric behind exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    at n-gram granularity instead of suffix arrays.
+
+    Scale shape: spans are counted, never paired — distinct spans per
+    doc (map-side), one groupBy(span-hash) for document frequency, one
+    join back, one groupBy(doc_id).  Linear in corpus size; no
+    quadratic bucket explosion, so no hot-span cap is needed (a span
+    shared by a million docs is one counter, not 10^12 pairs).  The
+    span key is the md5-derived 28-bit hash -> 8-byte shuffle rows."""
+    sh = word_shingles(docs, n=n).select(
+        "doc_id", hash28(F.col("shingle")).alias("h"))
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("span_df"))
+    dup_frac = F.col("n_dup_spans").cast("double") / F.col("n_spans")
+    return (
+        sh.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"),
+             F.sum((F.col("span_df") >= min_docs).cast("long"))
+             .alias("n_dup_spans"))
+        .select("doc_id", "n_spans", "n_dup_spans",
+                F.round(dup_frac, 6).alias("dup_fraction"),
+                (dup_frac >= 0.5).alias("mostly_duplicated"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ shards & splits
+
+SPLIT_SALT = "split-v1"
+SHARD_SALT = "shard-v1"
+N_SHARDS = 8
+# cumulative per-mille cuts of the md5 key space: [0,9800) train,
+# [9800,9900) val, [9900,10000) test
+SPLIT_CUTS = (("train", 9800), ("val", 9900), ("test", 10_000))
+
+
+def training_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic train/val/test split + global-shuffle shard and
+    position assignment: every doc gets (split, shard, position) from
+    md5-derived keys — reproducible across engines/runs/cluster sizes,
+    unlike orderBy(rand()).  Position = rank of the doc's shuffle key
+    within its (split, shard), i.e. the order a training loader reads
+    the shard in.
+
+    Map-only key derivation + ONE window shuffle partitioned by
+    (split, shard) — at 100 TB the shard count is sized so each
+    partition's sort fits an executor (n_shards scales with data, the
+    per-shard sort is the only non-map work)."""
+    split_key = sample_key(F.col("doc_id"), SPLIT_SALT)
+    shuffle_key = hash28(
+        F.concat_ws(":", F.lit(SHARD_SALT), F.col("doc_id").cast("string")))
+    split = F.when(split_key < SPLIT_CUTS[0][1], SPLIT_CUTS[0][0]) \
+        .when(split_key < SPLIT_CUTS[1][1], SPLIT_CUTS[1][0]) \
+        .otherwise(SPLIT_CUTS[2][0])
+    keyed = docs.select(
+        "doc_id", split.alias("split"),
+        (shuffle_key % n_shards).alias("shard"),
+        shuffle_key.alias("skey"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    pos = F.row_number().over(
+        Window.partitionBy("split", "shard").orderBy("skey", "doc_id"))
+    return (
+        keyed.select("doc_id", "split", "shard", "n_tok",
+                     pos.alias("position"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ cross-corpus dedup
+
+CROSS_EXISTING_RE = r"^src[0-9]$"   # fixture: src0-9 = existing corpus,
+                                    # src10-19 = newly crawled batch
+
+
+def cross_corpus_dedup(docs: DataFrame, threshold: float = 0.1,
+                       n: int = 3, max_bucket: int = 200) -> DataFrame:
+    """Incremental-ingest dedup: check each NEW document against the
+    EXISTING corpus — exact (normalized fingerprint seen before) and
+    near (n-gram Jaccard vs any existing doc >= threshold) — and emit a
+    keep/drop verdict per new doc.  This is the steady-state shape of a
+    production pipeline: the corpus is deduped once, then every
+    incoming crawl batch is checked against it, never against itself.
+
+    Scale shape: the batch side is SMALL relative to the corpus — its
+    fingerprint/shingle sets join against the corpus index without ever
+    shuffling the corpus text.  Pair generation is restricted to
+    new x existing on shared shingles (inverted-index join, saturated
+    shingles capped like `ngram_jaccard_pairs`); exact check is one
+    semi-join on the 16-byte fingerprint."""
+    is_existing = F.col("source").rlike(CROSS_EXISTING_RE)
+    fp = F.md5(_norm_text(F.col("text")))
+    existing, new = docs.where(is_existing), docs.where(~is_existing)
+
+    exact_hit = (
+        new.select("doc_id", fp.alias("fp"))
+        .join(existing.select(fp.alias("fp")).distinct(), "fp", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_dup"))
+    )
+
+    # shingles derived per side so each scan prunes to its side's rows
+    sh_ex = word_shingles(existing, n=n)
+    sh_new = word_shingles(new, n=n)
+    sizes_ex = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hot = (
+        sh_ex.select("shingle").union(sh_new.select("shingle"))
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_bucket)
+        .select("shingle")
+    )
+    common = (
+        sh_new.join(hot, "shingle", "left_semi").withColumnRenamed("doc_id", "new_id")
+        .join(sh_ex.withColumnRenamed("doc_id", "ex_id"), "shingle")
+        .groupBy("new_id", "ex_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sn.n_sh") + F.col("se.n_sh") - F.col("n_common"))
+    best = (
+        common
+        .join(sizes_new.alias("sn"),
+              F.col("new_id") == F.col("sn.doc_id"))
+        .join(sizes_ex.alias("se"), F.col("ex_id") == F.col("se.doc_id"))
+        .select(F.col("new_id").alias("doc_id"), jac.alias("j"))
+        .where(F.col("j") >= threshold)
+        .groupBy("doc_id").agg(F.round(F.max("j"), 6).alias("best_jaccard"))
+    )
+    verdict = F.when(F.col("exact_dup"), "exact_dup") \
+        .when(F.col("best_jaccard").isNotNull(), "near_dup") \
+        .otherwise("unique")
+    return (
+        new.select("doc_id", "source")
+        .join(exact_hit, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select("doc_id", "source",
+                F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                "best_jaccard", verdict.alias("verdict"))
+        .orderBy("doc_id")
     )

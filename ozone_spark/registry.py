@@ -1117,6 +1117,9 @@ _SKEY = ("CAST('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), "
          "1, 7) AS BIGINT) % 10000")
 _RATE = ("CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.4 "
          "ELSE 1.0 END AS DOUBLE)")
+# n-word span concat for the duplicated_spans oracle: w[i] || ' ' || ...
+_SPAN_CAT = " || ' ' || ".join(
+    f"w[i + {k}]" if k else "w[i]" for k in range(8))
 
 PIPELINE_QUERIES = [
     _q(
@@ -1218,6 +1221,182 @@ SELECT shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
   round(sum(n_tok) / {pipeline.PACK_BUDGET}, 6) AS fill_ratio
 FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "dedup_keep_best",
+        lambda spark, sf: pipeline.resolve_keep_best(
+            views(spark, sf)["documents"], threshold=0.1),
+        # dedup_clusters' recursive transitive closure + quality-argmax
+        # keeper selection (highest quality_score, ties to lowest doc_id);
+        # singletons are their own cluster
+        f"""WITH RECURSIVE words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc_id, a AS root FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+), cc AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), lab AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+    round(least(len(string_split(d.text, ' ')) / 64.0, 1.0) * 0.5
+      + least(len(list_filter(string_split(d.text, ' '), w -> w IN {_SW}))
+              / len(string_split(d.text, ' ')) * 5.0, 1.0) * 0.5, 6)
+      AS quality_score
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, quality_score,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality_score DESC, doc_id) = 1 AS is_keeper
+FROM lab ORDER BY doc_id""",
+    ),
+    _q(
+        "domain_mixture",
+        lambda spark, sf: pipeline.domain_mixture(
+            views(spark, sf)["documents"]),
+        """WITH agg AS (
+  SELECT source AS domain, count(*) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT domain, n_docs, n_tokens,
+  round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+  round(1.0 / count(*) OVER (), 6) AS target_share,
+  round(least(1.0, (1.0 / count(*) OVER ())
+        / (n_tokens / sum(n_tokens) OVER ())), 6) AS mix_weight,
+  CAST(floor(least(1.0, (1.0 / count(*) OVER ())
+        / (n_tokens / sum(n_tokens) OVER ())) * n_tokens) AS BIGINT)
+    AS effective_tokens
+FROM agg ORDER BY domain""",
+    ),
+    _q(
+        "duplicated_spans",
+        lambda spark, sf: pipeline.duplicated_spans(
+            views(spark, sf)["documents"]),
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= {pipeline.DUP_SPAN_NGRAM}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - {pipeline.DUP_SPAN_NGRAM - 1}, 0) + 1),
+    i -> {_SPAN_CAT})))
+    AS shingle
+  FROM words
+), h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh
+), dfc AS (
+  SELECT h, count(*) AS span_df FROM h GROUP BY 1
+), per AS (
+  SELECT doc_id, count(*) AS n_spans,
+    CAST(sum(CASE WHEN span_df >= {pipeline.DUP_SPAN_MIN_DOCS}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM h JOIN dfc USING (h) GROUP BY 1
+)
+SELECT doc_id, n_spans, n_dup_spans,
+  round(n_dup_spans / n_spans, 6) AS dup_fraction,
+  n_dup_spans / n_spans >= 0.5 AS mostly_duplicated
+FROM per ORDER BY doc_id""",
+    ),
+    _q(
+        "training_shards",
+        lambda spark, sf: pipeline.training_shards(
+            views(spark, sf)["documents"]),
+        f"""WITH k AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 AS split_key,
+    CAST('0x' || substr(md5('{pipeline.SHARD_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS skey,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), a AS (
+  SELECT doc_id,
+    CASE WHEN split_key < {pipeline.SPLIT_CUTS[0][1]} THEN 'train'
+         WHEN split_key < {pipeline.SPLIT_CUTS[1][1]} THEN 'val'
+         ELSE 'test' END AS split,
+    skey % {pipeline.N_SHARDS} AS shard, n_tok, skey
+  FROM k
+)
+SELECT doc_id, split, shard, n_tok,
+  CAST(row_number() OVER (PARTITION BY split, shard
+                          ORDER BY skey, doc_id) AS INT) AS position
+FROM a ORDER BY doc_id""",
+    ),
+    _q(
+        "cross_corpus_dedup",
+        lambda spark, sf: pipeline.cross_corpus_dedup(
+            views(spark, sf)["documents"], threshold=0.1),
+        f"""WITH doc0 AS (
+  SELECT doc_id, source, text,
+    regexp_matches(source, '^src[0-9]$') AS is_ex
+  FROM documents
+), fps AS (
+  SELECT doc_id, is_ex, md5({_NORM}) AS fp FROM doc0
+), exact AS (
+  SELECT doc_id FROM fps n
+  WHERE NOT n.is_ex AND n.fp IN (SELECT fp FROM fps WHERE is_ex)
+), words AS (
+  SELECT doc_id, is_ex, string_split({_NORM}, ' ') AS w FROM doc0
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, is_ex, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), cold AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), common AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS ex_id, count(*) AS n_common
+  FROM (SELECT s.* FROM sh s JOIN cold USING (shingle) WHERE NOT s.is_ex) a
+  JOIN (SELECT * FROM sh WHERE is_ex) b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, round(max(j), 6) AS best_jaccard FROM (
+    SELECT new_id AS doc_id,
+      n_common / (sn.n_sh + se.n_sh - n_common) AS j
+    FROM common
+    JOIN sizes sn ON sn.doc_id = new_id
+    JOIN sizes se ON se.doc_id = ex_id
+  ) WHERE j >= 0.1 GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+  coalesce(e.hit, FALSE) AS exact_dup, b.best_jaccard,
+  CASE WHEN coalesce(e.hit, FALSE) THEN 'exact_dup'
+       WHEN b.best_jaccard IS NOT NULL THEN 'near_dup'
+       ELSE 'unique' END AS verdict
+FROM doc0 d
+LEFT JOIN (SELECT doc_id, TRUE AS hit FROM exact) e USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+WHERE NOT d.is_ex
+ORDER BY d.doc_id""",
     ),
 ]
 

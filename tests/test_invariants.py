@@ -266,3 +266,80 @@ def test_duplicate_clusters_cover_all_pairs(spark, sf_dir):
         members.setdefault(c, []).append(doc)
     for c, docs_in in members.items():
         assert c == min(docs_in)
+
+
+def test_keep_best_one_keeper_max_quality(spark, sf_dir):
+    """resolve_keep_best: every doc appears once, every cluster has
+    exactly one keeper, and the keeper's quality_score is the cluster
+    maximum (the keep-best-not-first canonicalization policy)."""
+    from ozone_spark.functions.pipeline import resolve_keep_best
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = resolve_keep_best(docs, threshold=0.1).collect()
+    assert len(rows) == docs.count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for c, members in by_cluster.items():
+        keepers = [r for r in members if r.is_keeper]
+        assert len(keepers) == 1, f"cluster {c}: {len(keepers)} keepers"
+        assert keepers[0].quality_score == max(r.quality_score for r in members)
+        assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_cross_corpus_dedup_engineered(spark):
+    """An exact copy of an existing doc -> exact_dup; a near-variant ->
+    near_dup; unrelated text -> unique.  Existing docs never appear in
+    the output (the batch is checked against the corpus, not itself)."""
+    from ozone_spark.functions.pipeline import cross_corpus_dedup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "src1", len(base)),                 # existing
+        (2, "completely different words entirely", "en", "src2", 10),
+        (10, base, "en", "src10", len(base)),               # exact copy
+        (11, base + " with a small tail added here", "en", "src11", 10),
+        (12, "unrelated fresh content nothing shared with corpus docs",
+         "en", "src12", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r.verdict
+           for r in cross_corpus_dedup(docs, threshold=0.1).collect()}
+    assert got[10] == "exact_dup"
+    assert got[11] == "near_dup"
+    assert got[12] == "unique"
+    assert 1 not in got and 2 not in got
+
+
+def test_duplicated_spans_planted_copy(spark, sf_dir):
+    """A verbatim copy of a doc makes BOTH copies' spans 100%%
+    duplicated; fractions are always in [0, 1]."""
+    from ozone_spark.functions.pipeline import duplicated_spans
+    docs = tables.load_table(spark, sf_dir, "documents").limit(100)
+    copy = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 500000)
+    rows = duplicated_spans(docs.unionByName(copy)).collect()
+    by_id = {r.doc_id: r for r in rows}
+    orig_id = copy.collect()[0].doc_id - 500000
+    if orig_id in by_id:  # doc long enough to have spans
+        assert by_id[orig_id].dup_fraction == 1.0
+        assert by_id[orig_id + 500000].dup_fraction == 1.0
+    for r in rows:
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.n_dup_spans <= r.n_spans
+
+
+def test_training_shards_partition_and_positions(spark, sf_dir):
+    """Shard/split assignment covers every doc exactly once; positions
+    within each (split, shard) are a contiguous 1..k ranking; the split
+    sizes respect the 98/1/1 hash cuts within tolerance."""
+    from ozone_spark.functions.pipeline import training_shards
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = training_shards(docs).collect()
+    assert len(rows) == docs.count()
+    groups: dict[tuple, list[int]] = {}
+    for r in rows:
+        groups.setdefault((r.split, r.shard), []).append(r.position)
+    for g, pos in groups.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), g
+    n = len(rows)
+    train = sum(1 for r in rows if r.split == "train")
+    assert train / n > 0.9  # 98% target, loose tolerance at tiny SF
