@@ -2368,6 +2368,33 @@ _TFIDF_K1P1 = repr(mining.BM25_K1 + 1)
 _TFIDF_1MB = repr(1 - mining.BM25_B)
 
 
+# shared PQ oracle prelude: quantize -> codebook (first PQ_KSUB vectors'
+# subvectors) -> per (vector, subspace, codebook entry) integer squared L2
+# -> argmin code per (vector, subspace).  Mirrors similarity.pq_codes'
+# fixed-point math term for term.
+_PQ_CTES = f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {similarity.KM_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+), train AS (
+  SELECT vec_id AS cid, qv FROM q WHERE vec_id < {similarity.PQ_KSUB}
+), subs AS (
+  SELECT CAST(unnest(range(0, {similarity.PQ_M})) AS BIGINT) AS sub
+), d AS (
+  SELECT q.vec_id, s.sub, t.cid,
+    CAST(list_sum(list_transform(range(1, {similarity.PQ_SUB + 1}),
+      i -> (q.qv[s.sub * {similarity.PQ_SUB} + i]
+            - t.qv[s.sub * {similarity.PQ_SUB} + i])
+         * (q.qv[s.sub * {similarity.PQ_SUB} + i]
+            - t.qv[s.sub * {similarity.PQ_SUB} + i]))) AS BIGINT) AS dist
+  FROM q CROSS JOIN subs s CROSS JOIN train t
+), best AS (
+  SELECT vec_id, sub, cid, dist,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+  FROM d
+)"""
+
+
 def _kmeans_oracle(k: int = similarity.KM_K, iters: int = similarity.KM_ITERS,
                    dims: int = 64, quant: int = similarity.KM_QUANT) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — the same fixed-point
@@ -2520,6 +2547,38 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         lambda spark, sf: similarity.kmeans_assign(
             views(spark, sf)["embeddings"]),
         _kmeans_oracle(),
+    ),
+    _q(
+        "pq_codes",
+        lambda spark, sf: similarity.pq_codes(views(spark, sf)["embeddings"]),
+        _PQ_CTES + """
+SELECT vec_id, sub, cid AS code, dist AS dist_sq
+FROM best WHERE rn = 1 ORDER BY vec_id, sub""",
+    ),
+    _q(
+        "knn_pq",
+        lambda spark, sf: similarity.knn_pq(
+            views(spark, sf)["embeddings"], [20, 21, 22], k=10),
+        # the query->codebook distance rows in `d` ARE the ADC lookup
+        # table; a candidate's distance is the sum of its m looked-up
+        # entries (all integer math — exact in both engines)
+        _PQ_CTES + """
+, codes AS (
+  SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1
+), qd AS (
+  SELECT vec_id AS query_id, sub, cid, dist FROM d
+  WHERE vec_id IN (20, 21, 22)
+), adc AS (
+  SELECT qd.query_id, c.vec_id, CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.cid = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, vec_id) AS rank
+  FROM adc WHERE vec_id <> query_id
+) WHERE rank <= 10 ORDER BY query_id, rank""",
     ),
 ]
 

@@ -140,6 +140,31 @@ def test_ann_variants_recall(spark, sf_dir):
         assert abs(bf_scores[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
 
 
+def test_pq_codes_and_adc_sanity(spark, sf_dir):
+    """PQ invariants: codebook vectors encode to THEMSELVES at distance
+    0; every vector gets exactly m codes in [0, ksub); the ADC distance
+    of a knn_pq result equals the sum of its code's LUT entries
+    (recomputed independently), and planted exact copies of a query are
+    retrieved first."""
+    from ozone_spark.functions import similarity
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    codes = similarity.pq_codes(emb).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * similarity.PQ_M
+    for r in codes:
+        assert 0 <= r.code < similarity.PQ_KSUB
+        if r.vec_id < similarity.PQ_KSUB:
+            assert r.code == r.vec_id and r.dist_sq == 0
+    # a verbatim copy of query 20's vector must be its nearest ADC hit,
+    # at exactly the query's own reconstruction error (ADC to an exact
+    # copy = sum of the query's per-subspace quantization distances)
+    copy = emb.where("vec_id = 20").withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000)
+    got = similarity.knn_pq(emb.unionByName(copy), [20], k=3).collect()
+    recon_err = sum(r.dist_sq for r in codes if r.vec_id == 20)
+    assert got[0].vec_id == 1_000_020 and got[0].adc_dist == recon_err
+
+
 def test_winnowing_detects_duplicates(spark, sf_dir):
     """A doc duplicated verbatim must share all fingerprints with its
     copy; winnowing_pairs must surface the planted pair first."""
