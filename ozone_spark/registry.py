@@ -2222,6 +2222,19 @@ def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ozs_ckpt_"))
 
 
+def _streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ozone_spark.streaming import windows as swin
+    import tempfile
+
+    _stream_seq[0] += 1
+    name = f"gate_session_stats_{_stream_seq[0]}"
+    stream = swin.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return swin.drain_to_memory(
+        swin.streaming_session_stats(stream), spark, name,
+        tempfile.mkdtemp(prefix="ozs_ckpt_"), output_mode="append",
+    ).orderBy("user_id", "session_start_ms")
+
+
 STREAMING_QUERIES = [
     _q(
         "cdc_incremental_histogram",
@@ -2271,6 +2284,45 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "streaming_sessionize",
         _streaming_sessions,
         None,  # session_window micro-batch state; invariants in tests/
+    ),
+    _q(
+        "streaming_session_stats",
+        _streaming_session_stats,
+        # closed sessions only == batch sessionization minus each user's
+        # final (still-open) session; payload carries the order-dependent
+        # stats (max internal gap, distinct event types) that the custom
+        # applyInPandasWithState operator maintains in its state rows
+        """WITH e AS (
+  SELECT user_id, event_id, event_type, value, ts, epoch_ms(ts) AS ms
+  FROM events
+), l AS (
+  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS prev FROM e
+), s AS (
+  SELECT *,
+    CASE WHEN prev IS NOT NULL AND ms - prev > 1800000 THEN 1 ELSE 0 END
+      AS new_sess,
+    CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 0 ELSE ms - prev END
+      AS gap
+  FROM l
+), c AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM s
+), agg AS (
+  SELECT user_id, sid,
+    CAST(min(ms) AS BIGINT) AS session_start_ms,
+    CAST(max(ms) AS BIGINT) AS session_end_ms,
+    count(*) AS n_events,
+    round(sum(value), 4) AS total_value,
+    CAST(max(gap) AS BIGINT) AS max_gap_ms,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+    max(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM c GROUP BY 1, 2
+)
+SELECT user_id, session_start_ms, session_end_ms, n_events,
+  total_value, max_gap_ms, n_event_types
+FROM agg WHERE sid < last_sid
+ORDER BY user_id, session_start_ms""",
     ),
 ]
 

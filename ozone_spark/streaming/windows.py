@@ -76,6 +76,100 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
     )
 
 
+def streaming_session_stats(events_stream: DataFrame,
+                            gap_minutes: int = 30,
+                            watermark: str = "1 hour") -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState
+    (SURVEY §2.8 ST4's mapGroupsWithState analog): per-user gap
+    sessionization carrying ORDER-DEPENDENT session payloads that
+    session_window() aggregation cannot express — the maximum internal
+    event gap and the distinct event-type count of each session.
+
+    Semantics: per micro-batch, a user's events extend their open
+    session; every session CLOSED by a later event (gap exceeded) is
+    emitted; the trailing open session persists in the state store
+    across batches (and is never emitted — matching an unbounded
+    stream, where the last session is always still open).  Emitted
+    rows therefore equal the batch sessionization MINUS each user's
+    final session, which is exactly what the DuckDB oracle checks.
+
+    Scale shape: state is one fixed-width row per user (the open
+    session aggregate), grouped by user_id — the same key the shuffle
+    already partitions by; batch rows are Arrow-transferred and
+    processed vectorized-ish per group.  The pandas fn is closure-free
+    (pure pandas + stdlib), so it runs on any executor without the
+    repo on sys.path."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, DoubleType, StringType,
+                                   StructField, StructType)
+
+    gap_ms = gap_minutes * 60_000
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_gap_ms", LongType()),
+        StructField("n_event_types", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_gap", LongType()),
+        StructField("types", StringType()),  # \x1f-joined distinct set
+    ])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        (user_id,) = key
+        rows = [p for p in pdf_iter if len(p)]
+        closed = []
+        if state.exists:
+            start, last, n, total, max_gap, types_s = state.get
+            types = set(types_s.split("\x1f")) if types_s else set()
+        else:
+            start = None
+            types = set()
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts_ms", "event_id"])
+            for ts, val, etype in zip(batch["ts_ms"], batch["value"],
+                                      batch["event_type"]):
+                ts, val = int(ts), float(val)
+                if start is None:
+                    start, last, n, total, max_gap = ts, ts, 1, val, 0
+                    types = {etype}
+                elif ts - last > gap_ms:
+                    # raw total here; rounding happens JVM-side below so
+                    # the half-up rule matches the batch/oracle twins
+                    # (Python round() is banker's — subtly different)
+                    closed.append((user_id, start, last, n,
+                                   total, max_gap, len(types)))
+                    start, last, n, total, max_gap = ts, ts, 1, val, 0
+                    types = {etype}
+                else:
+                    max_gap = max(max_gap, ts - last)
+                    last, n, total = ts, n + 1, total + val
+                    types.add(etype)
+        if start is not None:
+            state.update((start, last, n, total, max_gap,
+                          "\x1f".join(sorted(types))))
+        yield pd.DataFrame(closed, columns=[f.name for f in out_schema.fields])
+
+    ts_ms = F.unix_millis(F.col("ts"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "event_type", "value",
+                ts_ms.alias("ts_ms"), "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+        .withColumn("total_value", F.round("total_value", 4))
+    )
+
+
 def drain_to_memory(stream_df: DataFrame, spark: SparkSession,
                     name: str, checkpoint_dir: str,
                     output_mode: str = "complete") -> DataFrame:

@@ -271,3 +271,51 @@ def test_streaming_sessionize_runs(spark, sf_dir, tmpdir):
         "t_sessions", f"{tmpdir}/ckpt")
     total_stream = result.agg(F.sum("n_events")).collect()[0][0]
     assert total_stream == ev_batch.count()
+
+
+def test_session_stats_state_spans_batches(spark, sf_dir, tmpdir):
+    """applyInPandasWithState sessionizer: splitting the input into
+    multiple micro-batches (time-ordered chunks) must produce the SAME
+    closed sessions as one batch — the open-session state has to carry
+    across triggers.  Also: emitted == batch sessions minus each
+    user's final session."""
+    import os
+    events = tables.load_table(spark, sf_dir, "events").where("user_id < 40")
+    # stage time-split chunks so each trigger gets one contiguous slice
+    split = events.selectExpr("percentile(unix_millis(ts), 0.5)").collect()[0][0]
+    chunk_dir = f"{tmpdir}/chunks"
+    os.makedirs(chunk_dir)
+    events.where(F.unix_millis("ts") <= split).coalesce(1) \
+        .write.parquet(f"{tmpdir}/c1")
+    events.where(F.unix_millis("ts") > split).coalesce(1) \
+        .write.parquet(f"{tmpdir}/c2")
+    for i, src in enumerate(("c1", "c2")):
+        for f in os.listdir(f"{tmpdir}/{src}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{tmpdir}/{src}/{f}", f"{chunk_dir}/{i:02d}.parquet")
+
+    stream = windows.read_events_stream(spark, chunk_dir,
+                                        max_files_per_trigger=1)
+    got = windows.drain_to_memory(
+        windows.streaming_session_stats(stream), spark,
+        "sess_stats_batches", f"{tmpdir}/ckpt", output_mode="append",
+    ).orderBy("user_id", "session_start_ms").collect()
+    assert got, "no sessions closed across batches"
+
+    # single-batch run over the identical rows
+    stream1 = windows.read_events_stream(spark, chunk_dir,
+                                         max_files_per_trigger=2)
+    got1 = windows.drain_to_memory(
+        windows.streaming_session_stats(stream1), spark,
+        "sess_stats_single", f"{tmpdir}/ckpt1", output_mode="append",
+    ).orderBy("user_id", "session_start_ms").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in got1]
+
+    # batch twin: every user's non-final session appears exactly once
+    from ozone_spark.operators.events import sessionize
+    sess = sessionize(events).collect()
+    per_user: dict[int, int] = {}
+    for r in sess:
+        per_user[r.user_id] = max(per_user.get(r.user_id, -1), r.session_id)
+    expected_n = sum(1 for r in sess if r.session_id < per_user[r.user_id])
+    assert len(got) == expected_n
