@@ -62,8 +62,8 @@ def test_minhash_signature_stage_is_shuffle_free(spark, t):
     from ozone_spark.functions.dedup import minhash_signatures
     plan = plan_of(minhash_signatures(t["documents"]))
     body = plan.split("== Physical Plan ==")[-1]
-    assert "Exchange hashpartitioning" not in body
-    assert "Exchange rangepartitioning" not in body
+    assert "hashpartitioning(" not in body
+    assert "rangepartitioning(" not in body
 
 
 def test_ivf_assignment_corpus_side_never_shuffles(spark, t):
@@ -74,8 +74,8 @@ def test_ivf_assignment_corpus_side_never_shuffles(spark, t):
     plan = plan_of(ivf_assignments(t["embeddings"]))
     body = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastNestedLoopJoin" in body
-    assert "Exchange hashpartitioning" not in body
-    assert "Exchange rangepartitioning" not in body
+    assert "hashpartitioning(" not in body
+    assert "rangepartitioning(" not in body
 
 
 def test_near_dup_pairs_never_all_pairs(spark, t):
@@ -110,7 +110,7 @@ def test_bucketed_snapshot_diff_no_shuffle(spark, t):
     join_section = plan.split("== Physical Plan ==")[-1]
     assert "SortMergeJoin" in join_section or "ShuffledHashJoin" in join_section
     # bucketed co-partitioned scans: no Exchange feeding the join
-    assert "Exchange hashpartitioning(object_id" not in join_section
+    assert "hashpartitioning(object_id" not in join_section
 
 
 def test_decontaminate_broadcasts_eval_side(spark, t):
@@ -133,7 +133,7 @@ def test_repetition_metrics_is_map_only(spark, t):
     from ozone_spark.functions.pipeline import repetition_metrics
     plan = plan_of(repetition_metrics(t["documents"]))
     body = plan.split("== Physical Plan ==")[-1]
-    assert "Exchange hashpartitioning" not in body
+    assert "hashpartitioning(" not in body
 
 
 def test_stratified_sample_is_shuffle_free_filter(spark, t):
@@ -142,7 +142,7 @@ def test_stratified_sample_is_shuffle_free_filter(spark, t):
     from ozone_spark.functions.pipeline import stratified_sample
     plan = plan_of(stratified_sample(t["documents"]))
     body = plan.split("== Physical Plan ==")[-1]
-    assert "Exchange hashpartitioning" not in body
+    assert "hashpartitioning(" not in body
 
 
 def test_pii_redaction_is_map_only(spark, t):
@@ -182,3 +182,63 @@ def test_tfidf_aggregates_partially(spark, t):
     plan = plan_of(tf_idf_top_terms(t["documents"]))
     assert "partial" in plan.lower()  # tf/df counts map-side combined
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_encoding_corpus_side_never_shuffles(spark, t):
+    """PQ encoding folds the codebook into one broadcast row; the
+    corpus reaches its codes via BroadcastNestedLoopJoin with no
+    hash/range exchange of the embeddings (a pure map at any scale)."""
+    from ozone_spark.functions.similarity import pq_codes
+    plan = plan_of(pq_codes(t["embeddings"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body
+    assert "hashpartitioning(" not in body
+    # the only range exchange is the output ORDER BY over the compact
+    # (vec_id, sub, code, dist) rows — never the 64-float vectors
+    assert body.count("rangepartitioning(") <= 1
+
+
+def test_knn_pq_scores_without_corpus_shuffle(spark, t):
+    """ADC scoring joins the corpus codes with broadcast per-query LUTs:
+    the only allowed exchange is the final top-k window's partition by
+    query_id over already-scored rows — the corpus itself must never
+    hash/range-shuffle at full width (codes, not vectors, flow in)."""
+    from ozone_spark.functions.similarity import knn_pq
+    plan = plan_of(knn_pq(t["embeddings"], [20, 21, 22]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    # scored rows shuffle once for the per-query window; embeddings
+    # (64 floats wide) must not be the shuffled payload
+    assert body.count("Arguments: hashpartitioning") <= 1
+
+
+def test_cross_corpus_dedup_existing_side_only_joined(spark, t):
+    """Incremental-ingest dedup: the exact check is a semi-join on the
+    fingerprint and the near check an equi-join on shingles — never a
+    cross product of batch x corpus."""
+    from ozone_spark.functions.pipeline import cross_corpus_dedup
+    plan = plan_of(cross_corpus_dedup(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+
+
+def test_duplicated_spans_is_count_join_not_pairs(spark, t):
+    """The duplicated-span metric counts span document-frequency and
+    joins it back — the plan must contain hash aggregates and equi
+    joins only (no pair explosion, no cross product)."""
+    from ozone_spark.functions.pipeline import duplicated_spans
+    plan = plan_of(duplicated_spans(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "HashAggregate" in body
+
+
+def test_training_shards_single_window_exchange(spark, t):
+    """Shard/split assignment is map-only key derivation plus ONE
+    window shuffle partitioned by (split, shard)."""
+    from ozone_spark.functions.pipeline import training_shards
+    plan = plan_of(training_shards(t["documents"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Arguments: hashpartitioning") == 1
