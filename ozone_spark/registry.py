@@ -2222,6 +2222,19 @@ def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ozs_ckpt_"))
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ozone_spark.streaming import windows as swin
+    import tempfile
+
+    _stream_seq[0] += 1
+    name = f"gate_sdedup_{_stream_seq[0]}"
+    stream = swin.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    return swin.drain_to_memory(
+        swin.streaming_dedup_fingerprints(stream), spark, name,
+        tempfile.mkdtemp(prefix="ozs_ckpt_"), output_mode="append",
+    ).orderBy("fingerprint")
+
+
 def _streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ozone_spark.streaming import windows as swin
     import tempfile
@@ -2324,7 +2337,40 @@ SELECT user_id, session_start_ms, session_end_ms, n_events,
 FROM agg WHERE sid < last_sid
 ORDER BY user_id, session_start_ms""",
     ),
+    _q(
+        "streaming_dedup",
+        _streaming_dedup,
+        # the surviving fingerprint SET is deterministic (which doc_id
+        # won the state race is not, so only the fingerprint is emitted)
+        f"""SELECT DISTINCT md5({_NORM}) AS fingerprint
+FROM documents ORDER BY fingerprint""",
+    ),
+    _q(
+        "skewed_event_totals",
+        lambda spark, sf: _skewed_event_totals(spark, sf),
+        # salting invariant: the two-stage salted aggregation equals the
+        # plain GROUP BY (the salt only redistributes partial state)
+        """SELECT event_type, count(*) AS count,
+  round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1""",
+    ),
 ]
+
+
+def _skewed_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation demo on the hottest real key (event_type:
+    a handful of values over the whole table — exactly the shape where
+    one reducer melts at 100 TB without salting)."""
+    import pyspark.sql.functions as F
+
+    from ozone_spark.functions.skew import salted_sum_count
+    ev = views(spark, sf_dir)["events"]
+    agg = salted_sum_count(ev, ["event_type"], ["value"])
+    return (
+        agg.select("event_type", "count",
+                   F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
 
 # ---------------------------------------------------------------------------
 # ACL evaluation (P8 neighborhood) + growth view (CLUSTER_GROWTH_DAILY)

@@ -170,6 +170,41 @@ def streaming_session_stats(events_stream: DataFrame,
     )
 
 
+def read_documents_stream(spark: SparkSession, docs_dir_or_file: str,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of the documents table (ingest-crawl shape)."""
+    path = docs_dir_or_file
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix="ozs_docs_src_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(staged, os.path.basename(path)))
+        path = staged
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_dedup_fingerprints(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: the first arrival of each normalized-text
+    fingerprint passes, later copies are dropped by the state store —
+    the ingest-time dedup gate of a crawl pipeline (each incoming batch
+    is checked against everything already accepted).
+
+    State is one row per distinct fingerprint.  On an unbounded stream
+    pair this with `withWatermark` on an ingest-time column +
+    `dropDuplicatesWithinWatermark` to bound state; the fixture tables
+    carry no ingest timestamp, so this variant keeps full state (the
+    RocksDB state store backend is the 100 TB-scale knob)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return (
+        docs_stream.select(fp.alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+    )
+
+
 def drain_to_memory(stream_df: DataFrame, spark: SparkSession,
                     name: str, checkpoint_dir: str,
                     output_mode: str = "complete") -> DataFrame:
