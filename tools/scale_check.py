@@ -36,12 +36,22 @@ VARIANTS = 10
 def build_corpus(spark):
     """Each doc spawns VARIANTS-1 near-dup variants: variant i keeps the
     text but appends i deterministic filler tokens — high-Jaccard pairs
-    inside each group, disjoint across groups."""
+    inside each group, disjoint across groups.
+
+    Filler tokens embed the DOC id (not just the variant number):
+    variant-i filler identical across all docs would put a degenerate
+    shingle in a 5000-doc bucket — hundreds of millions of sub-threshold
+    candidate pairs that no exact baseline can enumerate (and that no
+    real corpus contains: boilerplate that common is exactly what the
+    production cap drops).  Per-doc filler keeps the planted pairs and
+    keeps the UNCAPPED exact baseline enumerable, so recall is measured
+    against a truly exact ground truth."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     v = spark.range(VARIANTS).withColumnRenamed("id", "variant")
     filler = F.concat_ws(" ", F.transform(
         F.sequence(F.lit(1), F.col("variant")),
-        lambda i: F.concat(F.lit("xv"), F.col("variant"), F.lit("f"), i)))
+        lambda i: F.concat(F.lit("x"), F.col("doc_id"), F.lit("v"),
+                           F.col("variant"), F.lit("f"), i)))
     return (
         docs.crossJoin(v)
         .select(
@@ -90,9 +100,20 @@ def main() -> int:
 
     emb = build_embeddings(spark).persist()
     n_vecs = emb.count()
+    qids = [20, 21, 22]
     t0 = time.perf_counter()
-    similarity.knn_ivf(emb, [20, 21, 22], k=10).count()
+    similarity.knn_ivf(emb, qids, k=10).count()
     t_ivf = round(time.perf_counter() - t0, 1)
+
+    # PQ/ADC on the same 10x corpus: scan cost is m int codes per vector
+    # instead of the full float vector; recall measured against the
+    # exact brute-force top-10
+    bf = {(r.query_id, r.vec_id)
+          for r in similarity.knn_bruteforce(emb, qids, k=10).collect()}
+    t0 = time.perf_counter()
+    pq_rows = similarity.knn_pq(emb, qids, k=10).collect()
+    t_pq = round(time.perf_counter() - t0, 1)
+    pq_hits = {(r.query_id, r.vec_id) for r in pq_rows}
 
     print(json.dumps({
         "n_docs": n_docs, "n_vectors": n_vecs,
@@ -100,6 +121,8 @@ def main() -> int:
         "lsh_pairs": n_lsh, "lsh_sec": t_lsh,
         "lsh_recall_vs_exact": round(n_hit / max(n_exact, 1), 4),
         "ivf_knn_sec": t_ivf,
+        "pq_knn_sec": t_pq,
+        "pq_recall_vs_exact": round(len(bf & pq_hits) / max(len(bf), 1), 4),
     }))
     spark.stop()
     return 0
