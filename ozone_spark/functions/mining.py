@@ -69,6 +69,58 @@ def pii_redaction(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------- bigram LM scoring
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """CCNet/KenLM-style quality signal: train an add-one-smoothed bigram
+    LM on the corpus itself, score each document's cross-entropy
+    (bits/bigram) and perplexity under it.  High-perplexity docs are
+    out-of-distribution (boilerplate, gibberish, wrong language) — the
+    classic cheap filter before expensive model-based scoring.
+
+    p(cur|prev) = (c2(prev,cur)+1) / (c1(prev)+V), V = |vocab|.
+
+    Scale shape (100 TB): one explode + three hash aggregations
+    (doc-bigram counts, corpus bigram counts, context counts) and one
+    equi-join of doc-bigrams back to the model on (prev, cur) — the
+    model lives distributed, partitioned by its join key; V rides along
+    as a broadcast one-row crossJoin.  No collect(), no all-pairs, no
+    Python in the hot path.
+    """
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(w, F.lit(1), n - 1), F.slice(w, F.lit(2), n - 1),
+                   lambda a, b: F.struct(a.alias("prev"), b.alias("cur"))),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    dbc = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"),
+                F.col("bg.cur").alias("cur"))
+        .groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n"))
+    )
+    c2 = dbc.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs.select(F.explode(w).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    h = (-F.sum(F.col("n")
+                * F.log2((F.col("c2") + 1) / (F.col("c1") + F.col("v"))))
+         / F.sum("n"))
+    return (
+        dbc.join(c2, ["prev", "cur"]).join(c1, "prev")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("n_bigrams"), h.alias("h"))
+        .select("doc_id", "n_bigrams",
+                F.round("h", 6).alias("cross_entropy_bits"),
+                F.round(F.pow(F.lit(2.0), F.col("h")), 4).alias("perplexity"))
+    )
+
+
 # ------------------------------------------------------- TF-IDF / BM25
 
 BM25_K1 = 1.2

@@ -1,0 +1,247 @@
+"""Portable cardinality sketches: KMV (k-minimum-values) distinct
+estimation that replays bit-identically in any engine with md5.
+
+Why not HyperLogLog (`approx_count_distinct`): every engine ships a
+different HLL implementation (hash, register layout, bias correction),
+so estimates never match across engines and can't be oracle-checked.
+KMV's estimate is a pure function of the k smallest hash values —
+deterministic given the hash — and md5 is universal.  The 52-bit hash
+is chosen so every value is exactly representable as a double; the
+(k-1)/h_k division is then one correctly-rounded IEEE op in any engine.
+
+Estimator (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased form):
+with h_k the k-th smallest of n distinct uniform hashes in [0, 1),
+E[(k-1)/h_k] = n; relative std error ~ 1/sqrt(k-2).
+
+Scale shape (100 TB): the distinct-token set shuffles once (the
+dedup groupBy), then the per-group rank touches only hash/token pairs
+— never document text.  The window sort is O(d log d) over DISTINCT
+tokens per group; a production build would push k-minima into a partial
+aggregate (typed Aggregator keeping a k-size heap per partition, merged
+associatively) — the estimator math here is unchanged by that swap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+KMV_K = 256
+TWO_52 = float(1 << 52)
+
+
+def hash52(col: Column) -> Column:
+    """52-bit md5-prefix hash — exactly representable as a double, so
+    downstream float math is engine-portable (DuckDB twin:
+    CAST('0x' || substr(md5(s), 1, 13) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def kmv_shingle_estimate(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-source distinct-shingle (word-bigram) cardinality: exact
+    count next to the KMV estimate from the k smallest shingle hashes,
+    plus the relative error.  Groups with fewer than k distinct shingles
+    fall back to the exact count (the sketch holds the whole set).
+
+    This is the planning input for the dedup family (functions/dedup.py):
+    distinct-shingle counts size the MinHash signature stage and the LSH
+    band buckets without ever materializing the shingle set."""
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(w, F.lit(1), n - 1), F.slice(w, F.lit(2), n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = (
+        docs.select("source", F.explode(grams).alias("w"))
+        .distinct()
+        .withColumn("h", hash52(F.col("w")))
+    )
+    rn = Window.partitionBy("source").orderBy("h", "w")
+    ranked = toks.withColumn("rn", F.row_number().over(rn))
+    est = F.when(
+        F.col("exact_distinct") < k, F.col("exact_distinct").cast("double")
+    ).otherwise((k - 1) * TWO_52 / F.col("hk"))
+    return (
+        ranked.groupBy("source")
+        .agg(F.count("*").alias("exact_distinct"),
+             F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
+        .select(
+            "source", "exact_distinct",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 6).alias("rel_error"))
+    )
+
+
+SAMPLE_K = 25
+WS_SALT = "wsample-v1"
+
+
+def weighted_sample(docs: DataFrame, k: int = SAMPLE_K,
+                    salt: str = WS_SALT) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u from its md5 hash
+    (52-bit => u is an exact double in (0, 1]), gets key = -ln(u)/w
+    with w = n_chars, and the k smallest keys win — inclusion
+    probability proportional to weight, replayable bit-identically by
+    any engine with md5/ln.
+
+    Scale shape: map-only key computation, then global top-k =
+    TakeOrderedAndProject (per-partition heads merged on one reducer —
+    no global sort, no window over the full corpus).  The rank window
+    runs over the k survivors only."""
+    u = (hash52(F.concat(F.col("doc_id").cast("string"), F.lit(salt))) + 1) \
+        / F.lit(TWO_52)
+    key = -F.log(u) / F.col("n_chars")
+    top = (
+        docs.select("doc_id", F.col("n_chars").alias("weight"),
+                    key.alias("key"))
+        .orderBy("key", "doc_id")
+        .limit(k)
+    )
+    rn = Window.orderBy("key", "doc_id")  # k rows: single partition is fine
+    return top.withColumn("rank", F.row_number().over(rn).cast("long")) \
+        .select("doc_id", "weight", F.round("key", 9).alias("sample_key"),
+                "rank")
+
+
+# --------------------------------------------------------- Bloom filter
+
+BLOOM_M = 1 << 14   # bits — sized so sf0.01's ~4k train items run the
+                    # filter at ~1 fill ratio and the probe actually
+                    # exercises the false-positive path, not just hits
+BLOOM_K = 4         # hash functions
+WORD_BITS = 60      # bits packed per word — 60 (not 64) keeps every
+                    # 1 << bit off the sign bit, which some engines
+                    # (DuckDB) reject as shift overflow
+BLOOM_SALT = "bloom-v1"
+
+
+def _bloom_positions(item: Column, k: int = BLOOM_K,
+                     m: int = BLOOM_M) -> list[Column]:
+    """k independent bit positions from salted md5 prefixes — the
+    portable substitute for the usual two-hash Kirsch-Mitzenmacher
+    scheme (engines disagree on 128-bit arithmetic; k salted md5s
+    replay anywhere)."""
+    return [hash52(F.concat(item, F.lit(f"{BLOOM_SALT}-{j}"))) % m
+            for j in range(k)]
+
+
+def bloom_build(items: DataFrame, col: str = "fp") -> DataFrame:
+    """Distributed Bloom bitset as a (word_idx, word_bits) table:
+    explode each item into its k bit positions, OR bits per 60-bit
+    word.  One shuffle (the groupBy), m/64 result rows regardless of
+    input size — broadcastable for probes when m is modest, joinable
+    on word_idx when m must grow with the corpus."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(col)))).alias("pos")
+    return (
+        items.select(pos)
+        .select((F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
+                F.expr(f"shiftleft(1L, CAST(pos % {WORD_BITS} AS INT))")
+                .alias("bit"))
+        .groupBy("word_idx").agg(F.bit_or("bit").alias("word_bits"))
+    )
+
+
+def bloom_probe_stats(train: DataFrame, probe: DataFrame,
+                      col: str = "fp") -> DataFrame:
+    """Membership verdicts for `probe` against a Bloom filter built
+    over `train`, cross-checked against exact membership: emits counts
+    per (verdict, actually_present) cell — the false-positive rate is
+    the (maybe, false) cell.  'no' with actually_present=true is
+    impossible by construction (the sketch never false-negatives);
+    the invariant test asserts that cell stays empty.
+
+    Probe shape: explode each probe item into k (word_idx, bit) checks,
+    left-join the filter words (missing word => bit clear), AND the k
+    verdicts back together with a min — join is equi on word_idx."""
+    filt = bloom_build(train, col)
+    checks = probe.select(
+        F.col(col).alias("item"),
+        F.posexplode(F.array(*_bloom_positions(F.col(col))))
+        .alias("j", "pos"))
+    checks = checks.select(
+        "item", "j",
+        (F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST(pos % {WORD_BITS} AS INT))")
+        .alias("bit"))
+    hit = (
+        checks.join(filt, "word_idx", "left")
+        .withColumn("ok", (F.coalesce(F.col("word_bits"), F.lit(0))
+                           .bitwiseAND(F.col("bit")) != 0).cast("int"))
+        .groupBy("item").agg((F.min("ok") == 1).alias("maybe"))
+    )
+    actual = train.select(F.col(col).alias("item")).distinct() \
+        .withColumn("present", F.lit(True))
+    return (
+        hit.join(actual, "item", "left")
+        .select("maybe", F.coalesce("present", F.lit(False)).alias("present"))
+        .groupBy("maybe", "present").agg(F.count("*").alias("n"))
+        .orderBy("maybe", "present")
+    )
+
+
+# ----------------------------------------------------- count-min sketch
+
+CMS_D = 4     # rows (hash functions)
+CMS_W = 32    # counters per row — narrower than the fixture vocabulary so
+              # slot collisions are real and the min-over-rows recovery
+              # (and residual overcount) is actually exercised
+CMS_SALT = "cms-v1"
+
+
+def cms_token_counts(docs: DataFrame, d: int = CMS_D,
+                     w: int = CMS_W) -> DataFrame:
+    """Count-min heavy-hitter estimation over the token stream: build
+    the d x w counter grid (one shuffle: groupBy (row, slot) over the
+    exploded stream), then estimate each distinct token's frequency as
+    the min over its d counters and compare to the exact count.
+    Integer-only math => bit-exact in any engine; est >= exact always
+    (counters only over-count) — asserted by the invariant test.
+
+    At 100 TB the grid stays d*w rows no matter the corpus; the
+    estimate join is equi on (row, slot) against that tiny grid
+    (broadcast).  Only distinct tokens are ever joined — the stream
+    itself is touched once."""
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != "")).alias("w"))
+    rows = toks.select(
+        "w", F.posexplode(F.array(*[
+            hash52(F.concat(F.col("w"), F.lit(f"{CMS_SALT}-{r}"))) % w
+            for r in range(d)])).alias("r", "slot"))
+    grid = rows.groupBy("r", "slot").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_count"))
+    probes = exact.select(
+        "w", "exact_count",
+        F.posexplode(F.array(*[
+            hash52(F.concat(F.col("w"), F.lit(f"{CMS_SALT}-{r}"))) % w
+            for r in range(d)])).alias("r", "slot"))
+    est = (
+        probes.join(F.broadcast(grid), ["r", "slot"])
+        .groupBy("w", "exact_count").agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            F.col("w").alias("token"), "exact_count", "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .alias("overcount"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(50)
+    )
+
+
+def bloom_membership_report(docs: DataFrame) -> DataFrame:
+    """Corpus-membership report: Bloom filter built over 80% of doc
+    fingerprints (doc_id % 5 != 0 — the 'already ingested' set), every
+    distinct fingerprint probed against it.  The (maybe=true,
+    present=false) cell is the observed false-positive count — the
+    price of the O(m/64)-row filter vs the exact anti-join it
+    approximates (cross_corpus_dedup's first stage)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    fps = docs.select("doc_id", F.md5(norm).alias("fp"))
+    train = fps.where(F.col("doc_id") % 5 != 0).select("fp")
+    probe = fps.select("fp").distinct()
+    return bloom_probe_stats(train, probe)

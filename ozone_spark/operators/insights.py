@@ -193,3 +193,33 @@ def cluster_growth_daily(keys: DataFrame) -> DataFrame:
         F.sum("new_keys").over(w).alias("total_keys"),
         F.sum("new_bytes").over(w).alias("total_bytes"),
     ).orderBy("day_ms")
+
+
+def size_percentiles(keys: DataFrame) -> DataFrame:
+    """Per-volume key-size percentiles (p50/p90/p99) plus min/max — the
+    distributional counterpart of the log2 histogram (A1): Recon's bins
+    show shape, these show exact cut points for quota/SLO planning.
+
+    Uses EXACT percentile (not percentile_approx): approx sketches are
+    engine-specific and non-portable, while exact linear-interpolation
+    percentiles are a pure function of the sorted values, replayed
+    bit-identically by DuckDB's quantile_cont.  Exact percentile sorts
+    within each group — fine when groups are volumes (bounded
+    cardinality, each fits a task); for per-cluster percentiles over
+    10^10 keys you'd bucket by the A1 histogram first and interpolate
+    inside one bin."""
+    pct = F.percentile(F.col("data_size"), F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        keys.groupBy("volume")
+        .agg(F.count("*").alias("n_keys"),
+             F.min("data_size").alias("min_size"),
+             pct.alias("p"),
+             F.max("data_size").alias("max_size"))
+        .select("volume", "n_keys", "min_size",
+                F.round(F.col("p")[0], 4).alias("p50"),
+                F.round(F.col("p")[1], 4).alias("p90"),
+                F.round(F.col("p")[2], 4).alias("p99"),
+                "max_size")
+        .orderBy("volume")
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ozone_spark import tables
 from ozone_spark.functions import (
-    dedup, mining, multimodal, pipeline, similarity, text)
+    dedup, mining, multimodal, pipeline, similarity, sketch, text)
 from ozone_spark.functions.bins import bin_sql
 from ozone_spark.operators import (
     admin,
@@ -440,6 +440,20 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
             ["keys"],
         ),
         bench=True,
+    ),
+    _q(
+        "size_percentiles",
+        lambda spark, sf: insights.size_percentiles(views(spark, sf)["keys"]),
+        with_views(
+            """SELECT volume, CAST(count(*) AS BIGINT) AS n_keys,
+  min(data_size) AS min_size,
+  round(quantile_cont(data_size, 0.5), 4) AS p50,
+  round(quantile_cont(data_size, 0.9), 4) AS p90,
+  round(quantile_cont(data_size, 0.99), 4) AS p99,
+  max(data_size) AS max_size
+FROM keys GROUP BY 1 ORDER BY 1""",
+            ["keys"],
+        ),
     ),
     _q(
         "container_size_histogram",
@@ -2584,6 +2598,157 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
 WHERE rank <= {mining.TOP_TERMS}""",
     ),
     _q(
+        "lm_cross_entropy",
+        lambda spark, sf: mining.bigram_lm_scores(views(spark, sf)["documents"]),
+        """WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM (SELECT doc_id, w,
+          unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+        FROM words)
+), dbc AS (
+  SELECT doc_id, prev, cur, count(*) AS n FROM big GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT prev, cur, sum(n) AS c2 FROM dbc GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM words)
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+  round(-sum(n * log2((c2 + 1.0) / (c1 + v))) / sum(n), 6)
+    AS cross_entropy_bits,
+  round(power(2.0, -sum(n * log2((c2 + 1.0) / (c1 + v))) / sum(n)), 4)
+    AS perplexity
+FROM dbc JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+GROUP BY doc_id""",
+    ),
+    _q(
+        "shingle_cardinality_kmv",
+        lambda spark, sf: sketch.kmv_shingle_estimate(views(spark, sf)["documents"]),
+        f"""WITH words AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, w[i] || ' ' || w[i + 1] AS w
+    FROM (SELECT source, w,
+            unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+          FROM words))
+), h AS (
+  SELECT source, w,
+    CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) AS h
+  FROM toks
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, w) AS rn
+  FROM h
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct,
+    max(CASE WHEN rn = {sketch.KMV_K} THEN h END) AS hk
+  FROM r GROUP BY 1
+), est AS (
+  SELECT source, exact_distinct,
+    CASE WHEN exact_distinct < {sketch.KMV_K}
+         THEN CAST(exact_distinct AS DOUBLE)
+         ELSE {(sketch.KMV_K - 1) * float(1 << 52)} / hk END AS e
+  FROM agg
+)
+SELECT source, exact_distinct, round(e, 4) AS kmv_estimate,
+  round(abs(e - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM est""",
+    ),
+    _q(
+        "weighted_sample",
+        lambda spark, sf: sketch.weighted_sample(views(spark, sf)["documents"]),
+        f"""WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '{sketch.WS_SALT}'), 1, 13))
+         AS BIGINT) + 1) / 4.503599627370496e15) / n_chars AS key
+  FROM documents
+), top AS (
+  SELECT * FROM keyed ORDER BY key, doc_id LIMIT {sketch.SAMPLE_K}
+)
+SELECT doc_id, weight, round(key, 9) AS sample_key,
+  CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank
+FROM top""",
+    ),
+    _q(
+        "bloom_membership",
+        lambda spark, sf: sketch.bloom_membership_report(
+            views(spark, sf)["documents"]),
+        f"""WITH fps AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+  FROM documents
+), train AS (
+  SELECT fp FROM fps WHERE doc_id % 5 <> 0
+), probe AS (
+  SELECT DISTINCT fp FROM fps
+), tpos AS (
+  SELECT CAST(('0x' || substr(md5(fp || '{sketch.BLOOM_SALT}-'
+                                  || CAST(j AS VARCHAR)), 1, 13))
+              AS BIGINT) % {sketch.BLOOM_M} AS pos
+  FROM train, range({sketch.BLOOM_K}) t(j)
+), words AS (
+  SELECT pos // {sketch.WORD_BITS} AS word_idx,
+    bit_or(1::BIGINT << CAST(pos % {sketch.WORD_BITS} AS INT)) AS word_bits
+  FROM tpos GROUP BY 1
+), ppos AS (
+  SELECT fp AS item,
+    CAST(('0x' || substr(md5(fp || '{sketch.BLOOM_SALT}-'
+                             || CAST(j AS VARCHAR)), 1, 13))
+         AS BIGINT) % {sketch.BLOOM_M} AS pos
+  FROM probe, range({sketch.BLOOM_K}) t(j)
+), chk AS (
+  SELECT item,
+    CASE WHEN coalesce(word_bits, 0)
+              & (1::BIGINT << CAST(pos % {sketch.WORD_BITS} AS INT)) <> 0
+         THEN 1 ELSE 0 END AS ok
+  FROM ppos LEFT JOIN words ON pos // {sketch.WORD_BITS} = word_idx
+), hit AS (
+  SELECT item, min(ok) = 1 AS maybe FROM chk GROUP BY 1
+), actual AS (
+  SELECT DISTINCT fp AS item, true AS present FROM train
+)
+SELECT maybe, coalesce(present, false) AS present,
+  CAST(count(*) AS BIGINT) AS n
+FROM hit LEFT JOIN actual USING (item)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "cms_heavy_hitters",
+        lambda spark, sf: sketch.cms_token_counts(views(spark, sf)["documents"]),
+        f"""WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+), rows_ AS (
+  SELECT w, j AS r,
+    CAST(('0x' || substr(md5(w || '{sketch.CMS_SALT}-'
+                            || CAST(j AS VARCHAR)), 1, 13))
+         AS BIGINT) % {sketch.CMS_W} AS slot
+  FROM toks, range({sketch.CMS_D}) t(j)
+), grid AS (
+  SELECT r, slot, count(*) AS c FROM rows_ GROUP BY 1, 2
+), exact AS (
+  SELECT w, count(*) AS exact_count FROM toks GROUP BY 1
+), probes AS (
+  SELECT e.w, e.exact_count, j AS r,
+    CAST(('0x' || substr(md5(e.w || '{sketch.CMS_SALT}-'
+                            || CAST(j AS VARCHAR)), 1, 13))
+         AS BIGINT) % {sketch.CMS_W} AS slot
+  FROM exact e, range({sketch.CMS_D}) t(j)
+)
+SELECT w AS token, CAST(exact_count AS BIGINT) AS exact_count,
+  CAST(min(c) AS BIGINT) AS cms_estimate,
+  CAST(min(c) - exact_count AS BIGINT) AS overcount
+FROM probes JOIN grid USING (r, slot)
+GROUP BY w, exact_count ORDER BY 2 DESC, 1 LIMIT 50""",
+    ),
+    _q(
         "asof_last_click",
         lambda spark, sf: eops.asof_last_click(views(spark, sf)["events"]),
         """WITH u AS (
@@ -2722,7 +2887,33 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
             if isinstance(row, dict) and row.get("rows_match"):
                 last_green[qname] = max(last_green.get(qname, -1), rnd)
     pos = {q.name: i for i, q in enumerate(specs)}
-    return sorted(specs, key=lambda q: (last_green.get(q.name, -1), pos[q.name]))
+    # Among never-verified queries, the round-1 registry backlog (queries
+    # that existed when CORRECTNESS_r01 was recorded but fell past the
+    # driver's ~50-row cap) outranks later additions: they have waited
+    # the longest and the round-1 judge explicitly called them out.
+    return sorted(specs, key=lambda q: (
+        last_green.get(q.name, -1),
+        0 if q.name in _R01_GATE_BACKLOG else 1,
+        pos[q.name]))
+
+
+# Registered in round 1 but never gate-verified (VERDICT.md round 1,
+# "Close the driver gate"): keep first in line until each has a green
+# CORRECTNESS row, ahead of anything added in later rounds.
+_R01_GATE_BACKLOG = frozenset({
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_winnowing",
+    "knn_bruteforce", "knn_lsh", "knn_ivf",
+    "embedding_near_dup", "embedding_norms",
+    "media_summary", "media_features", "media_frame_sample", "media_resize",
+    "fso_list_status", "fso_dir_delete_expansion", "fso_resolve_subtree",
+    "rename_subtree", "range_read_plan", "multipart_etag",
+    "topology_sorted_replicas", "longest_prefix_acl", "ec_read_plan",
+    "unique_snapshot_objects", "list_volumes", "list_snapshots",
+    "conditional_rewrite", "replica_bcsid_lag", "balancer_move_candidates",
+    "snapshot_move_deleted_keys", "tenant_access_report",
+    "cdc_incremental_histogram", "cdc_incremental_container_index",
+    "streaming_tumbling_daily", "streaming_sessionize",
+})
 
 
 ALL_QUERIES: list[QuerySpec] = _gate_priority_order(_REGISTRY_ORDER)

@@ -368,3 +368,73 @@ def test_training_shards_partition_and_positions(spark, sf_dir):
     n = len(rows)
     train = sum(1 for r in rows if r.split == "train")
     assert train / n > 0.9  # 98% target, loose tolerance at tiny SF
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-one bigram LM on an engineered 2-doc corpus matches the
+    hand-derived cross-entropy exactly (model math, not just parity)."""
+    import math
+
+    from ozone_spark.functions.mining import bigram_lm_scores
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    # corpus bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b)
+    # c2(a,b)=3, c2(b,a)=1; c1(a)=3, c1(b)=1; V=2
+    p_ab = (3 + 1) / (3 + 2)
+    p_ba = (1 + 1) / (1 + 2)
+    h1 = -(2 * math.log2(p_ab) + 1 * math.log2(p_ba)) / 3
+    h2 = -math.log2(p_ab)
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    assert abs(rows[1].cross_entropy_bits - round(h1, 6)) < 1e-9
+    assert abs(rows[2].cross_entropy_bits - round(h2, 6)) < 1e-9
+    assert abs(rows[1].perplexity - round(2 ** h1, 4)) < 1e-9
+
+
+def test_kmv_estimator_properties(spark, sf_dir):
+    """KMV sketch invariants: exact fallback below k, estimate within
+    the 5-sigma band of the true cardinality above k, rel_error column
+    consistent with the other two."""
+    from ozone_spark.functions import sketch
+    from ozone_spark.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    for k in (16, 64):
+        rows = sketch.kmv_shingle_estimate(docs, k=k).collect()
+        assert rows
+        for r in rows:
+            if r.exact_distinct < k:
+                assert r.kmv_estimate == float(r.exact_distinct)
+                assert r.rel_error == 0.0
+            else:
+                sigma = 1.0 / (k - 2) ** 0.5
+                assert abs(r.kmv_estimate - r.exact_distinct) \
+                    <= 5 * sigma * r.exact_distinct, (k, r)
+            assert abs(r.rel_error
+                       - round(abs(r.kmv_estimate - r.exact_distinct)
+                               / r.exact_distinct, 6)) < 1e-4
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: a trained item can never probe 'no' — the
+    (maybe=false, present=true) cell must be empty; trained items all
+    land in (true, true)."""
+    from ozone_spark.functions import sketch
+    from ozone_spark.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    cells = {(r.maybe, r.present): r.n
+             for r in sketch.bloom_membership_report(docs).collect()}
+    assert (False, True) not in cells
+    assert cells.get((True, True), 0) > 0
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min guarantee: counters only over-count, so the min over
+    rows is >= the exact frequency for every token."""
+    from ozone_spark.functions import sketch
+    from ozone_spark.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sketch.cms_token_counts(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overcount == r.cms_estimate - r.exact_count

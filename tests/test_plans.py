@@ -242,3 +242,42 @@ def test_training_shards_single_window_exchange(spark, t):
     plan = plan_of(training_shards(t["documents"]))
     body = plan.split("== Physical Plan ==")[-1]
     assert body.count("Arguments: hashpartitioning") == 1
+
+
+def test_bigram_lm_no_cartesian_vocab_broadcast(spark, sf_dir):
+    """The LM scorer's only cross product is the one-row vocab scalar
+    (broadcast); the model join is a real equi-join — no nested-loop
+    scan of doc-bigrams against the model."""
+    from ozone_spark.functions.mining import bigram_lm_scores
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(bigram_lm_scores(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row vocab scalar
+    # formatted mode prints each node twice (tree + details): one instance
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_kmv_sketch_single_shuffle_shape(spark, sf_dir):
+    """KMV never materializes text beyond the distinct-shingle set:
+    no joins at all, and the plan carries no document text columns past
+    the first project."""
+    from ozone_spark.functions.sketch import kmv_shingle_estimate
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(kmv_shingle_estimate(docs))
+    assert "Join" not in plan  # dedup + window + agg only
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_family_plan_shapes(spark, sf_dir):
+    """Sketch ops keep their promised shapes: weighted sampling's
+    global top-k is TakeOrderedAndProject (no global sort); the CMS
+    estimate join broadcasts the d*w grid; nothing in the family
+    degenerates to a cartesian product."""
+    from ozone_spark.functions import sketch
+    docs = tables.load_table(spark, sf_dir, "documents")
+    ws = plan_of(sketch.weighted_sample(docs))
+    assert "TakeOrderedAndProject" in ws
+    cms = plan_of(sketch.cms_token_counts(docs))
+    assert "BroadcastHashJoin" in cms  # grid side broadcast
+    for plan in (ws, cms, plan_of(sketch.bloom_membership_report(docs))):
+        assert "CartesianProduct" not in plan
