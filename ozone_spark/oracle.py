@@ -222,11 +222,65 @@ _CTES["tenant_access"] = """tenant_access AS (
   FROM customer WHERE c_custkey % 6 = 0
 )"""
 
+_CTES["sst_catalog"] = """sst_catalog AS (
+  SELECT sst_id,
+    CAST(CASE WHEN sst_id < 40 THEN sst_id + 1
+         WHEN sst_id < 60 THEN 50 + ((sst_id - 40) // 2) * 10
+         WHEN sst_id < 62 THEN 160
+         WHEN sst_id = 62 THEN 170
+         WHEN sst_id < 69 THEN sst_id + 38
+         ELSE 210 END AS BIGINT) AS gen,
+    '/vol' || CAST(sst_id % 4 AS VARCHAR) AS start_key,
+    '/vol' || CAST(sst_id % 4 AS VARCHAR) || '/~' AS end_key
+  FROM (SELECT range AS sst_id FROM range(70))
+)"""
+
+_CTES["compaction_edges"] = """compaction_edges AS (
+  SELECT CAST(40 + g * 2 + o AS BIGINT) AS out_sst,
+         CAST(g * 4 + i AS BIGINT) AS in_sst,
+         CAST(50 + g * 10 AS BIGINT) AS seq
+  FROM (SELECT range AS g FROM range(10)),
+       (SELECT range AS o FROM range(2)),
+       (SELECT range AS i FROM range(4))
+  UNION ALL
+  SELECT CAST(oo + 60 AS BIGINT), CAST(ii AS BIGINT), CAST(160 AS BIGINT)
+  FROM (SELECT range AS oo FROM range(2)),
+       (SELECT range AS ii FROM range(40, 44))
+  UNION ALL
+  SELECT CAST(62 AS BIGINT), CAST(ii AS BIGINT), CAST(170 AS BIGINT)
+  FROM (SELECT range AS ii FROM range(44, 48))
+  UNION ALL
+  SELECT CAST(69 AS BIGINT), CAST(68 AS BIGINT), CAST(210 AS BIGINT)
+)"""
+
+_CTES["sst_snapshot_files"] = """sst_snapshot_files AS (
+  SELECT 'snap-d' AS snapshot_name, CAST(95 AS BIGINT) AS snapshot_gen,
+         CAST(range AS BIGINT) AS sst_id FROM range(20, 50)
+  UNION ALL
+  SELECT 'snap-s', CAST(200 AS BIGINT), CAST(range AS BIGINT)
+  FROM range(48, 69)
+)"""
+
+_CTES["pipelines"] = """pipelines AS (
+  SELECT p AS pipeline_id,
+    CASE WHEN p % 4 = 3 THEN 'CLOSED' ELSE 'OPEN' END AS state,
+    'THREE' AS replication,
+    'dn' || CAST((p * 3 + k) % 10 AS VARCHAR) AS datanode
+  FROM (SELECT range AS p FROM range(12)), (SELECT range AS k FROM range(3))
+  WHERE p % 3 <> 0
+  UNION ALL
+  SELECT p, CASE WHEN p % 4 = 3 THEN 'CLOSED' ELSE 'OPEN' END, 'ONE',
+    'dn' || CAST(p % 10 AS VARCHAR)
+  FROM (SELECT range AS p FROM range(12)) WHERE p % 3 = 0
+)"""
+
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
           "directories", "snap1", "snap2", "snap3", "snapshot_chain",
           "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
-          "acl_entries", "tenant_access"]
+          "acl_entries", "tenant_access",
+          "sst_catalog", "compaction_edges", "sst_snapshot_files",
+          "pipelines"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "snap3": ["keys"], "open_keys": ["keys"], "deleted_keys": ["keys"],
          "multipart_uploads": ["keys"], "trash_entries": ["keys"]}

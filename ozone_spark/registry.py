@@ -34,7 +34,7 @@ from ozone_spark.operators import (
     snapshot as snops,
     tpch,
 )
-from ozone_spark.oracle import with_views
+from ozone_spark.oracle import _CTES as ORACLE_CTES, with_views
 
 NOW_MS = tables.NOW_MS
 
@@ -295,6 +295,177 @@ FROM snap2 a JOIN snap3 b USING (object_id) WHERE a.key_name <> b.key_name""",
         with_views(
             f"SELECT * FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE'",
             ["snap1", "snap2"],
+        ),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# compaction-DAG snapshot-diff pruning (rocksdb-checkpoint-differ)
+# ---------------------------------------------------------------------------
+
+from ozone_spark.operators import compaction as compops  # noqa: E402
+
+_SST_DIFF_ORACLE = """WITH RECURSIVE
+{catalog},
+{edges},
+{snapfiles},
+src AS (SELECT sst_id FROM sst_snapshot_files WHERE snapshot_name = 'snap-s'),
+dest AS (SELECT sst_id FROM sst_snapshot_files WHERE snapshot_name = 'snap-d'),
+dgen AS (SELECT max(snapshot_gen) AS g FROM sst_snapshot_files
+         WHERE snapshot_name = 'snap-d'),
+nodes AS (SELECT out_sst AS sst_id FROM compaction_edges
+          UNION SELECT in_sst FROM compaction_edges),
+walk AS (
+  SELECT sst_id FROM src
+  WHERE sst_id NOT IN (SELECT sst_id FROM dest)
+    AND sst_id IN (SELECT sst_id FROM nodes)
+  UNION
+  SELECT e.in_sst FROM walk w
+  JOIN sst_catalog c ON c.sst_id = w.sst_id
+  JOIN compaction_edges e ON e.out_sst = w.sst_id
+  WHERE w.sst_id NOT IN (SELECT sst_id FROM dest)
+    AND c.gen >= (SELECT g FROM dgen)
+),
+encountered AS (
+  SELECT sst_id FROM walk
+  UNION
+  SELECT sst_id FROM src WHERE sst_id IN (SELECT sst_id FROM dest)
+  UNION
+  SELECT sst_id FROM src
+  WHERE sst_id NOT IN (SELECT sst_id FROM dest)
+    AND sst_id NOT IN (SELECT sst_id FROM nodes)
+)
+SELECT sst_id, gen, verdict,
+  verdict = 'DIFFERENT' AND end_key >= '/vol1' AND start_key <= '/vol1/~'
+    AS relevant
+FROM (
+  SELECT c.sst_id, c.gen, c.start_key, c.end_key,
+    CASE WHEN c.sst_id IN (SELECT sst_id FROM dest) THEN 'SAME'
+         WHEN c.sst_id NOT IN (SELECT sst_id FROM nodes) THEN 'DIFFERENT'
+         WHEN c.gen < (SELECT g FROM dgen) THEN 'DIFFERENT'
+         WHEN c.sst_id NOT IN (SELECT out_sst FROM compaction_edges)
+           THEN 'DIFFERENT'
+         ELSE NULL END AS verdict
+  FROM encountered e JOIN sst_catalog c USING (sst_id)
+)
+WHERE verdict IS NOT NULL
+ORDER BY sst_id"""
+
+COMPACTION_QUERIES = [
+    _q(
+        "sst_diff_pruning",
+        lambda spark, sf: compops.sst_diff_files(
+            views(spark, sf)["sst_snapshot_files"],
+            views(spark, sf)["sst_catalog"],
+            views(spark, sf)["compaction_edges"],
+            "snap-s", "snap-d", "/vol1"),
+        _SST_DIFF_ORACLE.format(
+            catalog=ORACLE_CTES["sst_catalog"],
+            edges=ORACLE_CTES["compaction_edges"],
+            snapfiles=ORACLE_CTES["sst_snapshot_files"]),
+    ),
+]
+
+# ---------------------------------------------------------------------------
+# SCM admin plane: pipelines, safemode rules, decommission planning
+# ---------------------------------------------------------------------------
+
+from ozone_spark.operators import scm as scmops  # noqa: E402
+
+SCM_QUERIES = [
+    _q(
+        "list_pipelines",
+        lambda spark, sf: scmops.list_pipelines(views(spark, sf)["pipelines"]),
+        with_views(
+            """SELECT pipeline_id, state, replication,
+  CAST(count(*) AS BIGINT) AS member_count,
+  list_sort(list(datanode)) AS members
+FROM pipelines GROUP BY 1, 2, 3 ORDER BY pipeline_id""",
+            ["pipelines"],
+        ),
+    ),
+    _q(
+        "safemode_status",
+        lambda spark, sf: scmops.safemode_status(
+            views(spark, sf)["containers"], views(spark, sf)["replicas"],
+            views(spark, sf)["datanodes"], views(spark, sf)["pipelines"]),
+        with_views(
+            """WITH closed AS (SELECT * FROM containers WHERE state = 'CLOSED'),
+pp AS (SELECT pipeline_id, state FROM pipelines GROUP BY 1, 2),
+rules AS (
+  SELECT 'DATANODE' AS rule,
+    CAST((SELECT count(*) FROM datanodes) AS DOUBLE) AS metric,
+    CAST(3.0 AS DOUBLE) AS threshold
+  UNION ALL
+  SELECT 'RATIS_CONTAINER',
+    round((SELECT count(*) FROM closed WHERE container_id IN
+           (SELECT container_id FROM replicas))
+          / (SELECT count(*) FROM closed), 6),
+    CAST(0.99 AS DOUBLE)
+  UNION ALL
+  SELECT 'HEALTHY_PIPELINE',
+    round((SELECT count(*) FROM pp WHERE state = 'OPEN')
+          / (SELECT count(*) FROM pp), 6),
+    CAST(0.10 AS DOUBLE)
+  UNION ALL
+  SELECT 'ONE_REPLICA_PIPELINE',
+    round((SELECT count(DISTINCT pipeline_id) FROM pipelines
+           WHERE replication = 'THREE' AND datanode IN
+             (SELECT datanode FROM datanodes))
+          / (SELECT count(DISTINCT pipeline_id) FROM pipelines
+             WHERE replication = 'THREE'), 6),
+    CAST(0.90 AS DOUBLE)
+)
+SELECT rule, metric, threshold, metric >= threshold AS satisfied
+FROM rules ORDER BY rule""",
+            ["containers", "replicas", "datanodes", "pipelines"],
+        ),
+    ),
+    _q(
+        "decommission_plan",
+        lambda spark, sf: scmops.decommission_plan(
+            views(spark, sf)["containers"], views(spark, sf)["replicas"],
+            views(spark, sf)["datanodes"], "dn3"),
+        with_views(
+            """WITH on_node AS (
+  SELECT DISTINCT r.container_id, c.state, c.expected_replicas
+  FROM replicas r JOIN containers c USING (container_id)
+  WHERE r.datanode = 'dn3' AND c.state NOT IN ('DELETED', 'DELETING')
+),
+he AS (
+  SELECT container_id, count(*) AS healthy_others FROM replicas
+  WHERE datanode <> 'dn3' AND checksum = 'ok' GROUP BY 1
+),
+need AS (
+  SELECT o.container_id, o.state,
+    CAST(coalesce(h.healthy_others, 0) AS BIGINT) AS healthy_others,
+    coalesce(h.healthy_others, 0) < o.expected_replicas AS needs_copy
+  FROM on_node o LEFT JOIN he h USING (container_id)
+),
+lo AS (
+  SELECT r.datanode, sum(c.used_bytes) AS used
+  FROM replicas r JOIN containers c USING (container_id) GROUP BY 1
+),
+cand AS (
+  SELECT d.datanode, coalesce(l.used, 0) AS used
+  FROM datanodes d LEFT JOIN lo l USING (datanode)
+  WHERE d.datanode <> 'dn3'
+),
+ranked AS (
+  SELECT container_id, datanode AS target FROM (
+    SELECT n.container_id, c.datanode,
+      row_number() OVER (PARTITION BY n.container_id
+                         ORDER BY c.used, c.datanode) AS rk
+    FROM need n, cand c
+    WHERE n.needs_copy AND NOT EXISTS (
+      SELECT 1 FROM replicas r
+      WHERE r.container_id = n.container_id AND r.datanode = c.datanode)
+  ) WHERE rk = 1
+)
+SELECT n.container_id, n.state, n.healthy_others, n.needs_copy, r.target
+FROM need n LEFT JOIN ranked r USING (container_id)
+ORDER BY n.container_id""",
+            ["containers", "replicas", "datanodes"],
         ),
     ),
 ]
@@ -2853,7 +3024,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + EVENT_QUERIES + TEXT_QUERIES + PIPELINE_QUERIES + DEDUP_QUERIES
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
-    + ACL_GROWTH_QUERIES
+    + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES
 )
 
 

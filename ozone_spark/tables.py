@@ -427,6 +427,113 @@ def tenant_access_view(customer: DataFrame) -> DataFrame:
     )
 
 
+def sst_catalog_view(spark: SparkSession) -> DataFrame:
+    """SST-file catalog analog for the compaction DAG (CompactionNode.java:
+    fileName/seqNum/startKey/endKey).  69 files from a deterministic
+    LSM history:
+
+      0..39   L0 flushes, gen = sst+1
+      40..59  L1 outputs of compaction c_g (g=0..9, seq 50+10g;
+              inputs {4g..4g+3}, outputs {40+2g, 41+2g})
+      60,61   L2 outputs of the seq-160 compaction of L1 {40..43}
+      62      L2 output of the seq-170 compaction of L1 {44..47}
+      63..68  post-snapshot L0 flushes, gens 101..106
+      (a seq-210 compaction consumes 68 -> 69; 69 is never snapshot-live,
+       it exists only so 68 is a DAG node with no forward successors)
+
+    `gen` is the file's creation sequence number — the honest-history
+    equivalent of CompactionNode.getSnapshotGeneration() for every
+    verdict the differ can actually reach.  start/end key range covers
+    volume sst%4 only (RocksDiffUtils key-range pruning)."""
+    s = F.col("sst_id")
+    gen = (
+        F.when(s < 40, s + 1)
+        .when(s < 60, F.lit(50) + F.floor((s - 40) / 2) * 10)
+        .when(s < 62, F.lit(160))
+        .when(s == 62, F.lit(170))
+        .when(s < 69, s + 38)
+        .otherwise(F.lit(210))
+    )
+    vol = F.concat(F.lit("/vol"), (s % 4).cast("string"))
+    return spark.range(70).select(
+        F.col("id").alias("sst_id"),
+        gen.cast("long").alias("gen"),
+        vol.alias("start_key"),
+        F.concat(vol, F.lit("/~")).alias("end_key"),
+    )
+
+
+def compaction_edges_view(spark: SparkSession) -> DataFrame:
+    """Forward compaction-DAG edge list (CompactionDag.java:65-80:
+    populateCompactionDAG draws output->input edges; successors of a
+    file are the inputs it was compacted from).  Pure cross-join of the
+    deterministic history in sst_catalog_view."""
+    g = F.col("g")
+    i = F.col("i")
+    l1 = (
+        spark.range(10).select(F.col("id").alias("g"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("o")))
+        .crossJoin(spark.range(4).select(F.col("id").alias("i")))
+        .select((F.lit(40) + g * 2 + F.col("o")).alias("out_sst"),
+                (g * 4 + i).alias("in_sst"),
+                (F.lit(50) + g * 10).alias("seq"))
+    )
+    l2a = (
+        spark.range(2).select((F.col("id") + 60).alias("out_sst"))
+        .crossJoin(spark.range(40, 44).select(F.col("id").alias("in_sst")))
+        .withColumn("seq", F.lit(160).cast("long"))
+    )
+    l2b = spark.range(44, 48).select(
+        F.lit(62).cast("long").alias("out_sst"),
+        F.col("id").alias("in_sst"),
+        F.lit(170).cast("long").alias("seq"))
+    post = spark.range(1).select(
+        F.lit(69).cast("long").alias("out_sst"),
+        F.lit(68).cast("long").alias("in_sst"),
+        F.lit(210).cast("long").alias("seq"))
+    return l1.unionByName(l2a).unionByName(l2b).unionByName(post)
+
+
+def sst_snapshot_files_view(spark: SparkSession) -> DataFrame:
+    """Live SST set per snapshot (DifferSnapshotVersion.getSstFileMap):
+    'snap-d' (dest, gen 95) holds {20..49}; 'snap-s' (src, gen 200)
+    holds {48..68}."""
+    dest = spark.range(20, 50).select(
+        F.lit("snap-d").alias("snapshot_name"),
+        F.lit(95).cast("long").alias("snapshot_gen"),
+        F.col("id").alias("sst_id"))
+    src = spark.range(48, 69).select(
+        F.lit("snap-s").alias("snapshot_name"),
+        F.lit(200).cast("long").alias("snapshot_gen"),
+        F.col("id").alias("sst_id"))
+    return dest.unionByName(src)
+
+
+def pipelines_view(spark: SparkSession) -> DataFrame:
+    """SCM pipeline registry analog (PipelineManagerImpl; `ozone admin
+    pipeline list`).  12 pipelines, one row per member: p%4==3 ->
+    CLOSED else OPEN; p%3==0 -> ONE (single member p%10) else THREE
+    (members (3p+k)%10, k=0..2).  Member indexes run 0..9 while only
+    dn0..dn7 are registered, so some members are unregistered nodes —
+    exercised by the one-replica safemode rule."""
+    p = F.col("pipeline_id")
+    base = spark.range(12).select(F.col("id").alias("pipeline_id"))
+    state = F.when(p % 4 == 3, "CLOSED").otherwise("OPEN")
+    three = (
+        base.where(p % 3 != 0)
+        .crossJoin(spark.range(3).select(F.col("id").alias("k")))
+        .select(p.alias("pipeline_id"), state.alias("state"),
+                F.lit("THREE").alias("replication"),
+                F.concat(F.lit("dn"), ((p * 3 + F.col("k")) % 10)
+                         .cast("string")).alias("datanode"))
+    )
+    one = base.where(p % 3 == 0).select(
+        p.alias("pipeline_id"), state.alias("state"),
+        F.lit("ONE").alias("replication"),
+        F.concat(F.lit("dn"), (p % 10).cast("string")).alias("datanode"))
+    return three.unionByName(one)
+
+
 def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All driver tables + derived namespace views, by name."""
     t = load_all(spark, sf_dir)
@@ -448,5 +555,9 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         trash_entries=trash_entries_view(keys),
         acl_entries=acl_entries_view(spark),
         tenant_access=tenant_access_view(t["customer"]),
+        sst_catalog=sst_catalog_view(spark),
+        compaction_edges=compaction_edges_view(spark),
+        sst_snapshot_files=sst_snapshot_files_view(spark),
+        pipelines=pipelines_view(spark),
     )
     return t

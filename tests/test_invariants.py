@@ -438,3 +438,34 @@ def test_cms_never_undercounts(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.exact_count
         assert r.overcount == r.cms_estimate - r.exact_count
+
+
+def test_sst_diff_reads_only_post_dest_files(spark, sf_dir):
+    """Honest-history property of the compaction-DAG differ: the files
+    it says must be read (DIFFERENT) are exactly the src-snapshot files
+    holding NEW data — post-dest flushes (never compaction outputs,
+    whose content the walk proves is covered by dest-held inputs)."""
+    from ozone_spark.operators.compaction import sst_diff_files
+    from ozone_spark.registry import views
+
+    v = views(spark, sf_dir)
+    out = sst_diff_files(v["sst_snapshot_files"], v["sst_catalog"],
+                         v["compaction_edges"], "snap-s", "snap-d",
+                         "/vol1").toPandas()
+    diff = set(out[out.verdict == "DIFFERENT"].sst_id)
+    snaps = v["sst_snapshot_files"].toPandas()
+    cat = v["sst_catalog"].toPandas().set_index("sst_id").gen
+    dest_gen = snaps[snaps.snapshot_name == "snap-d"].snapshot_gen.max()
+    src_live = set(snaps[snaps.snapshot_name == "snap-s"].sst_id)
+    outputs = set(v["compaction_edges"].toPandas().out_sst)
+    expected = {s for s in src_live
+                if cat[s] > dest_gen and s not in outputs}
+    assert diff == expected
+    # every SAME verdict is a file dest really holds
+    same = set(out[out.verdict == "SAME"].sst_id)
+    dest_live = set(snaps[snaps.snapshot_name == "snap-d"].sst_id)
+    assert same <= dest_live
+    # pruning keeps only ranges overlapping /vol1
+    rel = out[out.relevant]
+    assert (rel.verdict == "DIFFERENT").all()
+    assert set(rel.sst_id) == {s for s in diff if s % 4 == 1}
