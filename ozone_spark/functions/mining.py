@@ -171,3 +171,41 @@ def tf_idf_top_terms(docs: DataFrame, top_n: int = TOP_TERMS) -> DataFrame:
                 F.round("tfidf", 6).alias("tfidf"),
                 F.round("bm25", 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------- vocabulary
+
+def vocab_coverage(docs: DataFrame, k: int = 500) -> DataFrame:
+    """Tokenizer-style vocabulary induction: build the corpus-global
+    top-k word vocabulary (count desc, word asc — deterministic ties),
+    then measure per-language coverage — the share of token occurrences
+    the vocab explains — and the OOV rate.  The curve a tokenizer team
+    reads before fixing a vocab size.
+
+    Scale shape: one shuffle for global word counts, top-k via
+    TakeOrderedAndProject (distributed, no single-reducer window), the
+    tiny vocab broadcast back for the coverage semi-join.  Per-language
+    totals are a second partial-agg shuffle over (lang, in_vocab)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    words = (
+        docs.select("lang", F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    vocab = (
+        words.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word").limit(k)
+        .select("word")
+    )
+    tagged = words.join(
+        broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left")
+    return (
+        tagged.groupBy("lang")
+        .agg(F.count("*").alias("total_tokens"),
+             F.sum(F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0))
+             .alias("covered_tokens"))
+        .withColumn("coverage",
+                    F.round(F.col("covered_tokens") / F.col("total_tokens"), 6))
+        .withColumn("oov_rate",
+                    F.round(1 - F.col("covered_tokens") / F.col("total_tokens"), 6))
+        .orderBy("lang")
+    )

@@ -172,3 +172,16 @@ def tenant_access_report(tenant_access: DataFrame) -> DataFrame:
         )
         .orderBy("tenant_id")
     )
+
+
+def dtoken_expiry(delegation_tokens: DataFrame, now_ms: int) -> DataFrame:
+    """dTokenTable expiry sweep (OMDBDefinition.java:156-159; the OM's
+    OzoneDelegationTokenSecretManager.removeExpiredToken pass): every
+    token with its renewability verdict — expired tokens are the rows
+    the background remover would purge."""
+    return (
+        delegation_tokens
+        .withColumn("expired", F.col("renew_till_ms") < F.lit(now_ms))
+        .select("token_id", "owner", "renewer", "renew_till_ms", "expired")
+        .orderBy("token_id")
+    )

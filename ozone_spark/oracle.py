@@ -274,13 +274,23 @@ _CTES["pipelines"] = """pipelines AS (
   FROM (SELECT range AS p FROM range(12)) WHERE p % 3 = 0
 )"""
 
+_CTES["delegation_tokens"] = f"""delegation_tokens AS (
+  SELECT t AS token_id,
+    'user' || CAST(t % 10 AS VARCHAR) AS owner,
+    'svc' || CAST(t % 3 AS VARCHAR) AS renewer,
+    {NOW_MS} - (t % 14) * 86400000 AS issue_ms,
+    {NOW_MS} - (t % 14) * 86400000 + (1 + t % 10) * 86400000
+      AS renew_till_ms
+  FROM (SELECT range AS t FROM range(40))
+)"""
+
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
           "directories", "snap1", "snap2", "snap3", "snapshot_chain",
           "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
           "acl_entries", "tenant_access",
           "sst_catalog", "compaction_edges", "sst_snapshot_files",
-          "pipelines"]
+          "pipelines", "delegation_tokens"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "snap3": ["keys"], "open_keys": ["keys"], "deleted_keys": ["keys"],
          "multipart_uploads": ["keys"], "trash_entries": ["keys"]}

@@ -374,6 +374,17 @@ from ozone_spark.operators import scm as scmops  # noqa: E402
 
 SCM_QUERIES = [
     _q(
+        "dtoken_expiry",
+        lambda spark, sf: admin.dtoken_expiry(
+            views(spark, sf)["delegation_tokens"], NOW_MS),
+        with_views(
+            f"""SELECT token_id, owner, renewer, renew_till_ms,
+  renew_till_ms < {NOW_MS} AS expired
+FROM delegation_tokens ORDER BY token_id""",
+            ["delegation_tokens"],
+        ),
+    ),
+    _q(
         "list_pipelines",
         lambda spark, sf: scmops.list_pipelines(views(spark, sf)["pipelines"]),
         with_views(
@@ -2722,6 +2733,23 @@ SELECT vec_id, cluster, CAST(floor(d) AS BIGINT) AS dist_sq_q FROM (
 
 MINING_QUERIES = [
     _q(
+        "vocab_coverage",
+        lambda spark, sf: mining.vocab_coverage(views(spark, sf)["documents"]),
+        f"""WITH norm AS (
+  SELECT lang, unnest(list_filter(string_split(
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+    w -> w <> '')) AS word
+  FROM documents
+), counts AS (SELECT word, count(*) AS cnt FROM norm GROUP BY 1),
+vocab AS (SELECT word FROM counts ORDER BY cnt DESC, word LIMIT 500),
+tagged AS (SELECT lang, word IN (SELECT word FROM vocab) AS iv FROM norm)
+SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+  round(sum(CASE WHEN iv THEN 1 ELSE 0 END) / count(*), 6) AS coverage,
+  round(1 - sum(CASE WHEN iv THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate
+FROM tagged GROUP BY 1 ORDER BY lang""",
+    ),
+    _q(
         "pii_redaction",
         lambda spark, sf: mining.pii_redaction(views(spark, sf)["documents"]),
         f"""WITH aug AS (
@@ -3012,6 +3040,59 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
     row_number() OVER (PARTITION BY query_id
                        ORDER BY adc_dist, vec_id) AS rank
   FROM adc WHERE vec_id <> query_id
+) WHERE rank <= 10 ORDER BY query_id, rank""",
+    ),
+    _q(
+        "knn_ivf_pq",
+        lambda spark, sf: similarity.knn_ivf_pq(
+            views(spark, sf)["embeddings"], [20, 21, 22], k=10),
+        # IVF probe (knn_ivf oracle) restricted candidates, ADC-scored
+        # over PQ codes (knn_pq oracle) — integer math, exact replay
+        _PQ_CTES + f"""
+, codes AS (
+  SELECT vec_id, sub, cid AS code FROM best WHERE rn = 1
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_DOT.format(a='e.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (20, 21, 22)
+), probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q2.query_id, c.centroid_id,
+      row_number() OVER (PARTITION BY q2.query_id
+        ORDER BY {_DOT.format(a='q2.qe', b='c.c')} DESC,
+                 c.centroid_id ASC) AS rn
+    FROM qs q2, cents c
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probe p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+), qd AS (
+  SELECT vec_id AS query_id, sub, cid, dist FROM d
+  WHERE vec_id IN (20, 21, 22)
+), adc AS (
+  SELECT cd.query_id, cd.vec_id, CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.vec_id
+  JOIN qd ON qd.query_id = cd.query_id AND qd.sub = c.sub
+         AND qd.cid = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
 ) WHERE rank <= 10 ORDER BY query_id, rank""",
     ),
 ]

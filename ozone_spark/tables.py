@@ -509,6 +509,22 @@ def sst_snapshot_files_view(spark: SparkSession) -> DataFrame:
     return dest.unionByName(src)
 
 
+def delegation_tokens_view(spark: SparkSession) -> DataFrame:
+    """dTokenTable analog (OMDBDefinition.java:156-159: token ->
+    renew time).  40 tokens: issued t%14 days before NOW, renewable
+    until issue + (1 + t%10) days — so expiry varies per token."""
+    t = F.col("token_id")
+    day = 86400000
+    issue = F.lit(NOW_MS) - (t % 14) * day
+    return spark.range(40).select(
+        F.col("id").alias("token_id"),
+        F.concat(F.lit("user"), (t % 10).cast("string")).alias("owner"),
+        F.concat(F.lit("svc"), (t % 3).cast("string")).alias("renewer"),
+        issue.alias("issue_ms"),
+        (issue + (1 + t % 10) * day).alias("renew_till_ms"),
+    )
+
+
 def pipelines_view(spark: SparkSession) -> DataFrame:
     """SCM pipeline registry analog (PipelineManagerImpl; `ozone admin
     pipeline list`).  12 pipelines, one row per member: p%4==3 ->
@@ -559,5 +575,6 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         compaction_edges=compaction_edges_view(spark),
         sst_snapshot_files=sst_snapshot_files_view(spark),
         pipelines=pipelines_view(spark),
+        delegation_tokens=delegation_tokens_view(spark),
     )
     return t

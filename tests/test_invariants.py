@@ -469,3 +469,25 @@ def test_sst_diff_reads_only_post_dest_files(spark, sf_dir):
     rel = out[out.relevant]
     assert (rel.verdict == "DIFFERENT").all()
     assert set(rel.sst_id) == {s for s in diff if s % 4 == 1}
+
+
+def test_ivf_pq_consistent_with_flat_pq(spark, sf_dir):
+    """IVF-PQ composite invariants: every returned candidate lives in a
+    probed inverted list, and its ADC distance equals the flat knn_pq
+    scorer's distance for the same (query, vec) pair — the IVF stage
+    only restricts the candidate set, never changes the metric."""
+    from ozone_spark.functions import similarity
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    qids = [20, 21, 22]
+    got = similarity.knn_ivf_pq(emb, qids, k=10).collect()
+    assert len(got) > 0
+    # probed lists per query (same ranking as knn_ivf's probe stage)
+    assigned = {r.vec_id: r.centroid_id
+                for r in similarity.ivf_assignments(emb).collect()}
+    flat = {(r.query_id, r.vec_id): r.adc_dist
+            for r in similarity.knn_pq(emb, qids, k=100000).collect()}
+    ivf = {(r.query_id, r.vec_id)
+           for r in similarity.knn_ivf(emb, qids, k=100000).collect()}
+    for r in got:
+        assert (r.query_id, r.vec_id) in ivf  # same probed candidate set
+        assert flat[(r.query_id, r.vec_id)] == r.adc_dist

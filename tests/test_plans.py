@@ -281,3 +281,44 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in cms  # grid side broadcast
     for plan in (ws, cms, plan_of(sketch.bloom_membership_report(docs))):
         assert "CartesianProduct" not in plan
+
+
+def test_zorder_interleave_and_file_disjointness(spark, tmp_path):
+    """Z-order layout: the interleave math is exact (hand-computed
+    case), clamping bounds out-of-range inputs, and the written files
+    carry DISJOINT z ranges in their parquet footers — the property
+    that gives min/max file skipping its power on both axes."""
+    import pyspark.sql.functions as F
+    from ozone_spark import layout, tables
+
+    df = spark.createDataFrame([(5, 3), (-7, 3), (1 << 40, 0)], "a long, b long")
+    got = df.select(layout.zorder_key(F.col("a"), F.col("b")).alias("z")) \
+        .collect()
+    # a=101b -> even bit positions, b=011b -> odd: 1 + 16 + 2 + 8 = 27
+    assert got[0].z == 27
+    assert got[1].z == 2 + 8          # a clamps to 0, b=3 contributes
+    max16 = (1 << 16) - 1
+    assert got[2].z == sum(1 << (2 * i) for i in range(16))  # a clamps to max
+    assert max16 == 65535
+
+    events = tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_z")
+    layout.write_events_zorder(events, out, n_files=4)
+    import glob
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        zi = [c for c in range(md.num_columns)
+              if md.schema.column(c).name == "z"][0]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(zi).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # repartitionByRange => non-overlapping files
+    # and the layout loses no rows
+    assert spark.read.parquet(out).count() == events.count()
