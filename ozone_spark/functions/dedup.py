@@ -77,7 +77,8 @@ def _spread(df: DataFrame) -> DataFrame:
     CPU-heavy per-row transforms so all cores work.  (At real scale the
     source has many splits and this is a no-op-cost round-robin.)"""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # file-count check from plan metadata — no df.rdd conversion
+    return df if len(df.inputFiles()) >= target else df.repartition(target)
 
 
 def _norm_text(text: Column) -> Column:

@@ -109,11 +109,38 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 "byte_mean": _np.asarray(means, dtype=_np.float64),
             }, columns=out_cols)
 
-    # fan a single-file input out across cores before the CPU-bound UDF
+    # fan a few-file input out across cores before the CPU-bound UDF
+    # (file-count check from plan metadata — no df.rdd conversion)
     target = media.sparkSession.sparkContext.defaultParallelism
-    if media.rdd.getNumPartitions() < target:
+    if len(media.inputFiles()) < target:
         media = media.repartition(target)
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def features_canonical(media: DataFrame,
+                       fake_decode: bool = True) -> DataFrame:
+    """Gate-friendly scalar projection of extract_features: the
+    byte_histogram array is exploded to one (bin, bin_count) row per
+    bin and byte_mean is de-normalized back to the exact integer byte
+    sum.  count = frac * payload_len and sum = mean * payload_len are
+    exact round-trips (float64 holds counts < 2^53 losslessly), so the
+    output is pure integers — engine-portable with no float-formatting
+    hazards for an external comparator."""
+    feats = extract_features(media, fake_decode=fake_decode)
+    return (
+        feats.select(
+            "doc_id", "media_type", "payload_len",
+            F.posexplode("byte_histogram").alias("bin", "frac"),
+            "byte_mean")
+        .select(
+            "doc_id", "media_type", "payload_len",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("frac") * F.col("payload_len"))
+            .cast("long").alias("bin_count"),
+            F.round(F.col("byte_mean") * F.col("payload_len"))
+            .cast("long").alias("byte_sum"))
+        .orderBy("doc_id", "bin")
+    )
 
 
 FRAME_SIZE = 256  # fake codec: fixed-size frames inside the payload
@@ -186,9 +213,36 @@ def media_resize(media: DataFrame, out_dim: int = 8) -> DataFrame:
             }, columns=out_cols)
 
     target = media.sparkSession.sparkContext.defaultParallelism
-    if media.rdd.getNumPartitions() < target:
+    if len(media.inputFiles()) < target:
         media = media.repartition(target)
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def resize_canonical(media: DataFrame, out_dim: int = 8) -> DataFrame:
+    """Gate-friendly scalar projection of media_resize: each pooled
+    block becomes one row carrying its exact integer byte sum and
+    block length.  np.linspace(0, n, out_dim+1) edges are exactly
+    floor(j*n/out_dim) for the payload sizes here (products < 2^53
+    are exact in float64), so block_len = ((j+1)*n div d) - (j*n div d)
+    and block_sum = round(mean * block_len) recover the integers the
+    pooling consumed — portable to any external comparator."""
+    return (
+        media_resize(media, out_dim=out_dim)
+        .join(media.select("doc_id", "payload_len"), "doc_id")
+        .select(
+            "doc_id", "media_type", "payload_len",
+            F.posexplode("resized").alias("block", "v"))
+        .withColumn("lo", F.expr(f"(block * payload_len) div {out_dim}"))
+        .withColumn(
+            "hi", F.expr(f"((block + 1) * payload_len) div {out_dim}"))
+        .select(
+            "doc_id", "media_type",
+            F.col("block").cast("int").alias("block"),
+            (F.col("hi") - F.col("lo")).cast("long").alias("block_len"),
+            F.round(F.col("v") * (F.col("hi") - F.col("lo")))
+            .cast("long").alias("block_sum"))
+        .orderBy("doc_id", "block")
+    )
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -119,6 +119,16 @@ WORD_BITS = 60      # bits packed per word — 60 (not 64) keeps every
 BLOOM_SALT = "bloom-v1"
 
 
+def suggest_bloom_m(n_items: int, fp_rate: float = 0.01) -> int:
+    """Executable Bloom sizing law: m = -n·ln(p)/ln(2)², rounded up to
+    a power of two and floored at 2^10.  The fixture's ~1.7k train
+    items at 1% fp reproduce the shipped BLOOM_M default of 2^14; 1e9
+    items size to 2^34 bits (~2 GB as a distributed bitset table)."""
+    import math
+    bits = -n_items * math.log(fp_rate) / (math.log(2) ** 2)
+    return 1 << max(10, math.ceil(math.log2(max(bits, 2))))
+
+
 def _bloom_positions(item: Column, k: int = BLOOM_K,
                      m: int = BLOOM_M) -> list[Column]:
     """k independent bit positions from salted md5 prefixes — the
@@ -129,13 +139,14 @@ def _bloom_positions(item: Column, k: int = BLOOM_K,
             for j in range(k)]
 
 
-def bloom_build(items: DataFrame, col: str = "fp") -> DataFrame:
+def bloom_build(items: DataFrame, col: str = "fp",
+                m: int = BLOOM_M) -> DataFrame:
     """Distributed Bloom bitset as a (word_idx, word_bits) table:
     explode each item into its k bit positions, OR bits per 60-bit
     word.  One shuffle (the groupBy), m/64 result rows regardless of
     input size — broadcastable for probes when m is modest, joinable
     on word_idx when m must grow with the corpus."""
-    pos = F.explode(F.array(*_bloom_positions(F.col(col)))).alias("pos")
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m=m))).alias("pos")
     return (
         items.select(pos)
         .select((F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),

@@ -38,6 +38,27 @@ def list_volumes(keys: DataFrame) -> DataFrame:
     )
 
 
+def list_volumes_by_user(user_volumes: DataFrame, keys: DataFrame,
+                         user: str | None = None) -> DataFrame:
+    """S3 with the userTable dimension: volumes per owning user
+    (PersistedUserVolumeInfo — OMDBDefinition.java:149-152; dispatch
+    OzoneManagerRequestHandler.java:218 ListVolumesByUser), joined to
+    the same usage rollup as list_volumes.  `user=None` lists every
+    user's volumes (the admin sweep).
+
+    Scale: user_volumes is one row per volume — always the broadcast
+    side against the aggregated usage rollup."""
+    owned = user_volumes
+    if user is not None:
+        owned = owned.where(F.col("user") == user)
+    usage = list_volumes(keys)
+    return (
+        broadcast(owned).join(usage, "volume")
+        .select("user", "volume", "n_buckets", "n_keys", "used_bytes")
+        .orderBy("user", "volume")
+    )
+
+
 def list_snapshots(snap1: DataFrame, snap2: DataFrame) -> DataFrame:
     """S5: the snapshot registry (chain via previous pointers —
     SnapshotInfo.java:53-117) with per-snapshot key counts/bytes."""

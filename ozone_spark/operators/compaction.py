@@ -84,6 +84,13 @@ def sst_diff_files(sst_snapshot_files: DataFrame, sst_catalog: DataFrame,
             break
         seen = seen.unionByName(nxt)
         frontier = nxt
+    else:
+        # mirror the reference differ's clear-and-throw on a too-deep
+        # traversal (RocksDBCheckpointDiffer.internalGetSSTDiffList)
+        # rather than returning a silently under-reported diff
+        raise RuntimeError(
+            f"compaction DAG deeper than {MAX_DAG_DEPTH}; "
+            "refusing to return a truncated snapshot diff")
 
     encountered = (seen.unionByName(direct_same)
                    .unionByName(never_compacted).distinct())

@@ -43,6 +43,47 @@ def range_read_plan(locations: DataFrame, start: int, end: int) -> DataFrame:
     )
 
 
+def lookup_key(keys: DataFrame, locations: DataFrame,
+               db_key: str) -> DataFrame:
+    """§3.2 point read: lookupKey returns the full key record WITH its
+    ordered block-location list (KeyManagerImpl.lookupKey — the
+    OmKeyInfo + keyLocationVersions the client read path consumes).
+    The equality predicate on the sort key reaches the parquet scan
+    (row-group min/max pruning — the RocksDB point-get analog);
+    locations pack into one ordered array column per key."""
+    k = keys.where(F.col("db_key") == db_key)
+    locs = (
+        locations.groupBy("object_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "block_seq", "container_id", "local_id",
+            "block_len", "block_offset"))).alias("blocks"))
+    )
+    return (
+        k.join(locs, "object_id", "left")
+        .select("db_key", "object_id", "volume", "bucket", "key_name",
+                "data_size", "repl_factor", "creation_time", "owner",
+                "blocks")
+    )
+
+
+def lookup_key_blocks(keys: DataFrame, locations: DataFrame,
+                      db_key: str) -> DataFrame:
+    """Gate-friendly flat projection of lookup_key: one row per block
+    (scalar columns only, ordered by block_seq)."""
+    return (
+        lookup_key(keys, locations, db_key)
+        .select("db_key", "object_id", "data_size",
+                F.explode("blocks").alias("b"))
+        .select("db_key", "object_id", "data_size",
+                F.col("b.block_seq").alias("block_seq"),
+                F.col("b.container_id").alias("container_id"),
+                F.col("b.local_id").alias("local_id"),
+                F.col("b.block_len").alias("block_len"),
+                F.col("b.block_offset").alias("block_offset"))
+        .orderBy("block_seq")
+    )
+
+
 def multipart_etag(locations: DataFrame) -> DataFrame:
     """§2.7: MD5-of-parts ETag per object; parts must be sorted by part
     number first (collect_list is unordered — sort the (seq, md5)

@@ -44,7 +44,8 @@ def list_status(directories: DataFrame, keys: DataFrame, parent: str,
 
 
 def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
-                               root_path: str) -> DataFrame:
+                               root_path: str,
+                               max_depth: int = 64) -> DataFrame:
     """B2: BFS expansion of a deleted directory — iterative self-join on
     the adjacency list until fixpoint, then collect contained files.
     Returns (entry_type DIR|FILE, path) for everything to purge.
@@ -56,7 +57,10 @@ def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
     frontier = directories.sparkSession.createDataFrame(
         [(root_path,)], "path string")
     all_dirs = frontier
-    for _ in range(16):  # depth bound; fixture depth reaches 4 (m/d dirs)
+    # max_depth is a safety bound only — the loop exits on an empty
+    # frontier; if the bound is hit with work remaining we FAIL (a
+    # silent cap would truncate the purge set on a deeper tree)
+    for _ in range(max_depth):
         children = (
             directories.join(
                 F.broadcast(frontier.withColumnRenamed("path", "parent_path")),
@@ -68,6 +72,10 @@ def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
             break
         all_dirs = all_dirs.unionByName(new)
         frontier = new
+    else:
+        raise RuntimeError(
+            f"directory tree deeper than {max_depth} levels; "
+            "refusing to return a truncated purge set")
     files = (
         keys.join(all_dirs.withColumnRenamed("path", "_parent"),
                   _file_parent() == F.col("_parent"))

@@ -49,6 +49,70 @@ def list_keys(
     )
 
 
+def _paged(df: DataFrame, order_cols: list[str], max_rows: int) -> DataFrame:
+    """The reference's shared pagination contract (S1): fetch
+    max_rows+1 ordered rows, derive is_truncated from the overflow row,
+    return the first max_rows.  orderBy+limit compiles to
+    TakeOrderedAndProject, so the single-partition window below only
+    ever sees ≤ max_rows+1 rows — bounded by construction."""
+    page = df.orderBy(*order_cols).limit(max_rows + 1)
+    rn = Window.partitionBy(F.lit(1)).orderBy(*order_cols)
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        page.withColumn("_rn", F.row_number().over(rn))
+        .withColumn("is_truncated", F.count("*").over(w_all) > max_rows)
+        .where(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )
+
+
+def list_multipart_uploads(
+    multipart_uploads: DataFrame,
+    volume: str | None = None,
+    bucket: str | None = None,
+    prefix: str = "",
+    key_marker: str = "",
+    max_uploads: int = 1000,
+) -> DataFrame:
+    """S5-as-listing: paginated in-flight multipart uploads with the S1
+    token contract (maxUploads+1 -> is_truncated, key_marker exclusive).
+    Reference: KeyManagerImpl.java:1114 (listMultipartUploads) /
+    OmClientProtocol.proto:132; S3 ListMultipartUploads orders by key
+    then upload id."""
+    page = multipart_uploads
+    if volume:
+        page = page.where(F.col("volume") == volume)
+    if bucket:
+        page = page.where(F.col("bucket") == bucket)
+    if prefix:
+        page = page.where(F.col("key_name").startswith(prefix))
+    if key_marker:
+        page = page.where(F.col("db_key") > key_marker)
+    page = page.select("upload_id", "db_key", "volume", "bucket",
+                       "key_name", "owner", "initiated_ms", "n_parts")
+    return _paged(page, ["db_key", "upload_id"], max_uploads)
+
+
+def list_open_files(
+    open_keys: DataFrame,
+    path_prefix: str = "",
+    start_key: str = "",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """S5-as-listing: paginated open-files scan under a path prefix with
+    the S1 token contract.  Reference: KeyManagerImpl.java:1154
+    (listOpenFiles) / OmClientProtocol.proto:151 — returns the open
+    keys with their client/lease info, seek-to-prefix + contToken."""
+    page = open_keys
+    if path_prefix:
+        page = page.where(F.col("db_key").startswith(path_prefix))
+    if start_key:
+        page = page.where(F.col("db_key") > start_key)
+    page = page.select("db_key", "object_id", "client_id", "hsync",
+                       "data_size", "creation_time")
+    return _paged(page, ["db_key"], max_keys)
+
+
 def list_buckets(keys: DataFrame, volume: str | None = None,
                  start_bucket: str = "", max_buckets: int = 1000) -> DataFrame:
     """S2: paginated bucket listing (OmMetadataManagerImpl.java:911-975);
@@ -61,6 +125,35 @@ def list_buckets(keys: DataFrame, volume: str | None = None,
     return b.orderBy("volume", "bucket").limit(max_buckets)
 
 
+def encode_continue_token(last_key: str) -> str:
+    """Opaque S3 continuation token: hex-encoded last key + '-' +
+    truncated md5 digest, so a crafted or corrupted resume point fails
+    loudly instead of silently skipping keys.  Semantics of the reference's codec
+    (s3gateway util/ContinueToken.java: hex string + digest, verified
+    on decode) without copying its exact digest construction."""
+    import hashlib
+    hex_key = last_key.encode("utf-8").hex()
+    digest = hashlib.md5(hex_key.encode("ascii")).hexdigest()[:8]
+    return f"{hex_key}-{digest}"
+
+
+def decode_continue_token(token: str | None) -> str:
+    """Inverse of encode_continue_token; raises ValueError on a
+    tampered or truncated token (ContinueToken.decodeFromString's
+    OS3Exception analog)."""
+    import hashlib
+    if not token:
+        return ""
+    hex_key, sep, digest = token.rpartition("-")
+    if (not sep
+            or hashlib.md5(hex_key.encode("ascii")).hexdigest()[:8] != digest):
+        raise ValueError(f"invalid continuation token: {token!r}")
+    try:
+        return bytes.fromhex(hex_key).decode("utf-8")
+    except ValueError as exc:
+        raise ValueError(f"invalid continuation token: {token!r}") from exc
+
+
 def list_objects_v2(
     keys: DataFrame,
     volume: str,
@@ -69,6 +162,7 @@ def list_objects_v2(
     delimiter: str = "/",
     start_after: str = "",
     max_keys: int = 1000,
+    continuation_token: str | None = None,
 ) -> DataFrame:
     """S6/J1: S3 ListObjectsV2 — keys whose post-prefix remainder contains
     the delimiter collapse into a CommonPrefix; the rest are Contents.
@@ -76,8 +170,12 @@ def list_objects_v2(
     is_truncated flag of the maxKeys+1 contract.
 
     BucketEndpoint.java:187-230; shallow-listing client flag
-    OzoneBucket.java:756-759.
+    OzoneBucket.java:756-759.  An opaque `continuation_token` (from
+    encode_continue_token over the previous page's last name) takes
+    precedence over `start_after`, matching S3 semantics.
     """
+    if continuation_token:
+        start_after = decode_continue_token(continuation_token)
     in_bucket = keys.where(
         (F.col("volume") == volume) & (F.col("bucket") == bucket)
         & F.col("key_name").startswith(prefix)

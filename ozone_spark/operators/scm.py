@@ -46,8 +46,6 @@ def safemode_status(containers: DataFrame, replicas: DataFrame,
                     datanodes: DataFrame, pipelines: DataFrame) -> DataFrame:
     """One row per safemode exit rule: measured metric, threshold,
     satisfied verdict — the SCMSafeModeManager rule sweep."""
-    spark = containers.sparkSession
-
     dn_count = datanodes.agg(
         F.count("*").cast("double").alias("metric")).select(
         F.lit("DATANODE").alias("rule"), "metric",
@@ -64,8 +62,12 @@ def safemode_status(containers: DataFrame, replicas: DataFrame,
                 F.lit(0.99).alias("threshold"))
     )
 
-    per_pipe = pipelines.groupBy("pipeline_id", "state", "replication").agg(
-        F.count("*").alias("n_members"))
+    # the reference HealthyPipelineSafeModeRule counts only Ratis
+    # factor-THREE pipelines (getPipelines(RatisReplicationConfig THREE))
+    per_pipe = (
+        pipelines.where(F.col("replication") == "THREE")
+        .select("pipeline_id", "state").distinct()
+    )
     healthy = (
         per_pipe.agg(
             F.count("*").alias("total"),

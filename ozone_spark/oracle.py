@@ -177,6 +177,15 @@ _CTES["multipart_uploads"] = """multipart_uploads AS (
   FROM keys WHERE object_id % 23 = 0
 )"""
 
+_CTES["user_volumes"] = """user_volumes AS (
+  SELECT owner AS "user", volume FROM (
+    SELECT owner, volume,
+      row_number() OVER (PARTITION BY volume
+                         ORDER BY creation_time, object_id) AS rn
+    FROM keys
+  ) WHERE rn = 1
+)"""
+
 _CTES["trash_entries"] = f"""trash_entries AS (
   SELECT object_id, volume, bucket, owner, key_name, data_size,
     checkpoint_ms,
@@ -287,13 +296,15 @@ _CTES["delegation_tokens"] = f"""delegation_tokens AS (
 # dependency order matters: keys first
 _ORDER = ["keys", "locations", "containers", "replicas", "datanodes",
           "directories", "snap1", "snap2", "snap3", "snapshot_chain",
-          "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
+          "open_keys", "deleted_keys", "multipart_uploads", "user_volumes",
+          "trash_entries",
           "acl_entries", "tenant_access",
           "sst_catalog", "compaction_edges", "sst_snapshot_files",
           "pipelines", "delegation_tokens"]
 _DEPS = {"directories": ["keys"], "snap1": ["keys"], "snap2": ["keys"],
          "snap3": ["keys"], "open_keys": ["keys"], "deleted_keys": ["keys"],
-         "multipart_uploads": ["keys"], "trash_entries": ["keys"]}
+         "multipart_uploads": ["keys"], "user_volumes": ["keys"],
+         "trash_entries": ["keys"]}
 
 
 def with_views(sql: str, views: list[str]) -> str:

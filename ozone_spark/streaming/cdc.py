@@ -41,16 +41,32 @@ CDC_COLUMNS = ["seq", "op", "db_key", "volume", "bucket", "key_name",
 
 
 def synthesize_cdc_log(keys: DataFrame, deleted_object_ids: DataFrame,
-                       out_dir: str, n_chunks: int = 8) -> None:
+                       out_dir: str, n_chunks: int = 8,
+                       locations: DataFrame | None = None) -> None:
     """Build a seq-ordered PUT/DELETE event log from the key table:
     every key is PUT at its creation_time; keys in `deleted_object_ids`
     get a later DELETE event.  Written as `n_chunks` seq-ranged parquet
     files so the file source replays them as ordered micro-batches
-    (the WAL-tail analog)."""
+    (the WAL-tail analog).
+
+    When `locations` is given, each event additionally carries its
+    block-location payload (`block_locations` array<struct>) — the
+    reference's events embed the full OmKeyInfo including its
+    keyLocationVersions (OMDBUpdatesHandler.java:71-99), so a consumer
+    reads locations AS OF the event, not from a later table state."""
+    if locations is not None:
+        locs = (
+            locations.groupBy("object_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "block_seq", "container_id", "block_len")))
+                .alias("block_locations"))
+        )
+        keys = keys.join(locs, "object_id", "left")
+    loc_cols = ["block_locations"] if locations is not None else []
     puts = keys.select(
         F.lit("PUT").alias("op"), "db_key", "volume", "bucket", "key_name",
         "object_id", "data_size", "replicated_size",
-        F.col("creation_time").alias("event_time"),
+        F.col("creation_time").alias("event_time"), *loc_cols,
     )
     max_t = keys.agg(F.max("creation_time")).collect()[0][0] or 0
     deletes = (
@@ -59,13 +75,14 @@ def synthesize_cdc_log(keys: DataFrame, deleted_object_ids: DataFrame,
             F.lit("DELETE").alias("op"), "db_key", "volume", "bucket", "key_name",
             "object_id", "data_size", "replicated_size",
             (F.lit(max_t) + F.col("object_id") % 1000 + 1).alias("event_time"),
+            *loc_cols,
         )
     )
     log = (
         puts.unionByName(deletes)
         .withColumn("seq", F.row_number().over(
             Window.partitionBy(F.lit(1)).orderBy("event_time", "op", "db_key")))
-        .select(*CDC_COLUMNS)
+        .select(*CDC_COLUMNS, *loc_cols)
     )
     n = log.count()
     chunk = (n + n_chunks - 1) // n_chunks
@@ -277,28 +294,51 @@ def run_incremental_quota(spark: SparkSession, cdc_dir: str,
 
 
 def run_incremental_container_index(spark: SparkSession, cdc_dir: str,
-                                    locations: DataFrame, store_path: str,
+                                    locations: DataFrame | None,
+                                    store_path: str,
                                     checkpoint_dir: str) -> None:
     """ST4 for the container→key inverted index (J5 — the reference
     maintains it with the same dual contract:
     ContainerKeyMapperHelper.java:144-175 reprocess, :239-274 delta).
-    Each micro-batch joins its key events to the block-location table
-    (the per-event location decode) and folds signed per-container
-    deltas into the index store."""
+
+    Preferred path (locations=None): each event carries its own
+    `block_locations` payload (synthesize_cdc_log(..., locations=...)),
+    mirroring the reference's per-event OmKeyInfo decode
+    (OMDBUpdatesHandler.java:71-99) — locations are read AS OF the
+    event, so a location change between event and processing time
+    cannot skew the index, and no side-table join happens at all.
+
+    Fallback path: join each micro-batch to a static `locations`
+    snapshot (the pre-round-3 behavior; correct only while locations
+    are immutable)."""
     store = IncrementalViewStore(
         spark, store_path, ["container_id"],
         ["block_count", "total_bytes"])
-    loc = locations.select("object_id", "container_id", "block_len")
 
-    def index_delta(batch_df: DataFrame) -> DataFrame:
-        sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
-        return (
-            batch_df.select("object_id", sign.alias("sign"))
-            .join(loc, "object_id")
-            .groupBy("container_id")
-            .agg(F.sum("sign").alias("block_count"),
-                 F.sum(F.col("sign") * F.col("block_len")).alias("total_bytes"))
-        )
+    if locations is None:
+        def index_delta(batch_df: DataFrame) -> DataFrame:
+            sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+            return (
+                batch_df.select(sign.alias("sign"),
+                                F.explode("block_locations").alias("loc"))
+                .groupBy(F.col("loc.container_id").alias("container_id"))
+                .agg(F.sum("sign").alias("block_count"),
+                     F.sum(F.col("sign") * F.col("loc.block_len"))
+                     .alias("total_bytes"))
+            )
+    else:
+        loc = locations.select("object_id", "container_id", "block_len")
+
+        def index_delta(batch_df: DataFrame) -> DataFrame:
+            sign = F.when(F.col("op") == "PUT", F.lit(1)).otherwise(F.lit(-1))
+            return (
+                batch_df.select("object_id", sign.alias("sign"))
+                .join(loc, "object_id")
+                .groupBy("container_id")
+                .agg(F.sum("sign").alias("block_count"),
+                     F.sum(F.col("sign") * F.col("block_len"))
+                     .alias("total_bytes"))
+            )
 
     run_incremental_view(spark, cdc_dir, store, checkpoint_dir, index_delta)
 

@@ -348,6 +348,22 @@ def multipart_uploads_view(keys: DataFrame) -> DataFrame:
     )
 
 
+def user_volumes_view(keys: DataFrame) -> DataFrame:
+    """userTable analog (PersistedUserVolumeInfo — OMDBDefinition.java:
+    149-152; dispatch OzoneManagerRequestHandler.java:218): the
+    user -> owned-volumes mapping.  Volume ownership is derived
+    deterministically as the owner of the volume's earliest key (min
+    creation_time, ties by object_id) — the fixture stand-in for the
+    volume-create principal.  One row per (user, volume)."""
+    w = Window.partitionBy("volume").orderBy("creation_time", "object_id")
+    return (
+        keys.select("volume", "owner", "creation_time", "object_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("owner").alias("user"), "volume")
+    )
+
+
 def trash_entries_view(keys: DataFrame) -> DataFrame:
     """.Trash namespace analog (TrashPolicyOzone.java /
     TrashOzoneFileSystem.java — HDFS-style per-user trash under each
@@ -568,6 +584,7 @@ def namespace_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         open_keys=open_keys_view(keys),
         deleted_keys=deleted_keys_view(keys),
         multipart_uploads=multipart_uploads_view(keys),
+        user_volumes=user_volumes_view(keys),
         trash_entries=trash_entries_view(keys),
         acl_entries=acl_entries_view(spark),
         tenant_access=tenant_access_view(t["customer"]),

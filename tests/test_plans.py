@@ -283,7 +283,7 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
-def test_zorder_interleave_and_file_disjointness(spark, tmp_path):
+def test_zorder_interleave_and_file_disjointness(spark, tmp_path, sf_dir):
     """Z-order layout: the interleave math is exact (hand-computed
     case), clamping bounds out-of-range inputs, and the written files
     carry DISJOINT z ranges in their parquet footers — the property
@@ -301,7 +301,7 @@ def test_zorder_interleave_and_file_disjointness(spark, tmp_path):
     assert got[2].z == sum(1 << (2 * i) for i in range(16))  # a clamps to max
     assert max16 == 65535
 
-    events = tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    events = tables.load_table(spark, sf_dir, "events")
     out = str(tmp_path / "events_z")
     layout.write_events_zorder(events, out, n_files=4)
     import glob
