@@ -313,11 +313,31 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     that, round k re-executes rounds 1..k-1 and the plan grows without
     bound.  LSH pair graphs are sparse (bucket-capped upstream), so the
     edge list is O(pairs), never O(n^2)."""
+    spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct().persist()
     )
+    # Size the loop's parallelism to the GRAPH, not the session default:
+    # each round is a couple of shuffles over (id, label) rows, which is
+    # latency-bound (per-task overhead) when the pair graph is sparse
+    # and throughput-bound when it is huge.  ~200k edges per partition
+    # serves both; the session conf is restored afterwards.
+    n_edges = edges.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    loop_parts = max(1, min(int(old_parts), n_edges // 200_000 + 1))
+    edges = edges.coalesce(loop_parts)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    edges.unpersist()
+    return labels
+
+
+def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     labels = (
         edges.select(F.col("a").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
@@ -353,7 +373,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = jump
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
