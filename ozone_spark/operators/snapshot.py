@@ -53,6 +53,23 @@ def snapshot_diff(snap_from: DataFrame, snap_to: DataFrame) -> DataFrame:
     return _classify(a.join(b, "object_id", "full_outer"))
 
 
+def snapshot_diff_page(snap_from: DataFrame, snap_to: DataFrame,
+                       start_token: str = "",
+                       max_entries: int = 1000) -> DataFrame:
+    """J2-as-a-service: the reference serves diff reports in PAGES with
+    a resume token (SnapshotDiffManager's maxEntries + page token over
+    the persisted diff report), not as one response.  Same S1 token
+    contract, keyed by the entry's effective key (new name when
+    present, else old) with object_id as the deterministic tiebreak."""
+    from ozone_spark.operators.listing import _paged
+
+    d = snapshot_diff(snap_from, snap_to).withColumn(
+        "page_key", F.coalesce("new_key", "old_key"))
+    if start_token:
+        d = d.where(F.col("page_key") > start_token)
+    return _paged(d, ["page_key", "object_id"], max_entries)
+
+
 def compose_diffs(d1: DataFrame, d2: DataFrame) -> DataFrame:
     """Compose two consecutive snapshot diffs (A→B, B→C) into the A→C
     diff WITHOUT reading either endpoint snapshot — the chained-diff

@@ -286,6 +286,29 @@ SNAPSHOT_QUERIES = [
         bench=True,
     ),
     _q(
+        "snapshot_diff_page",
+        lambda spark, sf: snops.snapshot_diff_page(
+            views(spark, sf)["snap1"], views(spark, sf)["snap2"],
+            start_token="/", max_entries=40),
+        with_views(
+            f"""WITH d AS (
+  SELECT *, COALESCE(new_key, old_key) AS page_key
+  FROM ({_DIFF_SQL}) WHERE diff_type <> 'NONE'
+), f AS (
+  SELECT object_id, diff_type, old_key, new_key, old_size, new_size,
+         page_key
+  FROM d WHERE page_key > '/'
+), p AS (
+  SELECT *, row_number() OVER (ORDER BY page_key, object_id) AS rn
+  FROM f ORDER BY page_key, object_id LIMIT 41
+)
+SELECT object_id, diff_type, old_key, new_key, old_size, new_size,
+  page_key, (SELECT count(*) FROM p) > 40 AS is_truncated
+FROM p WHERE rn <= 40 ORDER BY page_key, object_id""",
+            ["snap1", "snap2"],
+        ),
+    ),
+    _q(
         "snapshot_diff_summary",
         lambda spark, sf: snops.snapshot_diff_summary(
             views(spark, sf)["snap1"], views(spark, sf)["snap2"]),
@@ -2029,6 +2052,43 @@ WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
     / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
 ORDER BY 1, 2""",
+    ),
+    _q(
+        "semantic_dedup",
+        lambda spark, sf: similarity.semantic_dedup(
+            views(spark, sf)["embeddings"], threshold=0.4),
+        # cluster assignment == knn_ivf's argmax (ties -> higher
+        # centroid id, matching array_max over (dot, centroid_id));
+        # candidates need cluster AND >=1 shared band; dup = any
+        # lower-id similar neighbor in-cluster
+        f"""WITH sigs AS (
+  SELECT vec_id, embedding, {_band_array_sql('embedding')} AS bands
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, bands, centroid_id AS cluster FROM (
+    SELECT s.vec_id, s.embedding, s.bands, c.centroid_id,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY {_DOT.format(a='s.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM sigs s, cents c
+  ) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cluster = b.cluster
+   AND a.vec_id < b.vec_id
+   AND ({' OR '.join(f'a.bands[{i + 1}] = b.bands[{i + 1}]'
+                     for i in range(similarity.NEAR_DUP_BANDS))})
+  WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+      / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+         * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6)
+      >= 0.4
+)
+SELECT vec_id, cluster,
+  vec_id NOT IN (SELECT vec_id FROM dups) AS is_kept
+FROM assigned ORDER BY vec_id""",
     ),
     _q(
         "embedding_norms",

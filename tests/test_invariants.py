@@ -418,6 +418,29 @@ def test_duplicate_clusters_cover_all_pairs(spark, sf_dir):
         assert c == min(docs_in)
 
 
+def test_semantic_dedup_keeps_cluster_min_and_drops_twins(spark, sf_dir):
+    """SemDeDup invariants: the lowest-id member of every cluster is
+    always kept (it has no lower-id in-cluster neighbor), and an exact
+    duplicate vector (same embedding, higher id) is always dropped —
+    identical vectors share cluster and every band."""
+    from ozone_spark.functions.similarity import semantic_dedup
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    twin_src = emb.where(F.col("vec_id") == 20)
+    twins = twin_src.withColumn("vec_id", F.lit(n + 1000).cast("long"))
+    out = semantic_dedup(emb.unionByName(twins), threshold=0.4)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[n + 1000].is_kept is False          # exact twin dropped
+    assert rows[n + 1000].cluster == rows[20].cluster
+    by_cluster: dict = {}
+    for r in rows.values():
+        c = by_cluster.setdefault(r.cluster, r)
+        if r.vec_id < c.vec_id:
+            by_cluster[r.cluster] = r
+    for r in by_cluster.values():
+        assert r.is_kept, f"cluster-min {r.vec_id} must be kept"
+
+
 def test_keep_best_one_keeper_max_quality(spark, sf_dir):
     """resolve_keep_best: every doc appears once, every cluster has
     exactly one keeper, and the keeper's quality_score is the cluster

@@ -41,6 +41,33 @@ def test_layout_scan_prunes_and_pushes(spark, t, tmp_path):
     assert got == expect
 
 
+def test_paginated_listings_take_ordered(spark, t):
+    """The MPU/open-files listings inherit S1's physical shape: the
+    maxKeys+1 page compiles to TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort of the table."""
+    p1 = plan_of(listing.list_multipart_uploads(
+        t["multipart_uploads"], key_marker="/vol1", max_uploads=25))
+    p2 = plan_of(listing.list_open_files(
+        t["open_keys"], path_prefix="/vol2/", max_keys=20))
+    for plan in (p1, p2):
+        assert "TakeOrderedAndProject" in plan
+        # the bounded post-limit window is fine; a pre-limit global Sort
+        # of the full table is not
+        head = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange rangepartitioning" not in head
+
+
+def test_lookup_key_pushes_point_predicate(spark, t):
+    """The point read's equality predicate must reach the scan (the
+    parquet row-group pruning analog of a RocksDB point-get)."""
+    from ozone_spark.operators.datapath import lookup_key
+    some_key = t["keys"].where("object_id = 7").first().db_key
+    plan = plan_of(lookup_key(t["keys"], t["locations"], some_key))
+    assert "order-" in plan  # the literal reached the physical plan
+    # keys side is one row -> it must be the broadcast side of the join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_dimension_joins_broadcast(spark, t):
     plan = plan_of(insights.datanode_utilization(
         t["containers"], t["replicas"], t["datanodes"]))
@@ -89,6 +116,27 @@ def test_near_dup_pairs_never_all_pairs(spark, t):
     assert "CartesianProduct" not in body
     assert "SortMergeJoin" in body or "ShuffledHashJoin" in body \
         or "BroadcastHashJoin" in body
+
+
+def test_semantic_dedup_bounded_candidates(spark, t):
+    """SemDeDup's pair space must be bounded by the (cluster, band,
+    sig) equi-join — no within-cluster n² cross product.  The only
+    nested-loop joins allowed are the one-row broadcast centroid
+    crossJoins; the vec_a/vec_b PAIR join must be a hash equi-join."""
+    from ozone_spark.functions.similarity import semantic_dedup
+    plan = plan_of(semantic_dedup(t["embeddings"]))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    # the pair comparison (vec_a < vec_b residual) sits on a hash join
+    blocks = body.split("\n(")
+    for blk in blocks:
+        if "BroadcastNestedLoopJoin" in blk.split("\n")[0]:
+            assert "vec_a" not in blk, "pair join degenerated to BNLJ"
+    assert any("vec_a" in blk and (
+        blk.split("\n")[0].find("BroadcastHashJoin") >= 0
+        or blk.split("\n")[0].find("SortMergeJoin") >= 0
+        or blk.split("\n")[0].find("ShuffledHashJoin") >= 0)
+        for blk in blocks)
 
 
 def test_knn_lsh_probe_is_equi_join(spark, t):
