@@ -195,10 +195,33 @@ def test_delimiter_grouping_cases(spark, t):
     # one delimiter level down: still common prefixes (year dirs)
     mid = listing.list_objects_v2(keys, "vol1", "b1", prefix=root[0].name).collect()
     assert mid and all(r.entry_type == "COMMON_PREFIX" for r in mid)
-    # leaf prefix: no further delimiter -> plain keys with sizes
+    # year level: a MIX of month dirs (keys with the extra m/d levels)
+    # and plain order keys is legal S3 — every entry must be classified
+    # by whether its remainder holds another delimiter
     leaf = listing.list_objects_v2(keys, "vol1", "b1", prefix=mid[0].name).collect()
-    assert leaf and all(r.entry_type == "KEY" and r.data_size is not None
-                        for r in leaf)
+    assert leaf
+    for r in leaf:
+        if r.entry_type == "KEY":
+            assert r.data_size is not None
+            assert "/" not in r.name[len(mid[0].name):]
+        else:
+            assert r.entry_type == "COMMON_PREFIX"
+            assert r.name.endswith("/") and r.data_size is None
+    # descend the first common prefix (if any) until a pure-key level
+    pref = next((r.name for r in leaf if r.entry_type == "COMMON_PREFIX"),
+                None)
+    for _ in range(4):
+        if pref is None:
+            break
+        out = listing.list_objects_v2(keys, "vol1", "b1",
+                                      prefix=pref).collect()
+        assert out
+        pref = next((r.name for r in out
+                     if r.entry_type == "COMMON_PREFIX"), None)
+        if pref is None:
+            assert all(r.entry_type == "KEY" and r.data_size is not None
+                       for r in out)
+    assert pref is None, "delimiter levels deeper than the fixture shape"
 
 
 def test_rollup_parent_equals_sum_of_children(spark, t):
