@@ -113,6 +113,26 @@ def list_open_files(
     return _paged(page, ["db_key"], max_keys)
 
 
+def list_parts(
+    locations: DataFrame,
+    object_id: int,
+    part_marker: int = 0,
+    max_parts: int = 1000,
+) -> DataFrame:
+    """S5: paginated parts of one multipart upload (KeyManagerImpl
+    listParts / S3 ListParts: partNumberMarker exclusive, maxParts+1 ->
+    is_truncated).  Part etags follow the multipart_etag convention
+    (md5 of the block's local id)."""
+    page = (
+        locations.where(F.col("object_id") == object_id)
+        .where(F.col("block_seq") > part_marker)
+        .select(F.col("block_seq").alias("part_number"),
+                F.md5(F.col("local_id").cast("string")).alias("etag"),
+                F.col("block_len").alias("part_size"))
+    )
+    return _paged(page, ["part_number"], max_parts)
+
+
 def list_buckets(keys: DataFrame, volume: str | None = None,
                  start_bucket: str = "", max_buckets: int = 1000) -> DataFrame:
     """S2: paginated bucket listing (OmMetadataManagerImpl.java:911-975);

@@ -242,6 +242,28 @@ FROM p WHERE rn <= 20 ORDER BY db_key""",
         ),
     ),
     _q(
+        "list_parts_page",
+        # order 7 has >= 3 lineitems at every fixture SF, so maxParts=3
+        # exercises the truncation flag
+        lambda spark, sf: listing.list_parts(
+            views(spark, sf)["locations"], object_id=7, max_parts=3),
+        with_views(
+            """WITH f AS (
+  SELECT block_seq AS part_number,
+         md5(CAST(local_id AS VARCHAR)) AS etag,
+         block_len AS part_size
+  FROM locations WHERE object_id = 7 AND block_seq > 0
+), p AS (
+  SELECT *, row_number() OVER (ORDER BY part_number) AS rn
+  FROM f ORDER BY part_number LIMIT 4
+)
+SELECT part_number, etag, part_size,
+  (SELECT count(*) FROM p) > 3 AS is_truncated
+FROM p WHERE rn <= 3 ORDER BY part_number""",
+            ["locations"],
+        ),
+    ),
+    _q(
         "list_volumes_by_user",
         lambda spark, sf: admin.list_volumes_by_user(
             views(spark, sf)["user_volumes"], views(spark, sf)["keys"]),
