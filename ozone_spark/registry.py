@@ -2675,6 +2675,19 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fingerprint")
 
 
+def _streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ozone_spark.streaming import windows as swin
+    import tempfile
+
+    _stream_seq[0] += 1
+    name = f"gate_sdedup_wm_{_stream_seq[0]}"
+    stream = swin.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    return swin.drain_to_memory(
+        swin.streaming_dedup_within_watermark(stream), spark, name,
+        tempfile.mkdtemp(prefix="ozs_ckpt_"), output_mode="append",
+    ).orderBy("fingerprint")
+
+
 def _streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ozone_spark.streaming import windows as swin
     import tempfile
@@ -2805,6 +2818,13 @@ ORDER BY user_id, session_start_ms""",
         _streaming_dedup,
         # the surviving fingerprint SET is deterministic (which doc_id
         # won the state race is not, so only the fingerprint is emitted)
+        f"""SELECT DISTINCT md5({_NORM}) AS fingerprint
+FROM documents ORDER BY fingerprint""",
+    ),
+    _q(
+        "streaming_dedup_bounded",
+        _streaming_dedup_bounded,
+        # monotone ingest clock + full drain => survivors == DISTINCT
         f"""SELECT DISTINCT md5({_NORM}) AS fingerprint
 FROM documents ORDER BY fingerprint""",
     ),

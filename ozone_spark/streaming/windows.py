@@ -205,6 +205,33 @@ def streaming_dedup_fingerprints(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_within_watermark(docs_stream: DataFrame,
+                                     horizon: str = "1 hour") -> DataFrame:
+    """Bounded-state streaming dedup — the 100 TB form of
+    streaming_dedup_fingerprints: dropDuplicatesWithinWatermark keyed
+    on the fingerprint with an ingest-time watermark, so a
+    fingerprint's state row is evicted once the watermark passes the
+    dedup `horizon` — state is bounded by the horizon instead of
+    growing with corpus lifetime (the state-TTL pattern of production
+    ingest pipelines).
+
+    The fixture has no ingest timestamp, so a deterministic one is
+    derived from doc_id (1 doc/ms from a fixed epoch).  With that
+    monotone clock and an AvailableNow full drain, every duplicate of
+    a fixture document lands inside the horizon, so the surviving set
+    equals DISTINCT fingerprints — which is exactly what the DuckDB
+    oracle checks."""
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    ingest = F.timestamp_millis(F.lit(1009843200000) + F.col("doc_id"))
+    return (
+        docs_stream.select(fp.alias("fingerprint"),
+                           ingest.alias("ingest_ts"))
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
+
+
 def drain_to_memory(stream_df: DataFrame, spark: SparkSession,
                     name: str, checkpoint_dir: str,
                     output_mode: str = "complete") -> DataFrame:

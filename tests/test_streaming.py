@@ -262,6 +262,59 @@ def test_watermark_drops_late_data(spark, tmpdir):
     assert got.get("2024-01-02") == 2
 
 
+def test_bounded_dedup_state_evicts_beyond_horizon(spark, tmpdir):
+    """The dropDuplicatesWithinWatermark dedup really BOUNDS state: a
+    duplicate inside the horizon is dropped, one arriving after the
+    fingerprint's state was evicted passes again — the forget-beyond-
+    horizon behavior that keeps state finite on an unbounded stream."""
+    import glob
+    import os
+    import time as _time
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string,"
+                                           " source string")
+
+    src = f"{tmpdir}/src"
+    base = 0
+    hour_ms = 3_600_000
+    # batch0: fp A at t0 + fp B duplicate-pair inside the horizon
+    docs([(base, "alpha", "s"), (base + 1, "beta", "s"),
+          (base + 2, "beta", "s")]).coalesce(1).write.parquet(f"{src}/c0")
+    # batch1: watermark pusher at t0+3h (fp C) — watermark advances to
+    # t0+2h only AFTER this batch
+    docs([(3 * hour_ms, "gamma", "s")]).coalesce(1) \
+        .write.parquet(f"{src}/c1")
+    # batch2: second pusher — during it the t0+2h watermark is live, so
+    # its end-of-batch cleanup evicts fp A's state (expiry t0+1h)
+    docs([(3 * hour_ms + 1000, "delta", "s")]).coalesce(1) \
+        .write.parquet(f"{src}/c2")
+    # batch3: duplicate of fp A at t0+4h — state gone, passes again
+    docs([(4 * hour_ms, "alpha", "s")]).coalesce(1) \
+        .write.parquet(f"{src}/c3")
+    now = _time.time()
+    for i, delta in ((0, -3600), (1, -2400), (2, -1200), (3, 0)):
+        for f in glob.glob(f"{src}/c{i}/*"):
+            os.utime(f, (now + delta, now + delta))
+
+    schema = spark.read.parquet(f"{src}/c0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/c*"))
+    out = windows.streaming_dedup_within_watermark(stream, horizon="1 hour")
+    q = (out.writeStream.format("memory").queryName("bounded_dedup")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmpdir}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [r.fingerprint for r in spark.table("bounded_dedup").collect()]
+    import hashlib
+    fp = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got.count(fp("beta")) == 1     # in-horizon duplicate dropped
+    assert got.count(fp("alpha")) == 2    # state evicted -> passed again
+    assert got.count(fp("gamma")) == 1
+    assert got.count(fp("delta")) == 1
+
+
 def test_streaming_sessionize_runs(spark, sf_dir, tmpdir):
     """Session totals must cover every event exactly once."""
     ev_batch = tables.load_table(spark, sf_dir, "events")
