@@ -2078,7 +2078,8 @@ ORDER BY 1, 2""",
     _q(
         "semantic_dedup",
         lambda spark, sf: similarity.semantic_dedup(
-            views(spark, sf)["embeddings"], threshold=0.4),
+            views(spark, sf)["embeddings"], threshold=0.4,
+            band_bits=similarity.NEAR_DUP_BAND_BITS),  # pin to oracle
         # cluster assignment == knn_ivf's argmax (ties -> higher
         # centroid id, matching array_max over (dot, centroid_id));
         # candidates need cluster AND >=1 shared band; dup = any

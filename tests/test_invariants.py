@@ -141,6 +141,9 @@ def test_index_sizing_laws_executable(spark, sf_dir):
     assert similarity.suggest_n_planes(1000) == similarity.N_PLANES
     assert similarity.suggest_n_planes(10**9) == 24
     assert similarity.suggest_n_centroids(10**6) == 1024
+    assert similarity.suggest_band_bits(500) == similarity.NEAR_DUP_BAND_BITS
+    assert similarity.suggest_band_bits(20_000) == 6
+    assert similarity.suggest_band_bits(10**9) == 16
     assert sketch.suggest_bloom_m(1700) == sketch.BLOOM_M
     assert sketch.suggest_bloom_m(10**9) == 1 << 34
 
