@@ -171,6 +171,85 @@ def pending_deletion_by_datanode(deleted_keys: DataFrame, locations: DataFrame,
     )
 
 
+def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
+                            containers: DataFrame, prev_txid: int = 0,
+                            max_records: int = 1000) -> DataFrame:
+    """/blocks/deletePending analog (BlocksEndPoint.java:89-140): the
+    SCM deleted-blocks transaction log grouped by the owning
+    container's state, paginated by transaction id (prevKey exclusive,
+    limit+1 -> is_truncated).  One deleted key is one transaction
+    (tx_id = object_id); its blocks resolve through the location table
+    and the container registry supplies the state; the per-transaction
+    local-id list is rendered as a sorted CSV string (scalar-portable
+    where the reference returns a JSON array)."""
+    from ozone_spark.operators.listing import _paged
+
+    txns = (
+        deleted_keys.select(F.col("object_id").alias("tx_id"))
+        .where(F.col("tx_id") > prev_txid)
+        .join(locations.select(F.col("object_id").alias("tx_id"),
+                               "container_id", "local_id"), "tx_id")
+        .join(broadcast(containers.select("container_id", "state")),
+              "container_id")
+        .groupBy("state", "container_id", "tx_id")
+        .agg(F.count("*").alias("local_id_count"),
+             F.concat_ws(",", F.array_sort(
+                 F.collect_list(F.col("local_id").cast("string"))))
+             .alias("local_ids"))
+        .select(F.col("state").alias("container_state"), "container_id",
+                "tx_id", "local_id_count", "local_ids")
+    )
+    return _paged(txns, ["tx_id", "container_id"], max_records)
+
+
+def storage_distribution(datanodes: DataFrame, containers: DataFrame,
+                         replicas: DataFrame, keys: DataFrame,
+                         open_keys: DataFrame,
+                         deleted_keys: DataFrame) -> DataFrame:
+    """/storageDistribution analog (StorageDistributionEndpoint.java:
+    105-142): per-datanode capacity/used/remaining storage report plus
+    the cluster-global row carrying the namespace metrics the endpoint
+    folds in (total keys, finalized bytes, open-key bytes, pending
+    delete bytes).  Per-node usage = sum of hosted replicas' container
+    used_bytes; the CLUSTER row aggregates nodes and carries the
+    namespace scalars (NULL on node rows — mixed-grain union like the
+    endpoint's response object)."""
+    used = (
+        replicas.join(broadcast(
+            containers.select("container_id", "used_bytes")), "container_id")
+        .groupBy("datanode")
+        .agg(F.sum("used_bytes").alias("used"))
+    )
+    nodes = (
+        datanodes.join(used, "datanode", "left")
+        .select("datanode", "capacity",
+                F.coalesce("used", F.lit(0)).alias("used_bytes"),
+                (F.col("capacity") - F.coalesce("used", F.lit(0)))
+                .alias("remaining_bytes"),
+                F.lit(None).cast("long").alias("total_keys"),
+                F.lit(None).cast("long").alias("finalized_key_bytes"),
+                F.lit(None).cast("long").alias("open_key_bytes"),
+                F.lit(None).cast("long").alias("pending_delete_bytes"))
+    )
+    totals = (
+        nodes.agg(F.sum("capacity").alias("capacity"),
+                  F.sum("used_bytes").alias("used_bytes"),
+                  F.sum("remaining_bytes").alias("remaining_bytes"))
+        .crossJoin(broadcast(keys.agg(
+            F.count("*").alias("total_keys"),
+            F.sum("data_size").alias("finalized_key_bytes"))))
+        .crossJoin(broadcast(open_keys.agg(
+            F.sum("data_size").alias("open_key_bytes"))))
+        .crossJoin(broadcast(deleted_keys.agg(
+            F.sum("pending_bytes").alias("pending_delete_bytes"))))
+        .select(F.lit("CLUSTER").alias("datanode"), "capacity",
+                "used_bytes", "remaining_bytes", "total_keys",
+                "finalized_key_bytes", "open_key_bytes",
+                "pending_delete_bytes")
+    )
+    return nodes.unionByName(totals).orderBy("datanode")
+
+
 def cluster_growth_daily(keys: DataFrame) -> DataFrame:
     """CLUSTER_GROWTH_DAILY analog (UtilizationSchemaDefinition.java:
     75-83 — the one time-bucketed Recon table): per-day namespace

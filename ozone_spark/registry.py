@@ -873,6 +873,69 @@ GROUP BY 1 ORDER BY 1""",
             ["deleted_keys", "locations", "replicas"],
         ),
     ),
+    _q(
+        "blocks_pending_deletion",
+        lambda spark, sf: insights.blocks_pending_deletion(
+            views(spark, sf)["deleted_keys"], views(spark, sf)["locations"],
+            views(spark, sf)["containers"], prev_txid=0, max_records=30),
+        with_views(
+            """WITH t AS (
+  SELECT d.object_id AS tx_id, l.container_id, l.local_id, c.state
+  FROM deleted_keys d
+  JOIN locations l ON l.object_id = d.object_id
+  JOIN containers c ON c.container_id = l.container_id
+  WHERE d.object_id > 0
+), g AS (
+  SELECT state AS container_state, container_id, tx_id,
+    count(*) AS local_id_count,
+    string_agg(CAST(local_id AS VARCHAR), ','
+               ORDER BY CAST(local_id AS VARCHAR)) AS local_ids
+  FROM t GROUP BY 1, 2, 3
+), p AS (
+  SELECT *, row_number() OVER (ORDER BY tx_id, container_id) AS rn
+  FROM g ORDER BY tx_id, container_id LIMIT 31
+)
+SELECT container_state, container_id, tx_id, local_id_count, local_ids,
+  (SELECT count(*) FROM p) > 30 AS is_truncated
+FROM p WHERE rn <= 30 ORDER BY tx_id, container_id""",
+            ["deleted_keys", "locations", "containers"],
+        ),
+    ),
+    _q(
+        "storage_distribution",
+        lambda spark, sf: insights.storage_distribution(
+            views(spark, sf)["datanodes"], views(spark, sf)["containers"],
+            views(spark, sf)["replicas"], views(spark, sf)["keys"],
+            views(spark, sf)["open_keys"], views(spark, sf)["deleted_keys"]),
+        with_views(
+            """WITH used AS (
+  SELECT r.datanode, CAST(sum(c.used_bytes) AS BIGINT) AS used
+  FROM replicas r JOIN containers c USING (container_id) GROUP BY 1
+), nodes AS (
+  SELECT d.datanode, d.capacity,
+    coalesce(u.used, 0) AS used_bytes,
+    d.capacity - coalesce(u.used, 0) AS remaining_bytes,
+    CAST(NULL AS BIGINT) AS total_keys,
+    CAST(NULL AS BIGINT) AS finalized_key_bytes,
+    CAST(NULL AS BIGINT) AS open_key_bytes,
+    CAST(NULL AS BIGINT) AS pending_delete_bytes
+  FROM datanodes d LEFT JOIN used u USING (datanode)
+)
+SELECT * FROM nodes
+UNION ALL
+SELECT 'CLUSTER',
+  (SELECT CAST(sum(capacity) AS BIGINT) FROM nodes),
+  (SELECT CAST(sum(used_bytes) AS BIGINT) FROM nodes),
+  (SELECT CAST(sum(remaining_bytes) AS BIGINT) FROM nodes),
+  (SELECT count(*) FROM keys),
+  (SELECT CAST(sum(data_size) AS BIGINT) FROM keys),
+  (SELECT CAST(sum(data_size) AS BIGINT) FROM open_keys),
+  (SELECT CAST(sum(pending_bytes) AS BIGINT) FROM deleted_keys)
+ORDER BY datanode""",
+            ["datanodes", "containers", "replicas", "keys", "open_keys",
+             "deleted_keys"],
+        ),
+    ),
 ]
 
 # ---------------------------------------------------------------------------
