@@ -12,8 +12,8 @@ from tests.util import assert_match
 
 VIEWS = ["keys", "locations", "containers", "replicas", "datanodes",
          "directories", "snap1", "snap2", "snap3", "snapshot_chain",
-         "open_keys", "deleted_keys", "multipart_uploads", "trash_entries",
-         "acl_entries"]
+         "open_keys", "deleted_keys", "multipart_uploads", "user_volumes",
+         "trash_entries", "acl_entries"]
 
 
 @pytest.mark.parametrize("view", VIEWS)
