@@ -42,6 +42,33 @@ def list_pipelines(pipelines: DataFrame) -> DataFrame:
     )
 
 
+def node_status(datanodes: DataFrame, replicas: DataFrame,
+                pipelines: DataFrame, now_ms: int) -> DataFrame:
+    """NodeEndpoint /nodes analog (`ozone admin datanode list`;
+    NodeStateManager health states): per node its HEALTHY/STALE/DEAD
+    state, heartbeat age, hosted replica count, and pipeline
+    membership count.  The per-node counts are partial-aggregated
+    before the broadcast joins — the registry side is always tiny."""
+    reps = replicas.groupBy("datanode").agg(
+        F.count("*").alias("n_replicas"))
+    pipes = (
+        pipelines.select("pipeline_id", "datanode").distinct()
+        .groupBy("datanode").agg(F.count("*").alias("n_pipelines"))
+    )
+    return (
+        datanodes.join(reps, "datanode", "left")
+        .join(pipes, "datanode", "left")
+        .select("datanode", "state", "rack", "capacity",
+                (F.lit(now_ms) - F.col("last_heartbeat_ms"))
+                .alias("heartbeat_age_ms"),
+                F.coalesce("n_replicas", F.lit(0).cast("long"))
+                .alias("n_replicas"),
+                F.coalesce("n_pipelines", F.lit(0).cast("long"))
+                .alias("n_pipelines"))
+        .orderBy("datanode")
+    )
+
+
 def safemode_status(containers: DataFrame, replicas: DataFrame,
                     datanodes: DataFrame, pipelines: DataFrame) -> DataFrame:
     """One row per safemode exit rule: measured metric, threshold,
@@ -132,7 +159,10 @@ def decommission_plan(containers: DataFrame, replicas: DataFrame,
         .groupBy("datanode").agg(F.sum("used_bytes").alias("used"))
     )
     candidates = (
-        datanodes.where(F.col("datanode") != node)
+        # only HEALTHY in-service nodes receive new copies
+        # (DatanodeAdminMonitorImpl target selection)
+        datanodes.where((F.col("datanode") != node)
+                        & (F.col("state") == "HEALTHY"))
         .join(load, "datanode", "left").na.fill({"used": 0})
         .select("datanode", "used")
     )

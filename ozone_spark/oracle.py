@@ -95,11 +95,17 @@ _CTES["replicas"] = """replicas AS (
       WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 4 ELSE 3 END
 )"""
 
-_CTES["datanodes"] = """datanodes AS (
+_CTES["datanodes"] = f"""datanodes AS (
   SELECT
     'dn' || CAST(dn_idx AS VARCHAR) AS datanode,
     CAST(34359738368 AS BIGINT) * (1 + dn_idx % 3) AS capacity,
-    'rack' || CAST(dn_idx % 2 AS VARCHAR) AS rack
+    'rack' || CAST(dn_idx % 2 AS VARCHAR) AS rack,
+    CASE WHEN dn_idx = 7 THEN 'DEAD'
+         WHEN dn_idx = 5 THEN 'STALE' ELSE 'HEALTHY' END AS state,
+    CAST({NOW_MS} AS BIGINT)
+      - CASE WHEN dn_idx = 7 THEN 900000
+             WHEN dn_idx = 5 THEN 120000
+             ELSE dn_idx * 1000 END AS last_heartbeat_ms
   FROM (SELECT range AS dn_idx FROM range(8))
 )"""
 

@@ -498,6 +498,30 @@ FROM pipelines GROUP BY 1, 2, 3 ORDER BY pipeline_id""",
         ),
     ),
     _q(
+        "node_status",
+        lambda spark, sf: scmops.node_status(
+            views(spark, sf)["datanodes"], views(spark, sf)["replicas"],
+            views(spark, sf)["pipelines"], NOW_MS),
+        with_views(
+            f"""WITH reps AS (
+  SELECT datanode, count(*) AS n_replicas FROM replicas GROUP BY 1
+), pipes AS (
+  SELECT datanode, count(*) AS n_pipelines FROM (
+    SELECT DISTINCT pipeline_id, datanode FROM pipelines
+  ) GROUP BY 1
+)
+SELECT d.datanode, d.state, d.rack, d.capacity,
+  CAST({NOW_MS} AS BIGINT) - d.last_heartbeat_ms AS heartbeat_age_ms,
+  coalesce(r.n_replicas, 0) AS n_replicas,
+  coalesce(p.n_pipelines, 0) AS n_pipelines
+FROM datanodes d
+LEFT JOIN reps r USING (datanode)
+LEFT JOIN pipes p USING (datanode)
+ORDER BY d.datanode""",
+            ["datanodes", "replicas", "pipelines"],
+        ),
+    ),
+    _q(
         "safemode_status",
         lambda spark, sf: scmops.safemode_status(
             views(spark, sf)["containers"], views(spark, sf)["replicas"],
@@ -563,7 +587,7 @@ lo AS (
 cand AS (
   SELECT d.datanode, coalesce(l.used, 0) AS used
   FROM datanodes d LEFT JOIN lo l USING (datanode)
-  WHERE d.datanode <> 'dn3'
+  WHERE d.datanode <> 'dn3' AND d.state = 'HEALTHY'
 ),
 ranked AS (
   SELECT container_id, datanode AS target FROM (

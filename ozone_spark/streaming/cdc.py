@@ -343,6 +343,33 @@ def run_incremental_container_index(spark: SparkSession, cdc_dir: str,
     run_incremental_view(spark, cdc_dir, store, checkpoint_dir, index_delta)
 
 
+def task_status(spark: SparkSession,
+                checkpoints: dict[str, str]) -> DataFrame:
+    """TaskStatusService analog (recon api/TaskStatusService.java — the
+    per-ReconOmTask lastUpdatedSeqNumber/lastUpdatedTimestamp table):
+    one row per maintained view with its last committed micro-batch id
+    and commit time, read from the Structured Streaming checkpoint's
+    commit log (the engine's equivalent of the task-status RocksDB
+    table).  A task with no commits yet reports batch -1."""
+    import glob
+
+    rows = []
+    for task, ckpt in sorted(checkpoints.items()):
+        commits = [
+            int(os.path.basename(p)) for p in
+            glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
+            if os.path.basename(p).isdigit()
+        ]
+        last = max(commits, default=-1)
+        mtime = 0
+        if last >= 0:
+            mtime = int(os.path.getmtime(
+                os.path.join(ckpt, "commits", str(last))) * 1000)
+        rows.append((task, last, mtime))
+    return spark.createDataFrame(
+        rows, "task string, last_batch_id long, last_commit_ms long")
+
+
 def reprocess_histogram(keys_now: DataFrame) -> DataFrame:
     """ST3 fallback / invariant oracle: full rebuild from current state
     (the reference's reprocess() path)."""

@@ -206,14 +206,29 @@ def replicas_view(spark: SparkSession) -> DataFrame:
 
 
 def datanodes_view(spark: SparkSession) -> DataFrame:
-    """Datanode registry analog (A7 — ContainerBalancerTask.java:518-587)."""
+    """Datanode registry analog (A7 — ContainerBalancerTask.java:518-587;
+    health model NodeStateManager: HEALTHY / STALE / DEAD from heartbeat
+    age vs the stale/dead intervals).  Heartbeat ages are deterministic
+    functions of the node index: node 5 is stale, node 7 is dead."""
     d = F.col("dn_idx")
+    hb_age = (
+        F.when(d == 7, F.lit(900_000))       # dead: 15 min silent
+        .when(d == 5, F.lit(120_000))        # stale: 2 min silent
+        .otherwise(d * F.lit(1_000))         # healthy: seconds
+    )
+    state = (
+        F.when(d == 7, F.lit("DEAD"))
+        .when(d == 5, F.lit("STALE"))
+        .otherwise(F.lit("HEALTHY"))
+    )
     return (
         spark.range(N_DATANODES).select(F.col("id").alias("dn_idx"))
         .select(
             F.concat(F.lit("dn"), d.cast("string")).alias("datanode"),
             (F.lit(34359738368) * (1 + d % 3)).alias("capacity"),
             F.concat(F.lit("rack"), (d % 2).cast("string")).alias("rack"),
+            state.alias("state"),
+            (F.lit(NOW_MS) - hb_age).alias("last_heartbeat_ms"),
         )
     )
 

@@ -58,6 +58,14 @@ def test_cdc_resume_from_checkpoint(spark, sf_dir, tmpdir):
     keys_now = keys.join(deleted.select("object_id"), "object_id", "left_anti")
     expected = cdc.reprocess_histogram(keys_now)
     assert canon(incremental.toPandas()) == canon(expected.toPandas())
+    # TaskStatusService analog: the drained task reports its committed
+    # batches; an unstarted task reports -1
+    status = {r.task: r for r in cdc.task_status(
+        spark, {"histogram": f"{tmpdir}/ckpt",
+                "never_ran": f"{tmpdir}/no_such_ckpt"}).collect()}
+    assert status["histogram"].last_batch_id >= 3   # 4 chunks drained
+    assert status["histogram"].last_commit_ms > 0
+    assert status["never_ran"].last_batch_id == -1
 
 
 def test_stateful_rollup_matches_batch(spark, sf_dir, tmpdir):
