@@ -75,10 +75,17 @@ def hash60(col: Column) -> Column:
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; fan out before
     CPU-heavy per-row transforms so all cores work.  (At real scale the
-    source has many splits and this is a no-op-cost round-robin.)"""
+    source has many splits and this is a no-op-cost round-robin.)
+
+    The probe must be the ACTUAL scan partition count: a file-count
+    heuristic is wrong in both directions (maxPartitionBytes bin-packs
+    many tiny files into few partitions -> UDF runs near-serially; one
+    big splittable file scans as many partitions -> needless shuffle).
+    df.rdd.getNumPartitions() is a driver-side plan translation — the
+    split computation it triggers is the same FileIndex work the scan
+    itself performs and is cached — no job runs."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    # file-count check from plan metadata — no df.rdd conversion
-    return df if len(df.inputFiles()) >= target else df.repartition(target)
+    return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
 
 
 def _norm_text(text: Column) -> Column:
@@ -327,13 +334,16 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     n_edges = edges.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     loop_parts = max(1, min(int(old_parts), n_edges // 200_000 + 1))
+    # Keep the handle on the PERSISTED plan: unpersist on the coalesced
+    # wrapper would be a no-op (plan mismatch) and leak the cache.
+    cached_edges = edges
     edges = edges.coalesce(loop_parts)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         labels = _cc_loop(edges, max_iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    edges.unpersist()
+    cached_edges.unpersist()
     return labels
 
 

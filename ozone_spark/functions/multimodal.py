@@ -24,6 +24,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .dedup import _spread
+
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("media_type", StringType()),
@@ -109,12 +111,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 "byte_mean": _np.asarray(means, dtype=_np.float64),
             }, columns=out_cols)
 
-    # fan a few-file input out across cores before the CPU-bound UDF
-    # (file-count check from plan metadata — no df.rdd conversion)
-    target = media.sparkSession.sparkContext.defaultParallelism
-    if len(media.inputFiles()) < target:
-        media = media.repartition(target)
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # fan a narrow input out across cores before the CPU-bound UDF
+    return _spread(media).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def features_canonical(media: DataFrame,
@@ -212,10 +210,7 @@ def media_resize(media: DataFrame, out_dim: int = 8) -> DataFrame:
                 "resized": vecs,
             }, columns=out_cols)
 
-    target = media.sparkSession.sparkContext.defaultParallelism
-    if len(media.inputFiles()) < target:
-        media = media.repartition(target)
-    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+    return _spread(media).mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 def resize_canonical(media: DataFrame, out_dim: int = 8) -> DataFrame:
@@ -235,6 +230,11 @@ def resize_canonical(media: DataFrame, out_dim: int = 8) -> DataFrame:
         .withColumn("lo", F.expr(f"(block * payload_len) div {out_dim}"))
         .withColumn(
             "hi", F.expr(f"((block + 1) * payload_len) div {out_dim}"))
+        # payloads shorter than out_dim yield duplicate edges, i.e.
+        # empty [lo, hi) blocks; drop them so row counts agree with a
+        # byte-range-join replay (which produces no row for an empty
+        # range) instead of emitting degenerate len-0 rows
+        .where(F.col("hi") > F.col("lo"))
         .select(
             "doc_id", "media_type",
             F.col("block").cast("int").alias("block"),

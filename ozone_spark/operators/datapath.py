@@ -50,10 +50,17 @@ def lookup_key(keys: DataFrame, locations: DataFrame,
     OmKeyInfo + keyLocationVersions the client read path consumes).
     The equality predicate on the sort key reaches the parquet scan
     (row-group min/max pruning — the RocksDB point-get analog);
-    locations pack into one ordered array column per key."""
+    locations pack into one ordered array column per key.
+
+    The location side is semi-joined to the (broadcast) matched key
+    BEFORE the collect_list aggregation, so the point read scans only
+    the matching location rows (min/max-pruned) instead of paying a
+    table-wide groupBy shuffle per lookup."""
     k = keys.where(F.col("db_key") == db_key)
     locs = (
-        locations.groupBy("object_id")
+        locations.join(F.broadcast(k.select("object_id")), "object_id",
+                       "left_semi")
+        .groupBy("object_id")
         .agg(F.array_sort(F.collect_list(F.struct(
             "block_seq", "container_id", "local_id",
             "block_len", "block_offset"))).alias("blocks"))

@@ -181,8 +181,14 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
     (tx_id = object_id); its blocks resolve through the location table
     and the container registry supplies the state; the per-transaction
     local-id list is rendered as a sorted CSV string (scalar-portable
-    where the reference returns a JSON array)."""
-    from ozone_spark.operators.listing import _paged
+    where the reference returns a JSON array).
+
+    max_records counts TRANSACTIONS, and the page always ends on a
+    transaction boundary: a tx fanning out to several container rows is
+    never split, so resuming with prev_txid = last tx_id loses nothing
+    (the reference endpoint pages whole DeletedBlocksTransaction
+    records for the same reason)."""
+    from pyspark.sql import Window
 
     txns = (
         deleted_keys.select(F.col("object_id").alias("tx_id"))
@@ -199,7 +205,26 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
         .select(F.col("state").alias("container_state"), "container_id",
                 "tx_id", "local_id_count", "local_ids")
     )
-    return _paged(txns, ["tx_id", "container_id"], max_records)
+    # Page over DISTINCT tx ids (limit+1 -> ≤ max_records+1 rows, so the
+    # single-partition window is bounded by construction), then join the
+    # tiny page back to pick up every container row of each paged tx.
+    tx_page = (
+        txns.select("tx_id").distinct().orderBy("tx_id")
+        .limit(max_records + 1)
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("tx_id")))
+        .withColumn("is_truncated",
+                    F.count("*").over(Window.partitionBy(F.lit(1)))
+                    > max_records)
+        .where(F.col("_rn") <= max_records)
+        .drop("_rn")
+    )
+    return (
+        txns.join(broadcast(tx_page), "tx_id")
+        .select("container_state", "container_id", "tx_id",
+                "local_id_count", "local_ids", "is_truncated")
+        .orderBy("tx_id", "container_id")
+    )
 
 
 def storage_distribution(datanodes: DataFrame, containers: DataFrame,

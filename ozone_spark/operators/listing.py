@@ -122,13 +122,25 @@ def list_parts(
     """S5: paginated parts of one multipart upload (KeyManagerImpl
     listParts / S3 ListParts: partNumberMarker exclusive, maxParts+1 ->
     is_truncated).  Part etags follow the multipart_etag convention
-    (md5 of the block's local id)."""
+    (md5 of the block's local id).
+
+    Part numbers must be UNIQUE within an upload (the reference keys
+    its partKeyInfoMap by part number), but the fixture's block_seq can
+    tie (two blocks of one object sharing a seq), which would make the
+    page cut and marker resume nondeterministic.  So the part number is
+    densely re-derived as row_number over (block_seq, local_id) — a
+    total order — before the marker filter.  The unpartitioned window
+    is bounded by construction: it runs over the blocks of ONE object
+    (the reference caps an upload at 10,000 parts)."""
     page = (
         locations.where(F.col("object_id") == object_id)
-        .where(F.col("block_seq") > part_marker)
-        .select(F.col("block_seq").alias("part_number"),
-                F.md5(F.col("local_id").cast("string")).alias("etag"),
-                F.col("block_len").alias("part_size"))
+        .select(
+            F.row_number()
+            .over(Window.orderBy("block_seq", "local_id"))
+            .alias("part_number"),
+            F.md5(F.col("local_id").cast("string")).alias("etag"),
+            F.col("block_len").alias("part_size"))
+        .where(F.col("part_number") > part_marker)
     )
     return _paged(page, ["part_number"], max_parts)
 

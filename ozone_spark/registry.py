@@ -249,13 +249,13 @@ FROM p WHERE rn <= 20 ORDER BY db_key""",
             views(spark, sf)["locations"], object_id=7, max_parts=3),
         with_views(
             """WITH f AS (
-  SELECT block_seq AS part_number,
+  SELECT row_number() OVER (ORDER BY block_seq, local_id) AS part_number,
          md5(CAST(local_id AS VARCHAR)) AS etag,
          block_len AS part_size
-  FROM locations WHERE object_id = 7 AND block_seq > 0
+  FROM locations WHERE object_id = 7
 ), p AS (
   SELECT *, row_number() OVER (ORDER BY part_number) AS rn
-  FROM f ORDER BY part_number LIMIT 4
+  FROM f WHERE part_number > 0 ORDER BY part_number LIMIT 4
 )
 SELECT part_number, etag, part_size,
   (SELECT count(*) FROM p) > 3 AS is_truncated
@@ -915,13 +915,17 @@ GROUP BY 1 ORDER BY 1""",
     string_agg(CAST(local_id AS VARCHAR), ','
                ORDER BY CAST(local_id AS VARCHAR)) AS local_ids
   FROM t GROUP BY 1, 2, 3
-), p AS (
-  SELECT *, row_number() OVER (ORDER BY tx_id, container_id) AS rn
-  FROM g ORDER BY tx_id, container_id LIMIT 31
+), tx AS (
+  SELECT DISTINCT tx_id FROM g ORDER BY tx_id LIMIT 31
+), tp AS (
+  SELECT tx_id, row_number() OVER (ORDER BY tx_id) AS rn,
+    (SELECT count(*) FROM tx) > 30 AS is_truncated
+  FROM tx
 )
-SELECT container_state, container_id, tx_id, local_id_count, local_ids,
-  (SELECT count(*) FROM p) > 30 AS is_truncated
-FROM p WHERE rn <= 30 ORDER BY tx_id, container_id""",
+SELECT g.container_state, g.container_id, g.tx_id, g.local_id_count,
+  g.local_ids, tp.is_truncated
+FROM g JOIN tp ON g.tx_id = tp.tx_id AND tp.rn <= 30
+ORDER BY g.tx_id, g.container_id""",
             ["deleted_keys", "locations", "containers"],
         ),
     ),
@@ -2769,9 +2773,27 @@ def _streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _stream_seq[0] += 1
     name = f"gate_sdedup_wm_{_stream_seq[0]}"
+    # The oracle equivalence (survivors == DISTINCT fingerprints) only
+    # holds if every duplicate pair's ingest timestamps fall inside the
+    # dedup horizon.  The ingest clock is 1 doc/ms of doc_id, so size
+    # the horizon to the corpus's actual doc_id span (one cheap scalar
+    # agg) instead of assuming a fixed 1 hour covers it — a corpus with
+    # ids more than 3.6M apart (e.g. cross-corpus appends with offset
+    # ids) would otherwise let late duplicates survive and break the
+    # gate.  Production use keeps the fixed-horizon default: there the
+    # horizon is the dedup CONTRACT, not an equivalence to batch
+    # distinct.
+    import pyspark.sql.functions as F
+    span_ms = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg((F.max("doc_id") - F.min("doc_id") + 1).alias("s"))
+        .collect()[0]["s"]
+    )
     stream = swin.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
     return swin.drain_to_memory(
-        swin.streaming_dedup_within_watermark(stream), spark, name,
+        swin.streaming_dedup_within_watermark(
+            stream, horizon=f"{int(span_ms)} milliseconds"),
+        spark, name,
         tempfile.mkdtemp(prefix="ozs_ckpt_"), output_mode="append",
     ).orderBy("fingerprint")
 

@@ -216,11 +216,11 @@ def streaming_dedup_within_watermark(docs_stream: DataFrame,
     ingest pipelines).
 
     The fixture has no ingest timestamp, so a deterministic one is
-    derived from doc_id (1 doc/ms from a fixed epoch).  With that
-    monotone clock and an AvailableNow full drain, every duplicate of
-    a fixture document lands inside the horizon, so the surviving set
-    equals DISTINCT fingerprints — which is exactly what the DuckDB
-    oracle checks."""
+    derived from doc_id (1 doc/ms from a fixed epoch).  The surviving
+    set equals DISTINCT fingerprints only while every duplicate pair's
+    ingest times fit inside `horizon`; the gate therefore sizes the
+    horizon to the corpus's doc_id span (registry._streaming_dedup
+    _bounded) rather than assuming the 1-hour default covers it."""
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
     ingest = F.timestamp_millis(F.lit(1009843200000) + F.col("doc_id"))
     return (

@@ -665,3 +665,66 @@ def test_ivf_pq_consistent_with_flat_pq(spark, sf_dir):
     for r in got:
         assert (r.query_id, r.vec_id) in ivf  # same probed candidate set
         assert flat[(r.query_id, r.vec_id)] == r.adc_dist
+
+
+def test_list_parts_pagination_deterministic_under_tied_block_seq(spark):
+    """ListParts must page deterministically even when the fixture's
+    block_seq ties (two blocks of one object sharing a seq): part
+    numbers are densely re-derived over (block_seq, local_id), so page
+    concatenation equals the full listing and no part is skipped or
+    double-counted at a marker that lands on a tie."""
+    rows = [(1, s, lid, 100 + lid, 0)
+            for s, lid in [(1, 10), (1, 11), (2, 12), (2, 13), (3, 14)]]
+    locs = spark.createDataFrame(
+        rows, "object_id long, block_seq long, local_id long, "
+              "block_len long, block_offset long")
+    full = listing.list_parts(locs, 1, max_parts=100).collect()
+    assert [r.part_number for r in full] == [1, 2, 3, 4, 5]
+    assert len({r.etag for r in full}) == 5  # both tied blocks present
+    got, marker = [], 0
+    for _ in range(10):
+        page = listing.list_parts(locs, 1, part_marker=marker,
+                                  max_parts=2).collect()
+        if not page:
+            break
+        got.extend((r.part_number, r.etag) for r in page)
+        if not page[0].is_truncated:
+            break
+        marker = page[-1].part_number
+    assert got == [(r.part_number, r.etag) for r in full]
+
+
+def test_blocks_pending_deletion_pages_on_tx_boundary(spark, t):
+    """A transaction fanning out to several container rows is never
+    split across pages: resuming with prev_txid = last tx id loses no
+    rows, so page concatenation equals the full per-tx listing (the
+    reference endpoint pages whole DeletedBlocksTransaction records)."""
+    from ozone_spark.operators import insights
+    dk, locs, cts = t["deleted_keys"], t["locations"], t["containers"]
+    # bound well above the fixture's tx count but small enough that the
+    # limit's TakeOrderedAndProject queue stays cheap
+    full = (
+        insights.blocks_pending_deletion(dk, locs, cts, max_records=10_000)
+        .select("tx_id", "container_id", "local_ids").collect()
+    )
+    got, prev = [], 0
+    for _ in range(1000):
+        page = insights.blocks_pending_deletion(
+            dk, locs, cts, prev_txid=prev, max_records=5).collect()
+        if not page:
+            break
+        # every tx on the page is complete: its container-row count
+        # matches the full listing's
+        by_tx = {}
+        for r in page:
+            by_tx.setdefault(r.tx_id, []).append(r)
+        full_by_tx = {}
+        for r in full:
+            full_by_tx.setdefault(r.tx_id, []).append(r)
+        for tx, rows in by_tx.items():
+            assert len(rows) == len(full_by_tx[tx])
+        got.extend((r.tx_id, r.container_id, r.local_ids) for r in page)
+        if not page[0].is_truncated:
+            break
+        prev = max(r.tx_id for r in page)
+    assert got == [(r.tx_id, r.container_id, r.local_ids) for r in full]
