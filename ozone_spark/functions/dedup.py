@@ -105,6 +105,51 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / RefinedWeb recipe:
+    drop every later copy of a repeated paragraph corpus-wide, keep the
+    first).  The fixture corpus carries no newline structure, so a
+    "paragraph" is a non-overlapping `para_words`-word chunk of the
+    normalized text; real corpora would split on '\\n\\n' instead — the
+    dedup shape downstream is identical.
+
+    First occurrence = (doc_id, para_idx)-lexicographic minimum per
+    fingerprint, decided by a rank-1 window partitioned BY FINGERPRINT
+    (bounded groups — no global window), so the whole operator is two
+    hash shuffles: one by fingerprint, one by doc for the survival
+    stats.  Paragraph text itself never re-shuffles after the explode;
+    only (fingerprint, ids) rows move.
+
+    Returns one row per document: paragraph count, kept/dropped counts
+    and the kept fraction — the per-doc survival report a curation
+    pipeline thresholds on (documents reduced to boilerplate lose most
+    paragraphs to earlier copies)."""
+    words = F.split(F.trim(_norm_text(F.col("text"))), " +")
+    n_paras = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * para_words + 1, para_words)))
+    exploded = (
+        docs.where(F.size(words) > 0)
+        .select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+        .select("doc_id", "para_idx", F.md5(F.col("para")).alias("fp"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "para_idx")
+    kept = exploded.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_paras"),
+             F.sum("kept").alias("n_kept"))
+        .select("doc_id", "n_paras", "n_kept",
+                (F.col("n_paras") - F.col("n_kept")).alias("n_dropped"),
+                F.round(F.col("n_kept") / F.col("n_paras"), 6)
+                .alias("frac_kept"))
+        .orderBy("doc_id")
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs of distinct word n-grams; docs shorter
     than n tokens yield no shingles.
@@ -361,26 +406,32 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
         )
         stepped = (
             labels.join(nbr_min, "doc_id", "left")
-            .select("doc_id",
+            .select("doc_id", F.col("cluster_id").alias("prev"),
                     F.least(F.col("cluster_id"),
                             F.coalesce("nbr_min", F.col("cluster_id")))
                     .alias("cluster_id"))
         )
-        # pointer jump: label := label's current label (path halving)
+        # pointer jump: label := label's current label (path halving).
+        # The previous label rides along so the convergence check below
+        # is a map-side filter over the already-checkpointed rows, not
+        # an extra shuffle join back against `labels` every round.
         jump = (
             stepped.alias("s")
             .join(stepped.select(F.col("doc_id").alias("cluster_id"),
                                  F.col("cluster_id").alias("root"))
                   .alias("r"), "cluster_id", "left")
-            .select("doc_id",
+            .select("doc_id", "prev",
                     F.coalesce("root", F.col("cluster_id")).alias("cluster_id"))
-            .localCheckpoint()
+            # lazy: the convergence aggregate below is the action that
+            # materializes the checkpoint — one job per round, not two.
+            # (A full agg, not limit(1): it must touch EVERY partition
+            # so the lazy checkpoint is completely materialized.)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jump.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-            .where(F.col("cluster_id") != F.col("prev")).limit(1).count()
-        )
-        labels = jump
+        changed = jump.agg(F.sum(
+            (F.col("cluster_id") != F.col("prev")).cast("int"))
+        ).collect()[0][0] or 0
+        labels = jump.drop("prev")
         if changed == 0:
             break
     return labels
