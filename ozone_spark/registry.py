@@ -637,6 +637,17 @@ FROM (
 ) ORDER BY container_id, health_state"""
 
 
+def _audit(spark: SparkSession, sf: str, which: str) -> DataFrame:
+    """parse(render(events)) -> one auditparser template query; the
+    DuckDB oracle computes the same aggregate from first principles on
+    `events`, gating the whole render -> parse -> aggregate loop."""
+    from ozone_spark.sources import auditlog
+
+    audit = auditlog.parse_audit_log(
+        auditlog.render_audit_lines(views(spark, sf)["events"]))
+    return getattr(auditlog, which)(audit)
+
+
 def _export_unhealthy_containers(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """S11 gated: the async unhealthy-containers CSV export job
@@ -729,6 +740,36 @@ ORDER BY db_key""",
         "export_unhealthy_containers",
         lambda spark, sf: _export_unhealthy_containers(spark, sf),
         with_views(_CONTAINER_HEALTH_SQL, ["containers", "replicas"]),
+    ),
+    _q(
+        "audit_top5_users",
+        lambda spark, sf: _audit(spark, sf, "top_users"),
+        """SELECT 'user' || CAST(user_id AS VARCHAR) AS "user",
+  count(*) AS total
+FROM events GROUP BY 1 ORDER BY total DESC, "user" LIMIT 5""",
+    ),
+    _q(
+        "audit_top5_cmds",
+        lambda spark, sf: _audit(spark, sf, "top_ops"),
+        """SELECT upper(event_type) AS op, count(*) AS total
+FROM events GROUP BY 1 ORDER BY total DESC, op LIMIT 5""",
+    ),
+    _q(
+        "audit_top5_active_seconds",
+        lambda spark, sf: _audit(spark, sf, "top_active_seconds"),
+        """SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+  count(*) AS thecount
+FROM events GROUP BY 1 ORDER BY thecount DESC, dt LIMIT 5""",
+    ),
+    _q(
+        "audit_failed_ops",
+        lambda spark, sf: _audit(spark, sf, "failed_ops"),
+        # every rendered FAILURE entry carries a 2-line exception
+        # continuation, so n_with_exception == n_failed iff the parser
+        # folded every continuation into its header entry
+        """SELECT upper(event_type) AS op, count(*) AS n_failed,
+  count(*) AS n_with_exception
+FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY op""",
     ),
     _q(
         "replica_checksum_scrub",
@@ -1874,6 +1915,35 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 ORDER BY 1, 2""",
         bench=True,
+    ),
+    _q(
+        "paragraph_dedup",
+        lambda spark, sf: dedup.paragraph_dedup(
+            views(spark, sf)["documents"], para_words=20),
+        # first occurrence per paragraph fingerprint = rank-1 over
+        # (doc_id, para_idx); survival stats per document
+        oracle=f"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim({_NORM}), ' +') AS ws
+  FROM documents
+), ix AS (
+  SELECT doc_id, ws,
+    unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS i
+  FROM w WHERE len(ws) > 0
+), e AS (
+  SELECT doc_id, CAST(i AS INT) AS para_idx,
+    md5(array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ')) AS fp
+  FROM ix
+), r AS (
+  SELECT doc_id, para_idx,
+    (row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) = 1)
+    ::INT AS kept
+  FROM e
+)
+SELECT doc_id, count(*) AS n_paras,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+  round(sum(kept) / count(*), 6) AS frac_kept
+FROM r GROUP BY doc_id ORDER BY doc_id""",
     ),
     _q(
         "dedup_clusters",

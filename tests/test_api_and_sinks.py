@@ -75,3 +75,42 @@ def test_sinks_roundtrip(ns, tmp_path):
     assert sinks.export_csv(hist, str(tmp_path / "c")) == n
     rows = sinks.to_json_rows(hist, limit=5).collect()
     assert len(rows) == 5 and rows[0].json.startswith("{")
+
+
+def test_audit_log_file_roundtrip(spark, sf_dir, tmp_path):
+    """Rendered audit lines written as real text files and re-read with
+    read_audit_logs parse to the same entries as the in-memory path —
+    including multi-line exception folding across the file boundary
+    layout."""
+    from ozone_spark import tables
+    from ozone_spark.sources import auditlog
+
+    events = tables.load_table(spark, sf_dir, "events").limit(200)
+    lines = auditlog.render_audit_lines(events, n_files=3)
+    direct = auditlog.parse_audit_log(lines)
+
+    # write each synthetic file as an actual log file, in line order
+    logdir = tmp_path / "audit"
+    logdir.mkdir()
+    by_file: dict[str, list[tuple[int, str]]] = {}
+    for r in lines.collect():
+        by_file.setdefault(r.file, []).append((r.line_no, r.line))
+    for fname, rows in by_file.items():
+        (logdir / fname).write_text(
+            "\n".join(line for _, line in sorted(rows)) + "\n")
+
+    reread = auditlog.parse_audit_log(
+        auditlog.read_audit_logs(spark, str(logdir)))
+
+    cols = ["datetime", "level", "logger", "user", "ip", "op",
+            "params", "result", "exception"]
+    a = sorted(map(tuple, direct.select(*cols).collect()))
+    b = sorted(map(tuple, reread.select(*cols).collect()))
+    assert a == b
+    n_err = events.where(F.col("event_type") == "error").count()
+    assert direct.where(F.col("result") == "FAILURE").count() == n_err
+    # every FAILURE entry folded both continuation lines
+    assert direct.where(
+        (F.col("result") == "FAILURE")
+        & (F.col("exception").contains("OMException"))
+        & (F.col("exception").contains("at org.apache"))).count() == n_err
