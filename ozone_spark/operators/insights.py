@@ -227,6 +227,41 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
     )
 
 
+def key_insight_summary(open_keys: DataFrame, multipart_uploads: DataFrame,
+                        deleted_keys: DataFrame) -> DataFrame:
+    """/keys/open/summary + /open/mpu/summary + /deletePending/summary
+    analogs (OMDBInsightEndpoint.java:322,349,374 — each returns
+    {total keys, totalReplicatedDataSize, totalUnreplicatedDataSize}):
+    one row per insight category, all three single-pass global
+    aggregates unioned (map-side partials, three tiny shuffles of one
+    row each).  Deleted keys count RepeatedOmKeyInfo versions, like the
+    reference's repeated-key list."""
+    open_sum = open_keys.agg(
+        F.lit("OPEN_KEYS").alias("category"),
+        F.count("*").alias("total_keys"),
+        F.coalesce(F.sum("data_size"), F.lit(0)).alias("unreplicated_bytes"),
+        F.coalesce(F.sum("replicated_size"), F.lit(0))
+        .alias("replicated_bytes"))
+    mpu_bytes = F.col("part_bytes") * F.col("n_parts")
+    mpu_sum = multipart_uploads.agg(
+        F.lit("OPEN_MPU_KEYS").alias("category"),
+        F.count("*").alias("total_keys"),
+        F.coalesce(F.sum(mpu_bytes), F.lit(0)).alias("unreplicated_bytes"),
+        F.coalesce(F.sum(mpu_bytes * F.col("repl_factor")), F.lit(0))
+        .alias("replicated_bytes"))
+    del_sum = deleted_keys.agg(
+        F.lit("DELETED_KEYS").alias("category"),
+        F.coalesce(F.sum("num_versions"), F.lit(0)).alias("total_keys"),
+        F.coalesce(F.sum("pending_bytes"), F.lit(0))
+        .alias("unreplicated_bytes"),
+        F.coalesce(F.sum("pending_replicated_bytes"), F.lit(0))
+        .alias("replicated_bytes"))
+    return (
+        open_sum.unionByName(mpu_sum).unionByName(del_sum)
+        .orderBy("category")
+    )
+
+
 def storage_distribution(datanodes: DataFrame, containers: DataFrame,
                          replicas: DataFrame, keys: DataFrame,
                          open_keys: DataFrame,

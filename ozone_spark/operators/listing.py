@@ -145,6 +145,40 @@ def list_parts(
     return _paged(page, ["part_number"], max_parts)
 
 
+def recon_list_keys(
+    keys: DataFrame,
+    replication_type: str = "",
+    created_after_ms: int = 0,
+    min_size: int = 0,
+    start_prefix: str = "/",
+    prev_key: str = "",
+    max_keys: int = 1000,
+) -> DataFrame:
+    """Recon's filtered key listing (/keys/listKeys,
+    OMDBInsightEndpoint.java listKeysWithFilters: replicationType /
+    creationDate / keySize / startPrefix / prevKey / limit) with the S1
+    token contract.  All filters are scan-pushable predicates; the
+    replication type is derived from the replication factor (the
+    fixture's factor-2 keys model EC, others RATIS — OmKeyInfo's
+    ReplicationConfig discriminator)."""
+    repl_type = F.when(F.col("repl_factor") == 2, "EC").otherwise("RATIS")
+    page = keys
+    if replication_type:
+        page = page.where(repl_type == replication_type)
+    if created_after_ms:
+        page = page.where(F.col("creation_time") > created_after_ms)
+    if min_size:
+        page = page.where(F.col("data_size") > min_size)
+    if start_prefix and start_prefix != "/":
+        page = page.where(F.col("db_key").startswith(start_prefix))
+    if prev_key:
+        page = page.where(F.col("db_key") > prev_key)
+    page = page.select(
+        "db_key", "object_id", "data_size", "replicated_size",
+        repl_type.alias("replication_type"), "creation_time", "owner")
+    return _paged(page, ["db_key"], max_keys)
+
+
 def list_buckets(keys: DataFrame, volume: str | None = None,
                  start_bucket: str = "", max_buckets: int = 1000) -> DataFrame:
     """S2: paginated bucket listing (OmMetadataManagerImpl.java:911-975);

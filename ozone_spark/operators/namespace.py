@@ -106,6 +106,54 @@ def namespace_dist(keys: DataFrame, prefix: str | None = None) -> DataFrame:
     )
 
 
+def pending_deleted_dirs(keys: DataFrame, directories: DataFrame,
+                         prev_key: str = "", limit: int = 1000) -> DataFrame:
+    """/keys/deletePending/dirs analog (OMDBInsightEndpoint.java:570-580
+    getDeletedDirInfo): the deleted-directory queue with each entry's
+    SUBTREE totals, paginated by path (prevKey exclusive, S1 contract).
+    The reference reads sizes from the precomputed NSSummary rollup;
+    here the rollup aggregate joins in directly.  deletedDirTable is
+    modeled as a deterministic md5-hash sample of the directory table
+    (every ~11th dir), replayable by any engine with md5."""
+    from ozone_spark.operators.listing import _paged
+
+    page = _deleted_dirs(keys, directories)
+    if prev_key:
+        page = page.where(F.col("path") > prev_key)
+    return _paged(page, ["path"], limit)
+
+
+def _deleted_dirs(keys: DataFrame, directories: DataFrame) -> DataFrame:
+    from ozone_spark.functions.dedup import hash28
+
+    dd = directories.where(hash28(F.col("path")) % 11 == 0)
+    roll = namespace_rollup(keys)
+    return (
+        dd.join(roll, dd.path == roll.dir_path, "left")
+        .select(
+            "path", "depth",
+            F.coalesce("num_files", F.lit(0)).alias("num_files"),
+            F.coalesce("size_of_files", F.lit(0))
+            .alias("unreplicated_bytes"),
+            F.coalesce(roll.replicated_size, F.lit(0))
+            .alias("replicated_bytes"))
+    )
+
+
+def deleted_dirs_summary(keys: DataFrame,
+                         directories: DataFrame) -> DataFrame:
+    """/keys/deletePending/dirs/summary analog (OMDBInsightEndpoint
+    .java:594-600): one row — totalDeletedDirectories plus the pending
+    subtree byte totals the UI pairs it with."""
+    return _deleted_dirs(keys, directories).agg(
+        F.count("*").alias("total_deleted_directories"),
+        F.coalesce(F.sum("num_files"), F.lit(0)).alias("total_files"),
+        F.coalesce(F.sum("unreplicated_bytes"), F.lit(0))
+        .alias("unreplicated_bytes"),
+        F.coalesce(F.sum("replicated_bytes"), F.lit(0))
+        .alias("replicated_bytes"))
+
+
 def du_children(keys: DataFrame, parent: str, top_k: int | None = None) -> DataFrame:
     """O5: immediate children of `parent` ordered by subtree size desc
     (top consumers first), deterministic tie-break on path."""

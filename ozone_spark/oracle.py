@@ -160,7 +160,8 @@ _CTES["snapshot_chain"] = """snapshot_chain AS (
 )"""
 
 _CTES["open_keys"] = """open_keys AS (
-  SELECT db_key, object_id, volume, bucket, key_name, data_size, creation_time,
+  SELECT db_key, object_id, volume, bucket, key_name, data_size,
+    replicated_size, creation_time,
     object_id * 3 AS client_id,
     object_id % 2 = 0 AS hsync
   FROM keys WHERE object_id % 17 = 0
@@ -179,7 +180,7 @@ _CTES["multipart_uploads"] = """multipart_uploads AS (
   SELECT md5(db_key) AS upload_id, db_key, object_id, volume, bucket,
     key_name, owner, creation_time AS initiated_ms,
     CAST(1 + object_id % 5 AS INT) AS n_parts,
-    data_size AS part_bytes
+    data_size AS part_bytes, repl_factor
   FROM keys WHERE object_id % 23 = 0
 )"""
 

@@ -264,6 +264,34 @@ FROM p WHERE rn <= 3 ORDER BY part_number""",
         ),
     ),
     _q(
+        "recon_list_keys",
+        # every filter class at once: RATIS-only, created after mid-1995,
+        # bigger than 2 KB, under /vol1/, after a mid-listing prevKey
+        lambda spark, sf: listing.recon_list_keys(
+            views(spark, sf)["keys"], replication_type="RATIS",
+            created_after_ms=801273600000, min_size=2048,
+            start_prefix="/vol1/", prev_key="/vol1/b1/f", max_keys=15),
+        with_views(
+            """WITH f AS (
+  SELECT db_key, object_id, data_size, replicated_size,
+    CASE WHEN repl_factor = 2 THEN 'EC' ELSE 'RATIS' END
+      AS replication_type,
+    creation_time, owner
+  FROM keys
+  WHERE repl_factor <> 2 AND creation_time > 801273600000
+    AND data_size > 2048 AND db_key LIKE '/vol1/%'
+    AND db_key > '/vol1/b1/f'
+), p AS (
+  SELECT *, row_number() OVER (ORDER BY db_key) AS rn
+  FROM f ORDER BY db_key LIMIT 16
+)
+SELECT db_key, object_id, data_size, replicated_size, replication_type,
+  creation_time, owner, (SELECT count(*) FROM p) > 15 AS is_truncated
+FROM p WHERE rn <= 15 ORDER BY db_key""",
+            ["keys"],
+        ),
+    ),
+    _q(
         "list_volumes_by_user",
         lambda spark, sf: admin.list_volumes_by_user(
             views(spark, sf)["user_volumes"], views(spark, sf)["keys"]),
@@ -971,6 +999,31 @@ ORDER BY g.tx_id, g.container_id""",
         ),
     ),
     _q(
+        "key_insight_summary",
+        lambda spark, sf: insights.key_insight_summary(
+            views(spark, sf)["open_keys"], views(spark, sf)["multipart_uploads"],
+            views(spark, sf)["deleted_keys"]),
+        with_views(
+            """SELECT * FROM (
+  SELECT 'OPEN_KEYS' AS category, count(*) AS total_keys,
+    CAST(coalesce(sum(data_size), 0) AS BIGINT) AS unreplicated_bytes,
+    CAST(coalesce(sum(replicated_size), 0) AS BIGINT) AS replicated_bytes
+  FROM open_keys
+  UNION ALL
+  SELECT 'OPEN_MPU_KEYS', count(*),
+    CAST(coalesce(sum(part_bytes * n_parts), 0) AS BIGINT),
+    CAST(coalesce(sum(part_bytes * n_parts * repl_factor), 0) AS BIGINT)
+  FROM multipart_uploads
+  UNION ALL
+  SELECT 'DELETED_KEYS', CAST(coalesce(sum(num_versions), 0) AS BIGINT),
+    CAST(coalesce(sum(pending_bytes), 0) AS BIGINT),
+    CAST(coalesce(sum(pending_replicated_bytes), 0) AS BIGINT)
+  FROM deleted_keys
+) ORDER BY category""",
+            ["open_keys", "multipart_uploads", "deleted_keys"],
+        ),
+    ),
+    _q(
         "storage_distribution",
         lambda spark, sf: insights.storage_distribution(
             views(spark, sf)["datanodes"], views(spark, sf)["containers"],
@@ -1034,6 +1087,53 @@ NAMESPACE_QUERIES = [
         lambda spark, sf: nops.namespace_rollup(views(spark, sf)["keys"]),
         with_views(_ROLLUP_SQL, ["keys"]),
         bench=True,
+    ),
+    _q(
+        "pending_deleted_dirs",
+        lambda spark, sf: nops.pending_deleted_dirs(
+            views(spark, sf)["keys"], views(spark, sf)["directories"],
+            limit=40),
+        with_views(
+            f"""WITH roll AS ({_ROLLUP_SQL}),
+dd AS (
+  SELECT d.path, d.depth,
+    coalesce(r.num_files, 0) AS num_files,
+    CAST(coalesce(r.size_of_files, 0) AS BIGINT) AS unreplicated_bytes,
+    CAST(coalesce(r.replicated_size, 0) AS BIGINT) AS replicated_bytes
+  FROM directories d LEFT JOIN roll r ON r.dir_path = d.path
+  WHERE CAST('0x' || substr(md5(d.path), 1, 7) AS BIGINT) % 11 = 0
+), p AS (
+  SELECT *, row_number() OVER (ORDER BY path) AS rn
+  FROM dd ORDER BY path LIMIT 41
+)
+SELECT path, depth, num_files, unreplicated_bytes, replicated_bytes,
+  (SELECT count(*) FROM p) > 40 AS is_truncated
+FROM p WHERE rn <= 40 ORDER BY path""",
+            ["keys", "directories"],
+        ),
+    ),
+    _q(
+        "deleted_dirs_summary",
+        lambda spark, sf: nops.deleted_dirs_summary(
+            views(spark, sf)["keys"], views(spark, sf)["directories"]),
+        with_views(
+            f"""WITH roll AS ({_ROLLUP_SQL}),
+dd AS (
+  SELECT d.path,
+    coalesce(r.num_files, 0) AS num_files,
+    coalesce(r.size_of_files, 0) AS unreplicated_bytes,
+    coalesce(r.replicated_size, 0) AS replicated_bytes
+  FROM directories d LEFT JOIN roll r ON r.dir_path = d.path
+  WHERE CAST('0x' || substr(md5(d.path), 1, 7) AS BIGINT) % 11 = 0
+)
+SELECT count(*) AS total_deleted_directories,
+  CAST(coalesce(sum(num_files), 0) AS BIGINT) AS total_files,
+  CAST(coalesce(sum(unreplicated_bytes), 0) AS BIGINT)
+    AS unreplicated_bytes,
+  CAST(coalesce(sum(replicated_bytes), 0) AS BIGINT) AS replicated_bytes
+FROM dd""",
+            ["keys", "directories"],
+        ),
     ),
     _q(
         "namespace_dist",

@@ -327,7 +327,7 @@ def open_keys_view(keys: DataFrame) -> DataFrame:
     oid = F.col("object_id")
     return keys.where(oid % 17 == 0).select(
         "db_key", "object_id", "volume", "bucket", "key_name",
-        "data_size", "creation_time",
+        "data_size", "replicated_size", "creation_time",
         (oid * 3).alias("client_id"),
         (oid % 2 == 0).alias("hsync"),
     )
@@ -360,6 +360,7 @@ def multipart_uploads_view(keys: DataFrame) -> DataFrame:
         F.col("creation_time").alias("initiated_ms"),
         (F.lit(1) + oid % 5).cast("int").alias("n_parts"),
         F.col("data_size").alias("part_bytes"),
+        "repl_factor",
     )
 
 

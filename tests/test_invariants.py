@@ -728,3 +728,24 @@ def test_blocks_pending_deletion_pages_on_tx_boundary(spark, t):
             break
         prev = max(r.tx_id for r in page)
     assert got == [(r.tx_id, r.container_id, r.local_ids) for r in full]
+
+
+def test_paragraph_dedup_first_occurrence_rule(spark):
+    """Synthetic corpus: doc 1 and doc 3 share a paragraph; the first
+    occurrence (lowest doc_id, then paragraph index) survives, later
+    copies drop.  Short docs (< para_words words) form one paragraph;
+    exact whole-doc duplicates lose everything to the earlier doc."""
+    para_a = " ".join(["alpha"] * 20)
+    para_b = " ".join(["beta"] * 20)
+    para_c = " ".join(["gamma"] * 20)
+    docs = spark.createDataFrame(
+        [(1, f"{para_a} {para_b}"),   # paras: a, b
+         (2, "tiny doc"),             # one short paragraph
+         (3, f"{para_c} {para_a}"),   # c kept, a drops (doc 1 had it)
+         (4, f"{para_a} {para_b}")],  # exact dup of doc 1: all drop
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    assert (out[2].n_paras, out[2].n_kept) == (1, 1)
+    assert (out[3].n_paras, out[3].n_kept, out[3].n_dropped) == (2, 1, 1)
+    assert (out[4].n_paras, out[4].n_kept, out[4].frac_kept) == (2, 0, 0.0)
