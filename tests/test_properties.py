@@ -61,3 +61,31 @@ def test_pagination_contract_any_page_size(spark, sf_dir, page):
             break
         start = rows[-1].db_key
     assert got == full
+
+
+@settings(max_examples=4, deadline=None)
+@given(data=st.data())
+def test_list_parts_contract_under_arbitrary_ties(spark, data):
+    """ListParts yields dense unique part numbers and a lossless
+    marker resume for ANY multiset of block_seqs (ties included) and
+    any page size."""
+    seqs = data.draw(st.lists(st.integers(min_value=1, max_value=6),
+                              min_size=1, max_size=18))
+    page_size = data.draw(st.integers(min_value=1, max_value=7))
+    rows = [(1, s, i, 100 + i, 0) for i, s in enumerate(seqs)]
+    locs = spark.createDataFrame(
+        rows, "object_id long, block_seq long, local_id long, "
+              "block_len long, block_offset long")
+    full = listing.list_parts(locs, 1, max_parts=1000).collect()
+    assert [r.part_number for r in full] == list(range(1, len(seqs) + 1))
+    got, marker = [], 0
+    for _ in range(50):
+        p = listing.list_parts(locs, 1, part_marker=marker,
+                               max_parts=page_size).collect()
+        if not p:
+            break
+        got.extend((r.part_number, r.etag) for r in p)
+        if not p[0].is_truncated:
+            break
+        marker = p[-1].part_number
+    assert got == [(r.part_number, r.etag) for r in full]
