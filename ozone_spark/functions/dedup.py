@@ -105,6 +105,33 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_threshold_sweep(docs: DataFrame, n: int = 3,
+                          floor: float = 0.05) -> DataFrame:
+    """Threshold-tuning curve for near-dup dedup: how many candidate
+    pairs (and docs) would a given Jaccard cutoff remove?  One pass of
+    pair discovery at a low floor, then a 0.1-wide similarity histogram
+    with a descending cumulative count — the curve a curation run reads
+    to pick its production threshold instead of re-running dedup per
+    candidate value.
+
+    The cumulative window runs over at most 10 bucket rows (bounded by
+    construction); everything before it is the standard two-shuffle
+    pair pipeline."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=floor)
+    bucket = (F.floor(F.col("jaccard") * 10) / 10).cast("double")
+    hist = (
+        pairs.select(bucket.alias("jaccard_floor"))
+        .groupBy("jaccard_floor").agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("jaccard_floor")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w))
+        .select("jaccard_floor", "n_pairs", "n_pairs_at_or_above")
+        .orderBy("jaccard_floor")
+    )
+
+
 def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
     """Paragraph-level exact dedup (the Dolma / RefinedWeb recipe:
     drop every later copy of a repeated paragraph corpus-wide, keep the

@@ -2017,6 +2017,44 @@ ORDER BY 1, 2""",
         bench=True,
     ),
     _q(
+        "dedup_threshold_sweep",
+        lambda spark, sf: dedup.dedup_threshold_sweep(
+            views(spark, sf)["documents"], floor=0.05),
+        oracle=f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+), hist AS (
+  SELECT floor(jaccard * 10) / 10 AS jaccard_floor,
+    count(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT jaccard_floor, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY jaccard_floor DESC) AS BIGINT)
+    AS n_pairs_at_or_above
+FROM hist ORDER BY jaccard_floor""",
+    ),
+    _q(
         "paragraph_dedup",
         lambda spark, sf: dedup.paragraph_dedup(
             views(spark, sf)["documents"], para_words=20),
