@@ -158,7 +158,10 @@ def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
         lambda i: F.concat_ws(
             " ", F.slice(words, i * para_words + 1, para_words)))
     exploded = (
-        docs.where(F.size(words) > 0)
+        # guard on the trimmed TEXT, not size(words): split('') yields
+        # [''] (size 1), which would give every wordless doc the same
+        # empty paragraph and cross-dedup unrelated docs
+        docs.where(F.trim(_norm_text(F.col("text"))) != "")
         .select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
         .select("doc_id", "para_idx", F.md5(F.col("para")).alias("fp"))
     )

@@ -160,15 +160,20 @@ def recon_list_keys(
     token contract.  All filters are scan-pushable predicates; the
     replication type is derived from the replication factor (the
     fixture's factor-2 keys model EC, others RATIS — OmKeyInfo's
-    ReplicationConfig discriminator)."""
+    ReplicationConfig discriminator).
+
+    Same endpoint family as scan.key_search (S8); the time/size bounds
+    are INCLUSIVE (>=) in both so the two surfaces never disagree on a
+    boundary key — this variant adds the typed replication filter and
+    the maxKeys+1/is_truncated page contract."""
     repl_type = F.when(F.col("repl_factor") == 2, "EC").otherwise("RATIS")
     page = keys
     if replication_type:
         page = page.where(repl_type == replication_type)
     if created_after_ms:
-        page = page.where(F.col("creation_time") > created_after_ms)
+        page = page.where(F.col("creation_time") >= created_after_ms)
     if min_size:
-        page = page.where(F.col("data_size") > min_size)
+        page = page.where(F.col("data_size") >= min_size)
     if start_prefix and start_prefix != "/":
         page = page.where(F.col("db_key").startswith(start_prefix))
     if prev_key:

@@ -278,8 +278,8 @@ FROM p WHERE rn <= 3 ORDER BY part_number""",
       AS replication_type,
     creation_time, owner
   FROM keys
-  WHERE repl_factor <> 2 AND creation_time > 801273600000
-    AND data_size > 2048 AND db_key LIKE '/vol1/%'
+  WHERE repl_factor <> 2 AND creation_time >= 801273600000
+    AND data_size >= 2048 AND db_key LIKE '/vol1/%'
     AND db_key > '/vol1/b1/f'
 ), p AS (
   SELECT *, row_number() OVER (ORDER BY db_key) AS rn
@@ -2062,11 +2062,11 @@ FROM hist ORDER BY jaccard_floor""",
         # (doc_id, para_idx); survival stats per document
         oracle=f"""WITH w AS (
   SELECT doc_id, string_split_regex(trim({_NORM}), ' +') AS ws
-  FROM documents
+  FROM documents WHERE trim({_NORM}) <> ''
 ), ix AS (
   SELECT doc_id, ws,
     unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS i
-  FROM w WHERE len(ws) > 0
+  FROM w
 ), e AS (
   SELECT doc_id, CAST(i AS INT) AS para_idx,
     md5(array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ')) AS fp

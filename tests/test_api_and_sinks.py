@@ -85,7 +85,10 @@ def test_audit_log_file_roundtrip(spark, sf_dir, tmp_path):
     from ozone_spark import tables
     from ozone_spark.sources import auditlog
 
-    events = tables.load_table(spark, sf_dir, "events").limit(200)
+    # orderBy pins the subset: bare limit() is nondeterministic across
+    # the multiple independent actions below
+    events = tables.load_table(spark, sf_dir, "events").orderBy(
+        "event_id").limit(200)
     lines = auditlog.render_audit_lines(events, n_files=3)
     direct = auditlog.parse_audit_log(lines)
 

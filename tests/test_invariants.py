@@ -746,6 +746,14 @@ def test_paragraph_dedup_first_occurrence_rule(spark):
         "doc_id long, text string")
     out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
     assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    # wordless docs produce NO paragraphs (they must not cross-dedup
+    # against each other through a shared empty fingerprint)
+    empty = spark.createDataFrame(
+        [(10, ""), (11, "!!!"), (12, "   "), (13, "real words")],
+        "doc_id long, text string")
+    eout = {r.doc_id: r for r in dedup.paragraph_dedup(empty).collect()}
+    assert set(eout) == {13}
+    assert (eout[13].n_paras, eout[13].n_kept) == (1, 1)
     assert (out[2].n_paras, out[2].n_kept) == (1, 1)
     assert (out[3].n_paras, out[3].n_kept, out[3].n_dropped) == (2, 1, 1)
     assert (out[4].n_paras, out[4].n_kept, out[4].frac_kept) == (2, 0, 0.0)
