@@ -370,3 +370,30 @@ def test_zorder_interleave_and_file_disjointness(spark, tmp_path, sf_dir):
         assert hi1 <= lo2  # repartitionByRange => non-overlapping files
     # and the layout loses no rows
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_paragraph_dedup_two_shuffle_no_text_reshuffle(spark, sf_dir):
+    """paragraph_dedup is two hash shuffles (fingerprint window + doc
+    agg); paragraph text never moves — only (fp, ids) rows shuffle, and
+    there are no joins or cartesian products anywhere."""
+    from ozone_spark.functions.dedup import paragraph_dedup
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(paragraph_dedup(docs))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # the window's shuffle keys are the fingerprint, not the paragraph
+    # text: no 'para' column may appear in any Exchange line
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "para#" not in line and "text#" not in line, line
+
+
+def test_threshold_sweep_reuses_pair_pipeline_shape(spark, sf_dir):
+    """dedup_threshold_sweep adds only bounded aggregation on top of the
+    two-shuffle pair pipeline: no new joins beyond the size joins the
+    pair pipeline itself performs, and no cartesian products."""
+    from ozone_spark.functions.dedup import dedup_threshold_sweep
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup_threshold_sweep(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
