@@ -33,11 +33,14 @@ from pyspark.sql.functions import broadcast
 
 def list_pipelines(pipelines: DataFrame) -> DataFrame:
     """Per-pipeline summary: state, replication, member count, sorted
-    member list (the `ozone admin pipeline list` row)."""
+    member list (the `ozone admin pipeline list` row).  `members` is a
+    comma-joined string, not an array: the render shape the CLI prints,
+    and a scalar cell the driver's canonicalizer can sort."""
     return (
         pipelines.groupBy("pipeline_id", "state", "replication")
         .agg(F.count("*").alias("member_count"),
-             F.array_sort(F.collect_list("datanode")).alias("members"))
+             F.concat_ws(",", F.array_sort(F.collect_list("datanode")))
+             .alias("members"))
         .orderBy("pipeline_id")
     )
 

@@ -520,7 +520,7 @@ FROM delegation_tokens ORDER BY token_id""",
         with_views(
             """SELECT pipeline_id, state, replication,
   CAST(count(*) AS BIGINT) AS member_count,
-  list_sort(list(datanode)) AS members
+  array_to_string(list_sort(list(datanode)), ',') AS members
 FROM pipelines GROUP BY 1, 2, 3 ORDER BY pipeline_id""",
             ["pipelines"],
         ),
