@@ -209,3 +209,36 @@ def vocab_coverage(docs: DataFrame, k: int = 500) -> DataFrame:
                     F.round(1 - F.col("covered_tokens") / F.col("total_tokens"), 6))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------- perplexity buckets
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's corpus partitioning step (Wenzek et al. 2020,
+    arXiv:1911.00359): split each language's documents into
+    head/middle/tail terciles by LM perplexity — head is the most
+    in-domain third that trains first, tail is the candidate-discard
+    third.  Perplexity comes from the corpus-trained bigram LM
+    (`bigram_lm_scores`); ties break on doc_id so the tiling is
+    deterministic in any engine.
+
+    Scale shape: the tercile assignment is an ntile window PARTITIONED
+    BY lang — a per-language sort, never a global one.  At extreme
+    per-language volumes the exact ntile swaps for approximate
+    percentile cutoffs (computed per lang, broadcast, then a map-only
+    bucket assign); the exact form is kept here because it is
+    bit-replayable by the SQL oracle."""
+    scored = bigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("cross_entropy_bits", "doc_id")
+    tile = F.ntile(3).over(w)
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in PPL_BUCKETS]), tile)
+    return (
+        scored.select("doc_id", "lang", "cross_entropy_bits", "perplexity",
+                      bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

@@ -255,3 +255,128 @@ def media_summary(media: DataFrame) -> DataFrame:
              F.max("payload_len").alias("max_bytes"))
         .orderBy("media_type")
     )
+
+
+
+# --------------------------------------- content-defined chunk dedup
+
+# Rolling-hash chunking parameters: a boundary is declared after byte i
+# when the degree-3 polynomial hash of the trailing 4-byte window is
+# 0 mod CHUNK_MOD — so chunk boundaries move WITH the content (an
+# insertion/truncation re-synchronizes within one window) and the
+# expected chunk length is CHUNK_MOD bytes.  Production CDC (e.g.
+# FastCDC) adds min/max chunk-length clamps; those make the cut rule
+# stateful, so this stateless Rabin-style variant is used — every
+# engine can replay it with pure window functions.
+CHUNK_WINDOW = 4
+CHUNK_MOD = 16
+CHUNK_JACCARD_THRESHOLD = 0.35
+CHUNK_MAX_BUCKET = 200
+
+CHUNK_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("chunk_idx", LongType()),
+    StructField("lo", LongType()),
+    StructField("chunk_len", LongType()),
+    StructField("chunk_md5", StringType()),
+])
+
+
+def payload_chunks(media: DataFrame) -> DataFrame:
+    """Content-defined chunking of binary payloads (the storage-dedup
+    primitive: Rabin/FastCDC-style variable-size blocks): one row per
+    chunk with its byte span and md5 fingerprint.  Boundaries are a
+    function of a trailing-window rolling hash, so near-identical
+    payloads — trailing edits, insertions — share every chunk outside
+    the edited region, where fixed-grid blocks would misalign from the
+    edit point onward.
+
+    Arrow-batched mapInPandas; the rolling hash is numpy-vectorized
+    (strided adds, no per-byte Python); md5 per CHUNK (payload_len /
+    CHUNK_MOD calls per doc, each on a bytes slice).  One pass over the
+    payload bytes, map-only — chunking shuffles nothing."""
+    win, mod = CHUNK_WINDOW, CHUNK_MOD
+    out_cols = [f.name for f in CHUNK_SCHEMA]
+
+    # NOTE: self-contained closure (locals + builtins only) — see
+    # extract_features.
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            ids, idxs, los, lens, digests = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                arr = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64)
+                n = arr.size
+                if n == 0:
+                    continue
+                if n >= win:
+                    # h[i] = sum_k 9^k * b[i-k] over the trailing window
+                    h = arr[win - 1:].copy()
+                    for k in range(1, win):
+                        h += (9 ** k) * arr[win - 1 - k: n - k]
+                    cuts = _np.flatnonzero(h % mod == 0) + win
+                else:
+                    cuts = _np.empty(0, dtype=_np.int64)
+                edges = _np.unique(_np.concatenate(([0], cuts, [n])))
+                for j, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    los.append(int(lo))
+                    lens.append(int(hi - lo))
+                    digests.append(_hl.md5(raw[lo:hi]).hexdigest())
+            yield _pd.DataFrame({
+                "doc_id": _np.asarray(ids, dtype=_np.int64),
+                "chunk_idx": _np.asarray(idxs, dtype=_np.int64),
+                "lo": _np.asarray(los, dtype=_np.int64),
+                "chunk_len": _np.asarray(lens, dtype=_np.int64),
+                "chunk_md5": digests,
+            }, columns=out_cols)
+
+    return _spread(media).mapInPandas(batches, schema=CHUNK_SCHEMA)
+
+
+def payload_chunk_near_dup(
+        media: DataFrame,
+        threshold: float = CHUNK_JACCARD_THRESHOLD,
+        max_bucket: int = CHUNK_MAX_BUCKET) -> DataFrame:
+    """Near-duplicate payloads by Jaccard similarity over their
+    content-defined chunk sets — binary near-dup detection that needs
+    no codec and survives the alignment shifts that break fixed-grid
+    perceptual hashes.  The same inverted-index shape as the n-gram
+    text path (`ngram_jaccard_pairs`): candidate pairs come only from
+    co-occurrence in a chunk-fingerprint bucket, with saturated buckets
+    (df > max_bucket) excluded from pair generation, so the join is
+    bounded — never all-pairs.  Jaccard denominators use the full
+    per-doc chunk-set sizes."""
+    ch = payload_chunks(media).select("doc_id", "chunk_md5").distinct()
+    ch.persist()
+    sizes = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    cold = (
+        ch.groupBy("chunk_md5").agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_bucket).select("chunk_md5")
+    )
+    probe = ch.join(cold, "chunk_md5", "left_semi")
+    a = probe.withColumnRenamed("doc_id", "doc_a")
+    b = probe.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "chunk_md5")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_chunks") + F.col("sb.n_chunks") - F.col("n_common"))
+    return (
+        common
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common",
+                F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -464,3 +464,78 @@ def cross_corpus_dedup(docs: DataFrame, threshold: float = 0.1,
                 "best_jaccard", verdict.alias("verdict"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- exact-substring span removal
+
+SPAN_REMOVE_NGRAM = 8   # removal span width in words (Lee et al. 2022 use
+                        # 50 BPE tokens; the synthetic docs are short)
+
+
+def remove_duplicate_spans(docs: DataFrame,
+                           n: int = SPAN_REMOVE_NGRAM) -> DataFrame:
+    """Exact-substring dedup that REWRITES the text (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at
+    word granularity instead of suffix arrays: every n-word span that
+    occurs in >= 2 documents is removed from every document except the
+    lowest-doc_id one containing it (keep-first); surviving words are
+    re-joined in order.  `duplicated_spans` measures the overlap — this
+    operator performs the deletion.
+
+    Per doc: token total, tokens removed, removed fraction, and the md5
+    fingerprint of the cleaned text (the full rewritten text would be
+    the payload column in production; the fingerprint keeps gate rows
+    scalar while still value-checking every byte of the rewrite).
+
+    Scale shape: spans carry (doc_id, start) and are hashed to 28-bit
+    ints; one groupBy(h) computes (doc-frequency, keeper) per span and
+    the join back reuses that exchange; covered positions explode n
+    rows per REMOVABLE occurrence only (duplicated text volume, not
+    corpus volume); the rebuild is one groupBy(doc_id) whose state is
+    the document's own tokens.  Everything is linear — spans are
+    counted and subtracted, never paired — and all expressions are
+    built-in (codegen'd); the md5-derived span hash is replayed
+    bit-exactly by the DuckDB oracle."""
+    words = F.split(_norm_text(F.col("text")), " ")
+    d = _spread(docs).select("doc_id", words.alias("ws"))
+    # (doc_id, start, h): every span occurrence with its 1-based start
+    spans = (
+        d.where(F.size("ws") >= n)
+        .select("doc_id", F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("ws") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n))))
+            .alias("off", "span"))
+        .select("doc_id", (F.col("off") + 1).alias("start"),
+                hash28(F.col("span")).alias("h"))
+    )
+    stats = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"))
+    covered = (
+        spans.join(stats, "h")
+        .where((F.col("n_docs") >= 2)
+               & (F.col("doc_id") > F.col("keeper_doc_id")))
+        .select("doc_id", F.explode(
+            F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    toks = d.select("doc_id", F.posexplode("ws").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    flagged = toks.join(
+        covered.withColumn("cov", F.lit(True)), ["doc_id", "pos"], "left")
+    kept_struct = F.when(F.col("cov").isNull(),
+                         F.struct(F.col("pos"), F.col("tok")))
+    n_removed = F.sum(F.col("cov").isNotNull().cast("long"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             n_removed.alias("n_removed"),
+             F.md5(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(kept_struct)),
+                 lambda s: s["tok"]))).alias("cleaned_fp"))
+        .select("doc_id", "n_tokens", "n_removed",
+                F.round(F.col("n_removed").cast("double")
+                        / F.col("n_tokens"), 6).alias("frac_removed"),
+                "cleaned_fp")
+        .orderBy("doc_id")
+    )

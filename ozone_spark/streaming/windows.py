@@ -247,3 +247,45 @@ def drain_to_memory(stream_df: DataFrame, spark: SparkSession,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_attribution(events_stream: DataFrame,
+                          attrib_minutes: int = 30,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join (ST6 surface the single-stream windows
+    don't exercise): attribute every `click` to the same user's `view`
+    events in the preceding `attrib_minutes` — the canonical
+    impression->conversion join.  Both sides are branches of ONE source
+    stream (a supported streaming self-join); each carries its own
+    watermark, and the join's time-range predicate lets Spark expire
+    buffered view/click state once the watermark passes the interval —
+    bounded state at any corpus size, instead of an ever-growing buffer.
+
+    Inner join in append mode: every (view, click) pair within the
+    window, exact and deterministic, so a batch inequality-join oracle
+    replays it."""
+    views_s = (
+        events_stream.where(F.col("event_type") == "view")
+        .select("user_id",
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    clicks_s = (
+        events_stream.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views_s.join(
+        clicks_s,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {attrib_minutes} MINUTES")),
+        "inner")
+    return joined.select(
+        "user_id", "view_event_id", "click_event_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+        .alias("gap_us"))

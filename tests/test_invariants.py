@@ -757,3 +757,115 @@ def test_paragraph_dedup_first_occurrence_rule(spark):
     assert (out[2].n_paras, out[2].n_kept) == (1, 1)
     assert (out[3].n_paras, out[3].n_kept, out[3].n_dropped) == (2, 1, 1)
     assert (out[4].n_paras, out[4].n_kept, out[4].frac_kept) == (2, 0, 0.0)
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """Exact-copy doc: the keeper (lowest doc_id) is untouched, the later
+    copy is fully removed; a doc sharing nothing keeps every token; the
+    cleaned fingerprint is md5 of the surviving normalized text."""
+    import hashlib
+
+    from ozone_spark.functions.pipeline import remove_duplicate_spans
+    base = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "srcA", len(base)),
+         (2, base, "en", "srcB", len(base)),
+         (3, uniq, "en", "srcC", len(uniq))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    assert out[1].n_removed == 0
+    assert out[1].cleaned_fp == hashlib.md5(base.encode()).hexdigest()
+    assert out[2].n_removed == out[2].n_tokens == 20
+    assert out[2].cleaned_fp == hashlib.md5(b"").hexdigest()
+    assert out[2].frac_removed == 1.0
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_fp == hashlib.md5(uniq.encode()).hexdigest()
+
+
+def test_payload_chunks_tile_payload(spark, sf_dir):
+    """Content-defined chunk spans tile each payload exactly:
+    chunk_idx-ordered, contiguous, non-empty, summing to payload_len —
+    so dedup over chunk fingerprints covers every byte."""
+    from ozone_spark.functions import multimodal
+    med = multimodal.as_media_table(
+        tables.load_table(spark, sf_dir, "documents").limit(50))
+    spans: dict[int, list] = {}
+    for r in multimodal.payload_chunks(med).collect():
+        spans.setdefault(r.doc_id, []).append((r.chunk_idx, r.lo, r.chunk_len))
+    lens = {r.doc_id: r.payload_len for r in med.collect()}
+    assert set(spans) == {d for d, n in lens.items() if n > 0}
+    for d, ss in spans.items():
+        ss.sort()
+        pos = 0
+        for j, (idx, lo, ln) in enumerate(ss):
+            assert idx == j and lo == pos and ln > 0
+            pos += ln
+        assert pos == lens[d]
+
+
+def test_payload_chunk_near_dup_exact_copy_is_jaccard_one(spark, sf_dir):
+    """A byte-identical payload copy shares every chunk: jaccard == 1.0
+    and the pair always survives the threshold."""
+    from ozone_spark.functions import multimodal
+    docs = tables.load_table(spark, sf_dir, "documents").limit(30)
+    copy = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 700000)
+    med = multimodal.as_media_table(docs.unionByName(copy))
+    orig_id = copy.collect()[0].doc_id - 700000
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in multimodal.payload_chunk_near_dup(med).collect()}
+    assert pairs[(orig_id, orig_id + 700000)] == 1.0
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark, sf_dir):
+    """Per language: tercile sizes differ by at most 1, and bucket
+    cross-entropy ranges are ordered head <= middle <= tail."""
+    from collections import Counter
+
+    from ozone_spark.functions.mining import perplexity_buckets
+    rows = perplexity_buckets(
+        tables.load_table(spark, sf_dir, "documents")).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        c = Counter(r.bucket for r in rs)
+        counts = [c.get(b, 0) for b in ("head", "middle", "tail")]
+        assert max(counts) - min(counts) <= 1
+        xent = {b: [r.cross_entropy_bits for r in rs if r.bucket == b]
+                for b in c}
+        if "head" in xent and "middle" in xent:
+            assert max(xent["head"]) <= min(xent["middle"])
+        if "middle" in xent and "tail" in xent:
+            assert max(xent["middle"]) <= min(xent["tail"])
+
+
+def test_streaming_attribution_equals_batch_join(spark, sf_dir):
+    """AvailableNow drain of the stream-stream interval join equals the
+    batch inequality join over the same events."""
+    import tempfile
+
+    from ozone_spark.streaming import windows as swin
+    stream = swin.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = swin.drain_to_memory(
+        swin.streaming_attribution(stream), spark, "t_attr_inv",
+        tempfile.mkdtemp(prefix="ozs_ckpt_"), output_mode="append")
+    ev = tables.load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"))
+    want = (
+        v.join(c, (F.col("user_id") == F.col("cu"))
+               & (F.col("click_ts") >= F.col("view_ts"))
+               & (F.col("click_ts") <= F.col("view_ts")
+                  + F.expr("INTERVAL 30 MINUTES")))
+        .select("user_id", "view_event_id", "click_event_id",
+                (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                .alias("gap_us"))
+    )
+    key = lambda r: (r.user_id, r.view_event_id, r.click_event_id, r.gap_us)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))

