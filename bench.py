@@ -44,18 +44,28 @@ def main() -> int:
     for df in views(spark, sf_dir).values():
         df.count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, fn in bench_queries().items():
-        # steady-state latency: best of two timed runs (first run can pay
-        # one-off costs — codegen for this exact plan, shuffle-file cache)
-        best, n = float("inf"), 0
-        for _ in range(2):
+        # steady-state latency: MEDIAN of `reps` timed runs after one
+        # untimed warm run (codegen for this exact plan, shuffle-file
+        # cache).  Median + full spread makes round-over-round deltas
+        # distinguishable from single-shot noise (VERDICT r4 item 2);
+        # the reference's freon harness likewise reports repeated runs
+        # (RandomKeyGenerator.java:120-186).
+        n = fn(spark, sf_dir).count()  # untimed warm run
+        runs: list[float] = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize the full result
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(t, 3) for t in runs]
+        print(f"# {name}: median {timings[name]}s over {runs} ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -63,6 +73,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": spreads,
+        "reps": reps,
         "sf": sf,
         "cpus": cpus,
     }))

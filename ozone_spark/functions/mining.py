@@ -225,6 +225,15 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     (`bigram_lm_scores`); ties break on doc_id so the tiling is
     deterministic in any engine.
 
+    Determinism: cross-entropy is a distributed float sum, so its last
+    decimals are partial-sum-order dependent; the tile ORDER therefore
+    uses a COARSE rounding (3 decimals) with doc_id tiebreak — a
+    boundary flip now needs the true value within float-epsilon of a
+    0.0005 grid line, ~1000x less likely than at the 6-decimal grid the
+    displayed score uses.  Docs with <2 tokens have no bigrams and are
+    excluded from the output entirely (no score exists for them) — the
+    same exclusion the SQL oracle applies.
+
     Scale shape: the tercile assignment is an ntile window PARTITIONED
     BY lang — a per-language sort, never a global one.  At extreme
     per-language volumes the exact ntile swaps for approximate
@@ -233,7 +242,8 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     bit-replayable by the SQL oracle."""
     scored = bigram_lm_scores(docs).join(
         docs.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("cross_entropy_bits", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.col("cross_entropy_bits"), 3), "doc_id")
     tile = F.ntile(3).over(w)
     bucket = F.element_at(
         F.array(*[F.lit(b) for b in PPL_BUCKETS]), tile)

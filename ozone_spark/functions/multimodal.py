@@ -340,6 +340,11 @@ def payload_chunks(media: DataFrame) -> DataFrame:
     return _spread(media).mapInPandas(batches, schema=CHUNK_SCHEMA)
 
 
+# one-slot cache for the chunk table of the most recent
+# payload_chunk_near_dup invocation (see its docstring)
+_CHUNK_CACHE: list = []
+
+
 def payload_chunk_near_dup(
         media: DataFrame,
         threshold: float = CHUNK_JACCARD_THRESHOLD,
@@ -352,9 +357,19 @@ def payload_chunk_near_dup(
     co-occurrence in a chunk-fingerprint bucket, with saturated buckets
     (df > max_bucket) excluded from pair generation, so the join is
     bounded — never all-pairs.  Jaccard denominators use the full
-    per-doc chunk-set sizes."""
+    per-doc chunk-set sizes.
+
+    The chunk table feeds three consumers (sizes, bucket df, probe), so
+    it is cached — in a one-slot module cache: each invocation
+    unpersists the previous invocation's chunk table, bounding resident
+    cache to a single table per session instead of leaking one per call
+    (callers that materialize the result and want the memory back
+    immediately can pop-and-unpersist `_CHUNK_CACHE` themselves)."""
     ch = payload_chunks(media).select("doc_id", "chunk_md5").distinct()
+    while _CHUNK_CACHE:
+        _CHUNK_CACHE.pop().unpersist()
     ch.persist()
+    _CHUNK_CACHE.append(ch)
     sizes = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
     cold = (
         ch.groupBy("chunk_md5").agg(F.count("*").alias("df"))
@@ -371,12 +386,15 @@ def payload_chunk_near_dup(
     )
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_chunks") + F.col("sb.n_chunks") - F.col("n_common"))
+    # threshold applies to the UNROUNDED ratio (the rounded value is
+    # display-only): filtering post-round would pass pairs whose true
+    # jaccard sits in [threshold - 5e-7, threshold)
     return (
         common
         .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", "n_common",
                 F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

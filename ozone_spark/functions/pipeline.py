@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .dedup import (_norm_text, _spread, connected_components, hash28,
+from .dedup import (_norm_text, _spread, connected_components, hash28, hash60,
                     ngram_jaccard_pairs, word_shingles)
 
 # ---------------------------------------------------------------- decontam
@@ -487,8 +487,12 @@ def remove_duplicate_spans(docs: DataFrame,
     the payload column in production; the fingerprint keeps gate rows
     scalar while still value-checking every byte of the rewrite).
 
-    Scale shape: spans carry (doc_id, start) and are hashed to 28-bit
-    ints; one groupBy(h) computes (doc-frequency, keeper) per span and
+    Scale shape: spans carry (doc_id, start) and are hashed to 60-bit
+    ints (28 bits would see birthday collisions once the corpus holds
+    ~19k distinct spans — certain at scale — and a collision here
+    DELETES real text; 60 bits pushes the expected first collision past
+    ~1e9 distinct spans while staying BIGINT-replayable in any engine
+    with md5); one groupBy(h) computes (doc-frequency, keeper) per span and
     the join back reuses that exchange; covered positions explode n
     rows per REMOVABLE occurrence only (duplicated text volume, not
     corpus volume); the rebuild is one groupBy(doc_id) whose state is
@@ -506,7 +510,7 @@ def remove_duplicate_spans(docs: DataFrame,
             lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n))))
             .alias("off", "span"))
         .select("doc_id", (F.col("off") + 1).alias("start"),
-                hash28(F.col("span")).alias("h"))
+                hash60(F.col("span")).alias("h"))
     )
     stats = spans.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs"),

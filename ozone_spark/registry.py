@@ -1149,6 +1149,7 @@ FROM anc WHERE dir_path LIKE '/vol1/b1%'
 GROUP BY 1, 2 ORDER BY 1, 2""",
             ["keys"],
         ),
+        bench=True,
     ),
     _q(
         "du_top_children",
@@ -2229,11 +2230,24 @@ GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""",
 _DOT = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
 
 
-def _lsh_sig_sql(vec: str) -> str:
+# The gate fixture's embeddings corpus holds 500 vectors at BOTH gate
+# scales (sf0.001 and sf0.01 ship the same embeddings table), so the
+# corpus-sized index constants the auto-sizing laws produce are known
+# at oracle-construction time.  The asserts keep the static oracle SQL
+# honest: if the laws or the fixture drift, import fails loudly instead
+# of the gate silently comparing mismatched index geometries.
+_GATE_EMB_N = 500
+assert similarity.suggest_n_centroids(_GATE_EMB_N) == similarity.N_CENTROIDS
+assert (similarity.suggest_band_bits(_GATE_EMB_N)
+        == similarity.NEAR_DUP_BAND_BITS)
+
+
+def _lsh_sig_sql(vec: str, n_planes: int | None = None) -> str:
     """DuckDB expression for the hyperplane signature, inlining the same
     literal ±1 coefficient arrays the Spark plan embeds."""
     terms = []
-    for p, row in enumerate(similarity.plane_coeffs()):
+    for p, row in enumerate(similarity.plane_coeffs(
+            n_planes if n_planes is not None else similarity.N_PLANES)):
         lits = "[" + ", ".join(str(c) for c in row) + "]"
         terms.append(
             f"(CASE WHEN {_DOT.format(a=vec, b=lits)} >= 0"
@@ -2286,12 +2300,17 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
     ),
     _q(
         "knn_lsh",
+        # n_planes defaults to None -> suggest_n_planes(corpus count):
+        # the gate exercises the auto-sizing path end-to-end
         lambda spark, sf: similarity.knn_lsh(
             views(spark, sf)["embeddings"], [0, 1, 2], k=10),
-        # same literal hyperplanes as the Spark plan (plane_coeffs), so
-        # the signature/bucket math is replayed exactly in DuckDB
+        # same literal hyperplanes as the Spark plan (plane_coeffs at
+        # the law-suggested width for the gate corpus), so the
+        # signature/bucket math is replayed exactly in DuckDB
         f"""WITH sig AS (
-  SELECT vec_id, embedding, ({_lsh_sig_sql('embedding')}) AS sig
+  SELECT vec_id, embedding,
+    ({_lsh_sig_sql('embedding', similarity.suggest_n_planes(_GATE_EMB_N))})
+    AS sig
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM sig
@@ -2311,6 +2330,9 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
     ),
     _q(
         "knn_ivf",
+        # n_centroids defaults to None -> suggest_n_centroids(corpus
+        # count), pinned to N_CENTROIDS=16 for the gate corpus by the
+        # import-time assert — the gate exercises the auto-sizing path
         lambda spark, sf: similarity.knn_ivf(
             views(spark, sf)["embeddings"], [20, 21, 22], k=10),
         # assignment tie-break mirrors array_max over struct(dot, id):
@@ -2376,9 +2398,11 @@ ORDER BY 1, 2""",
     ),
     _q(
         "semantic_dedup",
+        # band_bits defaults to None -> suggest_band_bits(corpus count),
+        # which the import-time assert pins to NEAR_DUP_BAND_BITS for
+        # the gate corpus — the gate exercises the auto-sizing path
         lambda spark, sf: similarity.semantic_dedup(
-            views(spark, sf)["embeddings"], threshold=0.4,
-            band_bits=similarity.NEAR_DUP_BAND_BITS),  # pin to oracle
+            views(spark, sf)["embeddings"], threshold=0.4),
         # cluster assignment == knn_ivf's argmax (ties -> higher
         # centroid id, matching array_max over (dot, centroid_id));
         # candidates need cluster AND >=1 shared band; dup = any
@@ -2411,6 +2435,7 @@ ORDER BY 1, 2""",
 SELECT vec_id, cluster,
   vec_id NOT IN (SELECT vec_id FROM dups) AS is_kept
 FROM assigned ORDER BY vec_id""",
+        bench=True,
     ),
     _q(
         "embedding_norms",
@@ -2471,6 +2496,7 @@ FROM meta m JOIN spine s USING (doc_id)
 LEFT JOIN counts c ON c.doc_id = s.doc_id AND c.bin = s.bin
 JOIN sums su ON su.doc_id = m.doc_id
 ORDER BY m.doc_id, s.bin""",
+        bench=True,
     ),
     _q(
         "media_frame_sample",
@@ -3130,6 +3156,7 @@ SELECT user_id, session_start_ms, session_end_ms, n_events,
   total_value, max_gap_ms, n_event_types
 FROM agg WHERE sid < last_sid
 ORDER BY user_id, session_start_ms""",
+        bench=True,
     ),
     _q(
         "streaming_dedup",
@@ -3202,6 +3229,7 @@ FROM (
 ) ORDER BY db_key, entity_type, entity""",
             ["keys", "acl_entries"],
         ),
+        bench=True,
     ),
     _q(
         "acl_read_allowed",
@@ -3726,15 +3754,16 @@ R4_QUERIES: list[QuerySpec] = [
         "remove_duplicate_spans",
         lambda spark, sf: pipeline.remove_duplicate_spans(
             views(spark, sf)["documents"]),
-        # keep-first span deletion replayed positionally: same 28-bit
-        # md5 span hash, same 1-based starts, cleaned text re-joined
-        # with ORDER BY pos and fingerprinted
+        # keep-first span deletion replayed positionally: same 60-bit
+        # md5 span hash (wide enough that no birthday collision can
+        # falsely delete text), same 1-based starts, cleaned text
+        # re-joined with ORDER BY pos and fingerprinted
         f"""WITH words AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
 ), spans AS (
   SELECT doc_id, pos AS start,
     CAST(('0x' || substr(md5(array_to_string(w[pos:pos+{_RDS_N - 1}], ' ')),
-          1, 7)) AS BIGINT) AS h
+          1, 15)) AS BIGINT) AS h
   FROM (SELECT doc_id, w,
           unnest(range(1, greatest(len(w) - {_RDS_N - 1}, 0) + 1)) AS pos
         FROM words)
@@ -3759,6 +3788,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   md5(coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos),
       '')) AS cleaned_fp
 FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+        bench=True,
     ),
     _q(
         "payload_chunk_near_dup",
@@ -3812,13 +3842,16 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_chunks + sb.n_chunks - n_common)
       >= {multimodal.CHUNK_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b""",
+        bench=True,
     ),
     _q(
         "perplexity_buckets",
         lambda spark, sf: mining.perplexity_buckets(
             views(spark, sf)["documents"]),
         # lm_cross_entropy's model replay + a per-lang ntile(3) ordered
-        # by (rounded cross-entropy, doc_id) — deterministic tiling
+        # by (COARSE 3-decimal rounded cross-entropy, doc_id) — the
+        # coarse grid makes a cross-engine float-boundary flip ~1000x
+        # less likely than ordering on the displayed 6-decimal score
         """WITH words AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
   FROM documents
@@ -3847,7 +3880,7 @@ ORDER BY doc_a, doc_b""",
 ), tiled AS (
   SELECT s.doc_id, d.lang, s.cross_entropy_bits, s.perplexity,
     ntile(3) OVER (PARTITION BY d.lang
-                   ORDER BY s.cross_entropy_bits, s.doc_id) AS t
+                   ORDER BY round(s.cross_entropy_bits, 3), s.doc_id) AS t
   FROM scored s JOIN documents d USING (doc_id)
 )
 SELECT doc_id, lang, cross_entropy_bits, perplexity,
@@ -3920,7 +3953,9 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
             return 0
         if name in _R02_GATE_BACKLOG:
             return 1
-        return 2
+        if name in _R34_GATE_BACKLOG:
+            return 2
+        return 3
 
     return sorted(specs, key=lambda q: (
         last_green.get(q.name, -1),
@@ -3966,6 +4001,19 @@ _R02_GATE_BACKLOG = frozenset({
     "acl_read_allowed", "cluster_growth_daily", "sst_diff_pruning",
     "dtoken_expiry", "list_pipelines", "safemode_status",
     "decommission_plan",
+})
+
+
+# Registered in rounds 3/4 but never driver-gated (VERDICT.md round 4
+# item 1: "drain the last 15-query driver-gate queue — change nothing
+# about their order"): these outrank any round-5+ addition until each
+# has a green CORRECTNESS row.
+_R34_GATE_BACKLOG = frozenset({
+    "node_status", "blocks_pending_deletion", "key_insight_summary",
+    "storage_distribution", "pending_deleted_dirs", "deleted_dirs_summary",
+    "dedup_threshold_sweep", "paragraph_dedup", "semantic_dedup",
+    "lookup_key", "streaming_dedup_bounded", "remove_duplicate_spans",
+    "payload_chunk_near_dup", "perplexity_buckets", "streaming_attribution",
 })
 
 
