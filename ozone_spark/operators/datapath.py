@@ -111,15 +111,45 @@ def multipart_etag(locations: DataFrame) -> DataFrame:
     )
 
 
+def tree_distance(path_a: Column, path_b: Column) -> Column:
+    """Generalized network-topology distance between two '/'-separated
+    topology paths (NetworkTopologyImpl.java:717 getDistanceCost with
+    unit inner-node costs): 0 for the same node, else each side pays 1
+    per level climbed to the closest common ancestor —
+    (depth_a - common) + (depth_b - common).  Depth-generic: works for
+    /rack/node, /dc/rack/node, or deeper schemas, and for paths of
+    unequal depth (the reference's level-equalising climb)."""
+    a = F.split(F.regexp_replace(path_a, "^/", ""), "/")
+    b = F.split(F.regexp_replace(path_b, "^/", ""), "/")
+    short = F.least(F.size(a), F.size(b))
+    # common-prefix length: first index where components differ (the
+    # zip stops at the shorter path; array_position finds the first
+    # mismatch, 0 = no mismatch within the zipped span)
+    zipped = F.zip_with(F.slice(a, 1, short), F.slice(b, 1, short),
+                        lambda x, y: x == y)
+    first_diff = F.array_position(zipped, F.lit(False))
+    common = F.when(first_diff == 0, short).otherwise(first_diff - 1)
+    return F.when(path_a == path_b, F.lit(0)).otherwise(
+        (F.size(a) - common) + (F.size(b) - common))
+
+
 def topology_sorted_replicas(replicas: DataFrame, datanodes: DataFrame,
-                             client_rack: str = "rack0") -> DataFrame:
-    """O4: replicas of each container ranked by network distance to the
-    client (same-rack = 0, off-rack = 2 — the NetworkTopology cost
-    model collapsed to two tiers)."""
-    j = replicas.join(broadcast(datanodes.select("datanode", "rack")), "datanode")
-    distance = F.when(F.col("rack") == client_rack, 0).otherwise(2)
+                             client_path: str = "/dc0/rack0/client"
+                             ) -> DataFrame:
+    """O4: replicas of each container ranked by the generalized
+    tree-distance to the client (NetworkTopologyImpl.java:717,
+    sortByDistanceCost:784-812): same rack costs 2, same dc / other
+    rack costs 4, other dc costs 6 on the 3-level fixture topology —
+    not the 2-tier collapse this used before.  The datanode table is a
+    broadcast dimension; distance is a per-row expression, so replica
+    ranking stays a map-side window over container_id."""
+    j = replicas.join(
+        broadcast(datanodes.select("datanode", "rack", "topology_path")),
+        "datanode")
+    distance = tree_distance(F.lit(client_path), F.col("topology_path"))
     w = Window.partitionBy("container_id").orderBy(
-        distance.asc(), F.col("datanode").asc(), F.col("replica_idx").asc())
+        F.col("distance").asc(), F.col("datanode").asc(),
+        F.col("replica_idx").asc())
     return (
         j.select("container_id", "datanode", "rack",
                  distance.alias("distance"),

@@ -179,3 +179,51 @@ def snapshot_diff_summary(snap_from: DataFrame, snap_to: DataFrame) -> DataFrame
         )
         .orderBy("diff_type")
     )
+
+
+# ------------------------------------------------- diff job identifiers
+
+def name_uuid(col: F.Column) -> F.Column:
+    """RFC-4122 name-based (v3-layout) UUID from the md5 of a string
+    column: 8-4-4-4-12 hex groups with the version nibble forced to 3
+    and the variant nibble to the 10xx class (hex digit & 0x3 | 0x8,
+    i.e. translate over '89ab89ab89ab89ab').  The deterministic sibling
+    of Spark's random `uuid()` (SURVEY §2.7): the reference keys
+    snapshot-diff jobs by a UUID jobId (SnapshotDiffManager.java:1012-
+    1015 uses it as the job's SST-hardlink dir name); a NAME-based id
+    derived from the diff request tuple gives the same uniqueness plus
+    idempotence (re-submitting the same diff maps to the same job dir)
+    and is bit-replayable by any engine with md5."""
+    h = F.md5(col)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("3"), F.substring(h, 14, 3)),
+        F.concat(F.translate(F.substring(h, 17, 1),
+                             "0123456789abcdef", "89ab89ab89ab89ab"),
+                 F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def snapshot_diff_job_ids(snapshot_chain: DataFrame,
+                          volume: str = "vol1",
+                          bucket: str = "b1") -> DataFrame:
+    """One snapshot-diff job row per adjacent chain pair, keyed by the
+    deterministic name-UUID of (volume, bucket, fromSnapshot,
+    toSnapshot) — the jobKey tuple the reference builds in
+    SnapshotDiffManager (snapDiffJobTable keyed by the request,
+    jobId UUID per job).  Map-only over the (tiny, broadcast-sized)
+    snapshot chain."""
+    frm = F.col("previous_snapshot")
+    return (
+        snapshot_chain.where(frm.isNotNull())
+        .select(
+            frm.alias("from_snapshot"),
+            F.col("snapshot_name").alias("to_snapshot"),
+            name_uuid(F.concat_ws("/", F.lit(volume), F.lit(bucket),
+                                  frm, F.col("snapshot_name")))
+            .alias("job_id"))
+        .orderBy("to_snapshot")
+    )

@@ -100,6 +100,9 @@ _CTES["datanodes"] = f"""datanodes AS (
     'dn' || CAST(dn_idx AS VARCHAR) AS datanode,
     CAST(34359738368 AS BIGINT) * (1 + dn_idx % 3) AS capacity,
     'rack' || CAST(dn_idx % 2 AS VARCHAR) AS rack,
+    '/dc' || CAST(dn_idx // 4 AS VARCHAR) || '/rack'
+      || CAST(dn_idx % 2 AS VARCHAR) || '/dn' || CAST(dn_idx AS VARCHAR)
+      AS topology_path,
     CASE WHEN dn_idx = 7 THEN 'DEAD'
          WHEN dn_idx = 5 THEN 'STALE' ELSE 'HEALTHY' END AS state,
     CAST({NOW_MS} AS BIGINT)

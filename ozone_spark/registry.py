@@ -2670,13 +2670,24 @@ FROM locations GROUP BY object_id ORDER BY object_id""",
         "topology_sorted_replicas",
         lambda spark, sf: datapath.topology_sorted_replicas(
             views(spark, sf)["replicas"], views(spark, sf)["datanodes"]),
+        # generalized tree distance to client /dc0/rack0/client replayed
+        # on the 3-level fixture: common-prefix length over the path
+        # components, each side pays (depth - common)
         with_views(
-            """SELECT container_id, datanode, rack,
-  CASE WHEN rack = 'rack0' THEN 0 ELSE 2 END AS distance, replica_idx,
+            """SELECT container_id, datanode, rack, distance, replica_idx,
   row_number() OVER (PARTITION BY container_id
-    ORDER BY CASE WHEN rack = 'rack0' THEN 0 ELSE 2 END, datanode, replica_idx)
-    AS read_order
-FROM replicas JOIN datanodes USING (datanode)
+    ORDER BY distance, datanode, replica_idx) AS read_order
+FROM (
+  SELECT r.container_id, r.datanode, d.rack, r.replica_idx,
+    CASE WHEN d.topology_path = '/dc0/rack0/client' THEN 0
+         ELSE (3 - c.common) + (3 - c.common) END AS distance
+  FROM replicas r JOIN datanodes d USING (datanode),
+  LATERAL (SELECT CASE
+      WHEN string_split(d.topology_path, '/')[2] <> 'dc0' THEN 0
+      WHEN string_split(d.topology_path, '/')[3] <> 'rack0' THEN 1
+      WHEN string_split(d.topology_path, '/')[4] <> 'client' THEN 2
+      ELSE 3 END AS common) c
+)
 ORDER BY container_id, read_order""",
             ["replicas", "datanodes"],
         ),
@@ -3903,6 +3914,107 @@ ORDER BY 1, 2, 3""",
 ]
 
 
+def _cdc_task_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 as a gate row: drain an incremental view, then read the
+    TaskStatusService analog off the streaming checkpoint's commit log
+    (cdc.task_status).  Wall-clock columns (commit mtime) and the raw
+    batch counter are projected to deterministic booleans: `started`
+    (any committed batch) and `drained` (the last committed batch id
+    equals pending-file count - 1 — AvailableNow with
+    maxFilesPerTrigger=1 commits exactly one batch per log file)."""
+    import glob
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ozs_ts_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    scdc.run_incremental_histogram(spark, f"{work}/cdc", f"{work}/store",
+                                   f"{work}/ckpt")
+    n_files = len(glob.glob(f"{work}/cdc/chunk=*/*.parquet"))
+    status = scdc.task_status(spark, {"histogram": f"{work}/ckpt",
+                                      "never_ran": f"{work}/no_such_ckpt"})
+    return status.select(
+        "task",
+        (F.col("last_batch_id") >= 0).alias("started"),
+        (F.col("last_batch_id") == F.lit(n_files - 1)).alias("drained"),
+    ).orderBy("task")
+
+
+def _cdc_overflow_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 as a gate row: the bounded-buffer fallback.  Runs the SAME
+    view maintenance twice — once with capacity 0 (pending log
+    overflows, full reprocess() from current state) and once with an
+    ample buffer (true incremental drain through Structured Streaming)
+    — and unions the two tagged frames.  The oracle is the batch
+    histogram crossed with both path labels, so the gate hash-verifies
+    process() == reprocess() row-for-row."""
+    import tempfile
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    keys_now = t["keys"].join(t["deleted_keys"].select("object_id"),
+                              "object_id", "left_anti")
+    work = tempfile.mkdtemp(prefix="ozs_ovf_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    over = scdc.process_or_reprocess(
+        spark, f"{work}/cdc", keys_now, f"{work}/store_o", f"{work}/ckpt_o",
+        capacity=0)
+    incr = scdc.process_or_reprocess(
+        spark, f"{work}/cdc", keys_now, f"{work}/store_i", f"{work}/ckpt_i")
+    return over.unionByName(incr).orderBy(
+        "path", "volume", "bucket", "bin_index")
+
+
+# Round-5 additions (behind the r3/r4 gate backlog, same freeze rule as
+# every round since r2: new registrations never starve the never-gated
+# queue out of the driver's per-round cap).
+R5_QUERIES: list[QuerySpec] = [
+    _q(
+        "cdc_task_status",
+        _cdc_task_status,
+        """SELECT * FROM (VALUES ('histogram', true, true),
+  ('never_ran', false, false)) t(task, started, drained) ORDER BY task""",
+    ),
+    _q(
+        "cdc_overflow_reprocess",
+        _cdc_overflow_reprocess,
+        with_views(
+            f"""SELECT volume, bucket, {_FILE_BIN} AS bin_index,
+  count(*) AS delta, path
+FROM keys, (SELECT unnest(['incremental', 'reprocess']) AS path)
+WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
+GROUP BY 1, 2, 3, 5 ORDER BY path, volume, bucket, bin_index""",
+            ["keys", "deleted_keys"],
+        ),
+    ),
+    _q(
+        "snapshot_diff_job_ids",
+        lambda spark, sf: snops.snapshot_diff_job_ids(
+            views(spark, sf)["snapshot_chain"]),
+        # the same md5 -> 8-4-4-4-12 regrouping with version nibble 3
+        # and variant nibble via translate, replayed in DuckDB
+        with_views(
+            """SELECT previous_snapshot AS from_snapshot,
+  snapshot_name AS to_snapshot,
+  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)
+    || '-' || translate(substr(h, 17, 1), '0123456789abcdef',
+                        '89ab89ab89ab89ab') || substr(h, 18, 3)
+    || '-' || substr(h, 21, 12) AS job_id
+FROM (
+  SELECT *, md5('vol1/b1/' || previous_snapshot || '/' || snapshot_name) AS h
+  FROM snapshot_chain WHERE previous_snapshot IS NOT NULL
+) ORDER BY to_snapshot""",
+            ["snapshot_chain"],
+        ),
+    ),
+]
+
+
 _REGISTRY_ORDER: list[QuerySpec] = (
     MINING_QUERIES
     + LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
@@ -3911,6 +4023,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
+    + R5_QUERIES
 )
 
 

@@ -227,6 +227,13 @@ def datanodes_view(spark: SparkSession) -> DataFrame:
             F.concat(F.lit("dn"), d.cast("string")).alias("datanode"),
             (F.lit(34359738368) * (1 + d % 3)).alias("capacity"),
             F.concat(F.lit("rack"), (d % 2).cast("string")).alias("rack"),
+            # 3-level topology path (dc/rack/node — NetworkTopologyImpl
+            # supports arbitrary-depth schemas; dn0-3 in dc0, dn4-7 in
+            # dc1, racks nested per-dc): the generalized tree-distance
+            # input for topology_sorted_replicas
+            F.concat(F.lit("/dc"), (d / 4).cast("int").cast("string"),
+                     F.lit("/rack"), (d % 2).cast("string"),
+                     F.lit("/dn"), d.cast("string")).alias("topology_path"),
             state.alias("state"),
             (F.lit(NOW_MS) - hb_age).alias("last_heartbeat_ms"),
         )

@@ -170,6 +170,53 @@ def test_index_sizing_laws_executable(spark, sf_dir):
     assert filt.agg(F.sum(F.bit_count("word_bits"))).collect()[0][0] > 0
 
 
+def test_auto_sizing_two_corpus_sizes(spark, sf_dir):
+    """Round-4 VERDICT #5: the gate queries now run through the
+    suggest_* defaults (knn_lsh/n_planes, knn_ivf/n_centroids,
+    semantic_dedup/band_bits); this test drives each family's DEFAULT
+    (auto-sized) path at the fixture size AND a replicated corpus big
+    enough that the suggestion provably changes, asserting the
+    twin-retrieval invariant holds at both geometries."""
+    from ozone_spark.functions import similarity
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    # --- n_centroids family: fixture suggests 16; a 10x corpus must
+    # suggest more lists, and the identical twin still ranks first
+    big = emb
+    for i in range(1, 10):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)))
+    assert (similarity.suggest_n_centroids(10 * n)
+            > similarity.suggest_n_centroids(n) == similarity.N_CENTROIDS)
+    got = similarity.knn_ivf(big, [20], k=3).collect()  # default sizing
+    assert got and got[0].cos_sim == 1.0  # some identical twin on top
+
+    # --- n_planes family: default path at fixture size (suggestion 7
+    # for n=500 differs from the shipped N_PLANES=8 constant, so the
+    # default path is observably the law, not the constant)
+    assert similarity.suggest_n_planes(n) != similarity.N_PLANES
+    got = similarity.knn_lsh(emb, [20], k=3).collect()  # default sizing
+    assert got and got[0].query_id == 20
+
+    # --- band_bits family: default semantic_dedup at a corpus size
+    # where the suggestion changes (40x -> 6-bit bands) still drops
+    # every higher-id identical twin (same cluster, same band sigs,
+    # cosine 1.0 >= threshold)
+    assert (similarity.suggest_band_bits(40 * n)
+            > similarity.suggest_band_bits(n))
+    big40 = emb.select("vec_id", "embedding")
+    for i in range(1, 40):
+        big40 = big40.unionByName(
+            emb.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                       "embedding"))
+    out = similarity.semantic_dedup(big40, threshold=0.4)
+    # every original vector's 39 twins are non-kept duplicates
+    kept = out.where(F.col("is_kept")).count()
+    assert kept <= n  # at most one keeper per twin family
+
+
 def test_histogram_bin_edges(spark):
     """Invariant 4: bins match 2^(10+i) upper bounds incl. 0-byte,
     1-byte, exact powers, power+1, and beyond-max sizes
@@ -819,7 +866,10 @@ def test_payload_chunk_near_dup_exact_copy_is_jaccard_one(spark, sf_dir):
 
 def test_perplexity_buckets_balanced_and_ordered(spark, sf_dir):
     """Per language: tercile sizes differ by at most 1, and bucket
-    cross-entropy ranges are ordered head <= middle <= tail."""
+    cross-entropy ranges are ordered head <= middle <= tail AT THE
+    TILING GRANULARITY — the ntile orders by the coarse 3-decimal grid
+    (ADVICE r4: float-tie hardening), so two docs inside one grid cell
+    tile by doc_id and their 6-decimal scores may interleave."""
     from collections import Counter
 
     from ozone_spark.functions.mining import perplexity_buckets
@@ -832,8 +882,8 @@ def test_perplexity_buckets_balanced_and_ordered(spark, sf_dir):
         c = Counter(r.bucket for r in rs)
         counts = [c.get(b, 0) for b in ("head", "middle", "tail")]
         assert max(counts) - min(counts) <= 1
-        xent = {b: [r.cross_entropy_bits for r in rs if r.bucket == b]
-                for b in c}
+        xent = {b: [round(r.cross_entropy_bits, 3) for r in rs
+                    if r.bucket == b] for b in c}
         if "head" in xent and "middle" in xent:
             assert max(xent["head"]) <= min(xent["middle"])
         if "middle" in xent and "tail" in xent:
@@ -869,3 +919,38 @@ def test_streaming_attribution_equals_batch_join(spark, sf_dir):
     )
     key = lambda r: (r.user_id, r.view_event_id, r.click_event_id, r.gap_us)
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_tree_distance_generalized_topology(spark):
+    """Round-4 VERDICT #7: topology distance is the reference's
+    generalized tree walk (NetworkTopologyImpl.java:717) over a
+    topology-path column — 3-level dc/rack/node costs 2/4/6, not the
+    old 2-tier 0/2 collapse — and handles unequal depths the way the
+    reference's level-equalising climb does."""
+    from ozone_spark.operators.datapath import (topology_sorted_replicas,
+                                                tree_distance)
+
+    client = "/dc0/rack0/client"
+    cases = [
+        ("/dc0/rack0/client", 0),   # same node
+        ("/dc0/rack0/dn0", 2),      # same rack
+        ("/dc0/rack1/dn1", 4),      # same dc, other rack
+        ("/dc1/rack0/dn4", 6),      # other dc (rack NAME reuse != same rack)
+        ("/dc0/rack0/host/dn9", 3),  # deeper leaf: 1 up + 2 up to LCA
+        ("/rack9/dn9", 5),          # shallower leaf: 2 up + 3 up, no LCA
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in cases], ["p"])
+    got = {r.p: r.d for r in df.select(
+        "p", tree_distance(F.lit(client), F.col("p")).alias("d")).collect()}
+    assert got == {p: d for p, d in cases}
+
+    # the fixture gate path: every fixture dn is depth-3, so read_order
+    # must rank same-rack (2) < same-dc (4) < cross-dc (6)
+    v = tables.datanodes_view(spark)
+    reps = tables.replicas_view(spark)
+    out = topology_sorted_replicas(reps, v).collect()
+    assert {r.distance for r in out} == {2, 4, 6}
+    for cid in {r.container_id for r in out}:
+        rows = sorted([r for r in out if r.container_id == cid],
+                      key=lambda r: r.read_order)
+        assert [r.distance for r in rows] == sorted(r.distance for r in rows)

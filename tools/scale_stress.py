@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Largest-scale stress pass (round-4 VERDICT item 4).
+
+No sf1.0 fixture exists (the driver ships sf0.001/0.01/0.1), so this
+builds one: every sf0.1 base table replicated REPLICAS x into a
+temporary parquet directory with primary keys shifted per replica —
+documents/embeddings keep their payloads byte-identical across
+replicas, which makes every document a member of a 10-way exact/near
+duplicate family.  That is the worst realistic skew for the dedup
+surface: every LSH/shingle/chunk bucket is 10x hotter, the
+connected-components edge list is 10x denser, and every span in the
+corpus is a removable duplicate (span-removal's explode volume becomes
+the ENTIRE corpus, its documented worst case).
+
+The heavy queries then run UNCHANGED from the registry against the
+replicated directory, so this exercises the real gate code paths —
+including the corpus-sized suggest_* index constants — at ~sf1.0
+volume.  Output: one JSON line per run plus SCALE_r{N}.json with
+wall-clock and row counts; any query erroring or degenerating
+super-linearly fails the script.
+
+Usage: python tools/scale_stress.py [--out SCALE_r05.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ozone_spark.registry import queries  # noqa: E402
+from ozone_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+
+# per-table primary-key shift columns; dims (region/nation/customer/
+# supplier/part) stay 1x — at 100 TB the dimension side is what you
+# broadcast, scaling it with the fact volume would be the wrong model
+SHIFT = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part"]
+
+# the top heavy queries from the bench board + the VERDICT's named
+# scaling-law checkpoints (CC round count, LSH bucket caps under skew,
+# span-removal explode volume)
+STRESS_QUERIES = [
+    "dedup_clusters",            # CC: round count grows O(log d)
+    "dedup_minhash_lsh",         # LSH banding under 10-way-dup skew
+    "dedup_ngram_jaccard",       # shingle bucket caps under skew
+    "remove_duplicate_spans",    # explode volume == whole corpus here
+    "payload_chunk_near_dup",    # chunk-bucket caps under skew
+    "semantic_dedup",            # cluster+band bounding at 10x
+    "cross_corpus_dedup",
+    "knn_ivf_pq",
+    "acl_effective_rights",      # 10x keys through the ACL resolution
+    "namespace_dist",            # 10x keys through the per-dir histogram
+    "events_sessionize",         # 10x denser per-user event streams
+    "snapshot_diff",
+]
+
+
+def build_scaled_dir(spark, out_dir: str) -> None:
+    for t in COPY:
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in SHIFT.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        # one shift constant covers every key column (they share the
+        # magnitude of the table's max id at each sf)
+        hi = df.agg(*[F.max(k) for k in keys]).collect()[0]
+        shift = max(int(v) for v in hi) + 1
+        rep = df.crossJoin(
+            spark.range(REPLICAS).withColumnRenamed("id", "_r"))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(shift))
+        (rep.drop("_r")
+            .repartition(32)
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet"))
+
+
+def main() -> int:
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark("ozone-spark-scale-stress",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
+                      (os.cpu_count() or 8))
+    work = tempfile.mkdtemp(prefix="ozs_sfx_")
+    t0 = time.perf_counter()
+    build_scaled_dir(spark, work)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    qs = queries()
+    results: dict[str, dict] = {}
+    failed = []
+    for name in STRESS_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            n = qs[name](spark, work).count()
+            results[name] = {"sec": round(time.perf_counter() - t0, 1),
+                             "rows": n}
+            print(f"# {name}: {results[name]['sec']}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 — record, keep going
+            results[name] = {"sec": round(time.perf_counter() - t0, 1),
+                             "rows": None, "err": str(ex)[:300]}
+            failed.append(name)
+            print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
+
+    doc = {
+        "base_sf_dir": BASE, "replicas": REPLICAS,
+        "effective_sf": REPLICAS * 0.1, "build_sec": build_sec,
+        "queries": results, "failed": failed,
+    }
+    print(json.dumps(doc))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
