@@ -234,10 +234,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # threshold applies to the UNROUNDED ratio (rounding is display-
+    # only), matching the oracle's WHERE — the same cross-engine cutoff
+    # divergence ADVICE r4 flagged on the chunk-dedup path
     return (
         common.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -468,18 +471,89 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
 
 
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
-                       n: int = 3) -> DataFrame:
-    """End-to-end dedup resolution: n-gram Jaccard pairs -> connected
+                       n: int = 3, max_bucket: int = 200) -> DataFrame:
+    """End-to-end dedup resolution: exact-duplicate CONTRACTION ->
+    n-gram Jaccard pairs between distinct contents -> connected
     components -> per-doc cluster assignment with the keeper flagged
     (minimum doc_id per cluster, the same keeper rule as
-    `exact_duplicates`)."""
-    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
-    cc = connected_components(pairs)
-    return (
-        cc.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id", "cluster_id", "is_keeper")
+    `exact_duplicates`).
+
+    The contraction is the standard production shape (exact pass before
+    near-dup): all k members of an exact-fingerprint group collapse to
+    one node keyed by the fingerprint, so the inverted-index buckets,
+    the pair explode, and the CC edge list are sized by DISTINCT
+    content, not raw volume — a corpus that is 90% verbatim copies (the
+    10x scale-stress corpus; common-crawl reality) pays the quadratic-
+    ish pair machinery only on the 10% distinct residue.  It also makes
+    the bucket cap MORE selective, not less: duplicate-inflated bucket
+    heat disappears, so a shingle is dropped only when many DISTINCT
+    documents share it (boilerplate), never because one document was
+    copied many times.  Exact-dup families are clusters by definition
+    (Jaccard 1), including families too short to shingle.
+
+    Shuffle ledger: text is NEVER shuffled — the fingerprint and the
+    shingle set are computed map-side per row; identical texts emit
+    identical (fp, shingle-hash) rows that the index shuffle dedups in
+    the same exchange it needed anyway; group membership/rep is one
+    (fp, doc_id) aggregation; group-level pairs re-key to representative
+    doc_ids through the tiny group table; the CC expansion is one
+    int-only join."""
+    fp = F.md5(_norm_text(F.col("text")))
+    words = F.split(_norm_text(F.col("text")), " ")
+    base = _spread(docs).select("doc_id", fp.alias("g"), words.alias("ws"))
+    groups = base.groupBy("g").agg(F.min("doc_id").alias("rep"),
+                                   F.count("*").alias("sz"))
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
+    sh = (
+        base.where(F.size("ws") >= n)
+        .select("g", F.explode(shingles).alias("shingle"))
+        .select("g", F.xxhash64("shingle").alias("shingle"))
+        .distinct()  # k exact copies -> ONE shingle set
+        .persist()
+    )
+    sizes = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
+    buckets = (
+        sh.groupBy("shingle").agg(F.collect_list("g").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    common = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("g_a"), F.col("p.b").alias("g_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    gpairs = (
+        common
+        .join(sizes.select(F.col("g").alias("g_a"),
+                           F.col("n_sh").alias("n_a")), "g_a")
+        .join(sizes.select(F.col("g").alias("g_b"),
+                           F.col("n_sh").alias("n_b")), "g_b")
+        .where(jac >= threshold)
+        .join(groups.select(F.col("g").alias("g_a"),
+                            F.col("rep").alias("doc_a")), "g_a")
+        .join(groups.select(F.col("g").alias("g_b"),
+                            F.col("rep").alias("doc_b")), "g_b")
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(gpairs)
+    out = (
+        base.select("doc_id", "g").join(groups, "g")
+        .join(cc.withColumnRenamed("doc_id", "rep"), "rep", "left")
+        .where((F.col("sz") >= 2) | F.col("cluster_id").isNotNull())
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+    return out
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

@@ -2089,31 +2089,38 @@ FROM r GROUP BY doc_id ORDER BY doc_id""",
         lambda spark, sf: dedup.duplicate_clusters(
             views(spark, sf)["documents"], threshold=0.1),
         bench=True,
-        # pairs -> connected components via recursive transitive closure;
-        # cluster_id = min doc_id of the component (same keeper rule as
-        # dedup_exact)
-        oracle=f"""WITH RECURSIVE words AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        # exact-fingerprint contraction (r5) -> rep-level pairs ->
+        # connected components via recursive transitive closure;
+        # cluster_id = min doc_id of the expanded component (group reps
+        # are group minima, so the component min survives contraction);
+        # exact-dup families (sz >= 2) are clusters by definition
+        oracle=f"""WITH RECURSIVE fps AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, min(doc_id) AS rep, count(*) AS sz FROM fps GROUP BY fp
+), words AS (
+  SELECT g.rep, string_split({_NORM}, ' ') AS w
+  FROM documents d JOIN grp g ON g.rep = d.doc_id
   WHERE len(string_split({_NORM}, ' ')) >= 3
 ), sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
+  SELECT rep, unnest(list_distinct(list_transform(
     range(1, greatest(len(w) - 2, 0) + 1),
     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
   FROM words
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+  SELECT rep, count(*) AS n_sh FROM sh GROUP BY 1
 ), ok AS (
   SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
 ), shf AS (
   SELECT sh.* FROM sh JOIN ok USING (shingle)
 ), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT a.rep AS doc_a, b.rep AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.rep < b.rep
   GROUP BY 1, 2
 ), pairs AS (
   SELECT doc_a, doc_b FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
+  JOIN sizes sa ON sa.rep = doc_a
+  JOIN sizes sb ON sb.rep = doc_b
   WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -2122,10 +2129,15 @@ FROM r GROUP BY doc_id ORDER BY doc_id""",
   SELECT DISTINCT a AS doc_id, a AS root FROM edges
   UNION
   SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+), repc AS (
+  SELECT doc_id AS rep, min(root) AS cluster_id FROM reach GROUP BY 1
 )
-SELECT doc_id, min(root) AS cluster_id,
-  min(root) = doc_id AS is_keeper
-FROM reach GROUP BY doc_id ORDER BY doc_id""",
+SELECT f.doc_id,
+  coalesce(r.cluster_id, g.rep) AS cluster_id,
+  coalesce(r.cluster_id, g.rep) = f.doc_id AS is_keeper
+FROM fps f JOIN grp g USING (fp) LEFT JOIN repc r ON r.rep = g.rep
+WHERE g.sz >= 2 OR r.cluster_id IS NOT NULL
+ORDER BY f.doc_id""",
     ),
     _q(
         "dedup_minhash_lsh",
