@@ -380,3 +380,52 @@ def test_session_stats_state_spans_batches(spark, sf_dir, tmpdir):
         per_user[r.user_id] = max(per_user.get(r.user_id, -1), r.session_id)
     expected_n = sum(1 for r in sess if r.session_id < per_user[r.user_id])
     assert len(got) == expected_n
+
+
+def test_process_or_reprocess_boundary_and_equivalence(spark, sf_dir, tmpdir):
+    """ST3 bounded-buffer contract: pending == capacity stays on the
+    incremental path (overflow is strictly greater-than), pending >
+    capacity falls back to reprocess, and both paths produce the same
+    view rows (the process()==reprocess() invariant the gate hashes)."""
+    t = tables.namespace_views(spark, sf_dir)
+    keys, deleted = t["keys"], t["deleted_keys"]
+    keys_now = keys.join(deleted.select("object_id"), "object_id",
+                         "left_anti")
+    cdc.synthesize_cdc_log(keys, deleted, f"{tmpdir}/cdc", n_chunks=4)
+    pending = spark.read.parquet(f"{tmpdir}/cdc").count()
+
+    at_cap = cdc.process_or_reprocess(
+        spark, f"{tmpdir}/cdc", keys_now, f"{tmpdir}/s1", f"{tmpdir}/c1",
+        capacity=pending)  # == capacity: no overflow
+    assert at_cap.select("path").distinct().collect()[0][0] == "incremental"
+
+    over = cdc.process_or_reprocess(
+        spark, f"{tmpdir}/cdc", keys_now, f"{tmpdir}/s2", f"{tmpdir}/c2",
+        capacity=pending - 1)  # > capacity: overflow -> reprocess
+    assert over.select("path").distinct().collect()[0][0] == "reprocess"
+
+    assert canon(at_cap.drop("path").toPandas()) == \
+        canon(over.drop("path").toPandas())
+
+
+def test_name_uuid_rfc4122_layout(spark):
+    """snapshot_diff_job_ids: ids are valid v3-layout UUIDs (version
+    nibble 3, variant in 89ab), stable across calls, distinct across
+    distinct request tuples."""
+    import re
+
+    from ozone_spark.operators.snapshot import snapshot_diff_job_ids
+    chain = tables.snapshot_chain_view(spark)
+    a = {r.to_snapshot: r.job_id
+         for r in snapshot_diff_job_ids(chain).collect()}
+    b = {r.to_snapshot: r.job_id
+         for r in snapshot_diff_job_ids(chain).collect()}
+    assert a == b and len(set(a.values())) == len(a) == 2
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$")
+    assert all(pat.match(v) for v in a.values())
+    # different volume/bucket -> different job (the jobKey tuple)
+    c = {r.to_snapshot: r.job_id
+         for r in snapshot_diff_job_ids(chain, volume="vol2").collect()}
+    assert set(c.values()).isdisjoint(a.values())
