@@ -92,6 +92,28 @@ def _norm_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
 
 
+# One cache slot per call site: signature/shingle tables feed 2-3
+# consumers inside one operator and are persisted to avoid recomputing
+# the expensive map stage — but the operator returns a LAZY frame, so
+# it cannot unpersist after itself.  Each new invocation evicts the
+# previous invocation's table for its slot, bounding resident cache to
+# one table per operator per session instead of leaking one per call
+# (the ADVICE-r4 fix for payload_chunk_near_dup, applied module-wide:
+# a 12-query session over a 10x corpus otherwise accumulates gigabytes
+# of dead shingle caches whose eviction pressure bleeds into later
+# queries' timings).
+_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
+    old = _CACHE_SLOTS.pop(slot, None)
+    if old is not None:
+        old.unpersist()
+    df.persist()
+    _CACHE_SLOTS[slot] = df
+    return df
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via normalized-text fingerprint groupBy; returns
     fingerprint groups with >1 member."""
@@ -210,11 +232,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     signal and are dropped, exactly like saturated LSH bands at web
     scale."""
     # shingles hashed to int64: 8-byte shuffle keys, negligible collisions
-    sh = (
+    sh = _slot_cache(
         word_shingles(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .persist()
-    )
+        .select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        "ngram_sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     buckets = (
         sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
@@ -272,7 +293,7 @@ def winnowing_fingerprints(docs: DataFrame, n: int = 3,
 def winnowing_pairs(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     """Near-dup candidates: documents sharing >= min_shared winnowing
     fingerprints (the MOSS-style detector as a groupBy join)."""
-    fp = winnowing_fingerprints(docs).persist()
+    fp = _slot_cache(winnowing_fingerprints(docs), "winnow_fp")
     buckets = (
         fp.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= 200))
@@ -338,7 +359,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     (> `max_bucket` docs) carry no discriminating signal and explode
     quadratically, so they are dropped — same policy as
     `ngram_jaccard_pairs` and standard practice for web-scale LSH."""
-    sig = minhash_signatures(docs, n).persist()
+    sig = _slot_cache(minhash_signatures(docs, n), "minhash_sig")
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -511,8 +532,8 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
         .select("g", F.explode(shingles).alias("shingle"))
         .select("g", F.xxhash64("shingle").alias("shingle"))
         .distinct()  # k exact copies -> ONE shingle set
-        .persist()
     )
+    sh = _slot_cache(sh, "clusters_sh")
     sizes = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
     buckets = (
         sh.groupBy("shingle").agg(F.collect_list("g").alias("ds"))
@@ -594,7 +615,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
     and persisted instead of once per self-join side; candidates come
     from an in-bucket pair explode over id-only rows with saturated
     buckets dropped; signatures are re-attached to the distinct pairs."""
-    sig = simhash_signatures(docs).persist()
+    sig = _slot_cache(simhash_signatures(docs), "simhash_sig")
     blocks = sig.select(
         "doc_id",
         F.explode(F.array(*[
