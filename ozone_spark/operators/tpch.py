@@ -89,3 +89,57 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def customer_order_distribution(customer: DataFrame,
+                                orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, INCLUDING
+    the zero-order customers a plain inner join would drop — the
+    left-outer-join + two-level aggregate every retention/engagement
+    report needs.
+
+    Scale shape: one outer-join shuffle on the customer key (AQE
+    handles the null-key/zero-order skew side), then a tiny second
+    aggregate over at most max-orders-per-customer distinct counts."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def large_volume_orders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame,
+                        min_quantity: int = 300) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer context — the aggregated-filter semi-join
+    (HAVING subquery) pattern.
+
+    Scale shape: the heavy-hitter order set is computed by one partial
+    aggregation over lineitem and is tiny (it is a top tail by
+    construction), so it joins back as a broadcast semi-join; only the
+    surviving orders join customer.  No correlated subquery, no
+    re-aggregation of the full fact table."""
+    heavy = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_quantity)
+    )
+    return (
+        orders.join(broadcast(heavy),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("order_date"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("total_qty", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

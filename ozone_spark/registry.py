@@ -4024,6 +4024,36 @@ FROM (
             ["snapshot_chain"],
         ),
     ),
+    _q(
+        "customer_order_distribution",
+        lambda spark, sf: tpch.customer_order_distribution(
+            views(spark, sf)["customer"], views(spark, sf)["orders"]),
+        # TPC-H Q13 shape: left-outer keeps zero-order customers
+        """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        bench=True,
+    ),
+    _q(
+        "large_volume_orders",
+        lambda spark, sf: tpch.large_volume_orders(
+            views(spark, sf)["customer"], views(spark, sf)["orders"],
+            views(spark, sf)["lineitem"]),
+        # TPC-H Q18 shape: aggregated-filter (HAVING) semi-join
+        """SELECT c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  round(o_totalprice, 2) AS o_totalprice,
+  round(h.total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) h
+  ON o_orderkey = h.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        bench=True,
+    ),
 ]
 
 
