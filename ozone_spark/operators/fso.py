@@ -43,6 +43,13 @@ def list_status(directories: DataFrame, keys: DataFrame, parent: str,
     return dirs.unionByName(files).orderBy("name").limit(max_entries)
 
 
+# frontier frames persisted by the most recent BFS invocation: every
+# level's frame is part of the result's lineage, so none can be
+# unpersisted until the NEXT call (same one-slot eviction policy as the
+# dedup signature caches)
+_BFS_CACHE: list[DataFrame] = []
+
+
 def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
                                root_path: str,
                                max_depth: int = 64) -> DataFrame:
@@ -54,6 +61,8 @@ def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
     broadcast-able join of the frontier against the dir table — at scale
     this is the GraphFrames-style BFS; the reference re-queues batches
     through deletedDirectoryTable the same way."""
+    while _BFS_CACHE:
+        _BFS_CACHE.pop().unpersist()
     frontier = directories.sparkSession.createDataFrame(
         [(root_path,)], "path string")
     all_dirs = frontier
@@ -68,6 +77,7 @@ def directory_delete_expansion(directories: DataFrame, keys: DataFrame,
             .select("path")
         )
         new = children.join(all_dirs, "path", "left_anti").persist()
+        _BFS_CACHE.append(new)
         if new.isEmpty():
             break
         all_dirs = all_dirs.unionByName(new)
