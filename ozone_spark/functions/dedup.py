@@ -230,7 +230,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     fewer shuffles.  The pair blowup is bounded by `max_bucket`:
     stopword-like shingles shared by more docs carry no discriminating
     signal and are dropped, exactly like saturated LSH bands at web
-    scale."""
+    scale.
+
+    Deliberately NOT exact-duplicate-contracted (unlike
+    `duplicate_clusters`): this operator's contract is the raw member-
+    level pair list, whose size is inherently quadratic in copy count —
+    contracting the index and re-expanding pairs was measured (r5) to
+    save only ~1.6x on a 90%-copies corpus while adding ~2.5x of
+    fixed stage latency at ordinary duplication levels.  Copy-heavy
+    corpora should run the exact pass first and resolve through
+    `duplicate_clusters`, which contracts before the quadratic
+    stages."""
     # shingles hashed to int64: 8-byte shuffle keys, negligible collisions
     sh = _slot_cache(
         word_shingles(docs, n)

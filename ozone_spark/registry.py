@@ -2044,7 +2044,7 @@ ORDER BY 1, 2""",
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
 ), hist AS (
   SELECT floor(jaccard * 10) / 10 AS jaccard_floor,
     count(*) AS n_pairs
