@@ -3926,6 +3926,24 @@ ORDER BY 1, 2, 3""",
 ]
 
 
+def _cdc_incremental_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 for A5 (QuotaRepairTask contract): synthesize the CDC log,
+    maintain per-bucket usedNamespace/usedBytes/usedReplicatedBytes
+    incrementally through the real streaming drain, return the
+    materialized store (oracle: batch recompute over the final key
+    state)."""
+    import tempfile
+
+    from ozone_spark.streaming import cdc as scdc
+
+    t = views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ozs_quota_gate_")
+    scdc.synthesize_cdc_log(t["keys"], t["deleted_keys"], f"{work}/cdc")
+    scdc.run_incremental_quota(spark, f"{work}/cdc", f"{work}/store",
+                               f"{work}/ckpt")
+    return spark.read.parquet(f"{work}/store").drop("view_bucket")
+
+
 def _cdc_task_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 as a gate row: drain an incremental view, then read the
     TaskStatusService analog off the streaming checkpoint's commit log
@@ -4022,6 +4040,21 @@ FROM (
   FROM snapshot_chain WHERE previous_snapshot IS NOT NULL
 ) ORDER BY to_snapshot""",
             ["snapshot_chain"],
+        ),
+    ),
+    _q(
+        "cdc_incremental_quota",
+        _cdc_incremental_quota,
+        # ST4 for A5: incrementally-maintained per-bucket quota usage ==
+        # the QuotaRepairTask-style recompute over the final key state
+        with_views(
+            """SELECT volume, bucket,
+  CAST(count(*) AS BIGINT) AS used_namespace,
+  CAST(sum(data_size) AS BIGINT) AS used_bytes,
+  CAST(sum(replicated_size) AS BIGINT) AS used_replicated_bytes
+FROM keys WHERE object_id NOT IN (SELECT object_id FROM deleted_keys)
+GROUP BY 1, 2""",
+            ["keys", "deleted_keys"],
         ),
     ),
     _q(

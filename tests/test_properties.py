@@ -89,3 +89,62 @@ def test_list_parts_contract_under_arbitrary_ties(spark, data):
             break
         marker = p[-1].part_number
     assert got == [(r.part_number, r.etag) for r in full]
+
+
+def ref_tree_distance(pa: str, pb: str) -> int:
+    """Pure-python rendering of NetworkTopologyImpl.getDistanceCost
+    (NetworkTopologyImpl.java:717) with unit inner-node costs."""
+    if pa == pb:
+        return 0
+    a, b = pa.strip("/").split("/"), pb.strip("/").split("/")
+    c = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        c += 1
+    return (len(a) - c) + (len(b) - c)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_tree_distance_matches_reference_walk(spark, data):
+    """tree_distance == the reference's level-equalising climb for
+    arbitrary topology paths (depths 1-4, shared and unshared
+    prefixes), and is symmetric with identity 0."""
+    from ozone_spark.operators.datapath import tree_distance
+
+    comp = st.sampled_from(["dc0", "dc1", "rack0", "rack1", "n1", "n2"])
+    path = st.lists(comp, min_size=1, max_size=4).map(
+        lambda cs: "/" + "/".join(cs))
+    cases = data.draw(st.lists(st.tuples(path, path), min_size=1,
+                               max_size=25))
+    df = spark.createDataFrame(cases, "pa string, pb string")
+    got = df.select(
+        "pa", "pb",
+        tree_distance(F.col("pa"), F.col("pb")).alias("d"),
+        tree_distance(F.col("pb"), F.col("pa")).alias("d_rev")).collect()
+    for r in got:
+        assert r.d == r.d_rev == ref_tree_distance(r.pa, r.pb)
+        assert (r.d == 0) == (r.pa == r.pb)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_name_uuid_layout_any_input(spark, data):
+    """name_uuid emits a valid v3-layout UUID for arbitrary text and is
+    injective on the md5 level (distinct inputs -> distinct ids unless
+    md5 collides)."""
+    import re
+
+    from ozone_spark.operators.snapshot import name_uuid
+
+    texts = data.draw(st.lists(
+        st.text(min_size=0, max_size=40), min_size=1, max_size=20,
+        unique=True))
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    rows = df.select("s", name_uuid(F.col("s")).alias("u")).collect()
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$")
+    assert all(pat.match(r.u) for r in rows)
+    assert len({r.u for r in rows}) == len(rows)
