@@ -438,3 +438,23 @@ def test_perplexity_buckets_window_partitioned_by_lang(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "ntile" in line:
             assert "lang#" in line, line
+
+
+def test_q18_heavy_hitter_side_broadcasts(spark, t):
+    """large_volume_orders: the aggregated heavy-hitter order set is the
+    broadcast side (no shuffle of orders for the semi-filter), and the
+    plan keeps map-side partial aggregation for the lineitem rollup."""
+    from ozone_spark.operators.tpch import large_volume_orders
+    plan = plan_of(large_volume_orders(
+        t["customer"], t["orders"], t["lineitem"]))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q13_left_outer_keeps_customer_side(spark, t):
+    """customer_order_distribution: the join is genuinely LEFT OUTER
+    (zero-order customers survive) and aggregates stay hash-based."""
+    from ozone_spark.operators.tpch import customer_order_distribution
+    plan = plan_of(customer_order_distribution(t["customer"], t["orders"]))
+    assert "LeftOuter" in plan
+    assert "HashAggregate" in plan
