@@ -175,3 +175,51 @@ def props_k_histogram(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "k_bucket")
     )
+
+
+def event_funnel(events: DataFrame,
+                 steps: tuple[str, ...] = ("view", "click", "purchase")
+                 ) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k when an event of
+    that type occurs AT OR AFTER their earliest completion of step k-1
+    (the sequential-pattern query product analytics runs as
+    MATCH_RECOGNIZE; here the standard relational min-timestamp
+    cascade).  Output: one row per step with the users reaching it,
+    conversion from the previous step, and conversion from the top.
+
+    Scale shape: k filtered aggregations + k-1 equi-joins, all keyed by
+    user_id — every stage reuses the same hash partitioning, so at
+    scale this is one shuffle of the (user, ts) pairs per step, never a
+    window over a user's full history; per-step state is one timestamp
+    per user.  The closing conversion window runs over exactly
+    len(steps) rows (bounded by construction), and nothing is collected
+    driver-side."""
+    from pyspark.sql import Window
+
+    marks: DataFrame | None = None
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        hits = events.where(F.col("event_type") == step) \
+            .select("user_id", "ts")
+        if prev is not None:
+            hits = (hits.join(prev, "user_id")
+                    .where(F.col("ts") >= F.col("_t"))
+                    .select("user_id", "ts"))
+        prev = hits.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        m = prev.select(F.lit(i + 1).alias("step_idx"),
+                        F.lit(step).alias("step"), "user_id")
+        marks = m if marks is None else marks.unionByName(m)
+    counts = marks.groupBy("step_idx", "step").agg(
+        F.count("*").alias("n_users"))
+    w = Window.orderBy("step_idx")
+    return (
+        counts
+        .withColumn("conv_from_prev", F.round(
+            F.col("n_users") / F.coalesce(F.lag("n_users").over(w),
+                                          F.col("n_users")), 6))
+        .withColumn("conv_from_top", F.round(
+            F.col("n_users") / F.first("n_users").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)), 6))
+        .orderBy("step_idx")
+    )

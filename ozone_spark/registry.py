@@ -4058,6 +4058,32 @@ GROUP BY 1, 2""",
         ),
     ),
     _q(
+        "event_funnel",
+        lambda spark, sf: eops.event_funnel(views(spark, sf)["events"]),
+        # ordered min-timestamp cascade: step k's clock starts at the
+        # user's earliest completion of step k-1
+        """WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1
+), counts AS (
+  SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+  round(n_users / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                           n_users), 6) AS conv_from_prev,
+  round(n_users / first_value(n_users) OVER (ORDER BY step_idx), 6)
+    AS conv_from_top
+FROM counts ORDER BY step_idx""",
+    ),
+    _q(
         "customer_order_distribution",
         lambda spark, sf: tpch.customer_order_distribution(
             views(spark, sf)["customer"], views(spark, sf)["orders"]),

@@ -954,3 +954,18 @@ def test_tree_distance_generalized_topology(spark):
         rows = sorted([r for r in out if r.container_id == cid],
                       key=lambda r: r.read_order)
         assert [r.distance for r in rows] == sorted(r.distance for r in rows)
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    """Funnel invariants: user counts are non-increasing down the
+    steps, conversions are in (0, 1], and step 1 converts at 1.0."""
+    from ozone_spark.operators.events import event_funnel
+    rows = sorted(event_funnel(
+        tables.load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r.step_idx)
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+    assert rows[0].conv_from_prev == rows[0].conv_from_top == 1.0
+    for r in rows:
+        assert 0 < r.conv_from_prev <= 1 and 0 < r.conv_from_top <= 1
