@@ -83,6 +83,117 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     )
 
 
+# Bloom-filter decontamination: `decontaminate` broadcasts the eval set's
+# raw shingles — fine for benchmark suites, impossible when the "eval"
+# side is itself a large held-out corpus.  The scale path is a Bloom
+# filter: the broadcast payload is the SET OF OCCUPIED BIT POSITIONS
+# (<= m entries regardless of eval size) and each membership test is a
+# map-side broadcast join per hash function — the corpus is never
+# shuffled and the only exchange stays the final per-doc groupBy.
+# Determinism: positions are 60-bit md5 prefixes (hash60) mod m with a
+# per-hash-function salt, so any engine with md5 replays the filter
+# bit-for-bit — false positives included (the DuckDB oracle in
+# registry.py reproduces them exactly).
+BLOOM_M_BITS = 1 << 18
+BLOOM_K = 3
+
+
+def _bloom_positions(col: Column, k: int, m: int) -> list[Column]:
+    return [hash60(F.concat(F.lit(f"bf{j}:"), col)) % m for j in range(k)]
+
+
+def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = DECONTAM_NGRAM,
+                        m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+                        min_overlap: float = DECONTAM_MIN_OVERLAP) -> DataFrame:
+    """Flag training docs whose n-gram Bloom-filter hit fraction against
+    the eval set crosses `min_overlap` — a superset of the exact overlap
+    flags (one-sided error: false positives only, never false negatives).
+
+    Plan shape: eval side folds to <= m distinct positions (broadcast);
+    the corpus side takes k consecutive map-side broadcast left-joins
+    (one per hash function, AQE keeps them in a single stage) and then
+    the same single groupBy(doc_id) as the exact variant."""
+    has_words = F.size(F.split(_norm_text(F.col("text")), " ")) >= n
+    ev_pos = (
+        eval_docs.where(has_words)
+        .select(F.explode(_distinct_shingles(n)).alias("s"))
+        .select(F.explode(F.array(
+            *_bloom_positions(F.col("s"), k, m_bits))).alias("p"))
+        .distinct()
+    )
+    sh = _spread(docs).where(has_words).select(
+        "doc_id", F.size(_distinct_shingles(n)).cast("long").alias("n_sh"),
+        F.explode(_distinct_shingles(n)).alias("s"))
+    pos = _bloom_positions(F.col("s"), k, m_bits)
+    maybe = F.lit(True)
+    for j in range(k):
+        pj = ev_pos.select(F.col("p").alias(f"p{j}"),
+                           F.lit(1).alias(f"hit{j}"))
+        sh = (sh.withColumn(f"p{j}", pos[j])
+              .join(F.broadcast(pj), f"p{j}", "left"))
+        maybe = maybe & F.col(f"hit{j}").isNotNull()
+    frac = F.col("n_bloom_hits").cast("double") / F.col("n_shingles")
+    return (
+        sh.select("doc_id", "n_sh", maybe.cast("int").alias("maybe"))
+        .groupBy("doc_id")
+        .agg(F.first("n_sh").alias("n_shingles"),
+             F.sum("maybe").cast("long").alias("n_bloom_hits"))
+        .select(
+            "doc_id", "n_shingles", "n_bloom_hits",
+            F.round(frac, 6).alias("bloom_fraction"),
+            (frac >= min_overlap).alias("flagged"))
+        .orderBy("doc_id")
+    )
+
+
+def source_overlap_matrix(docs: DataFrame,
+                          n: int = DECONTAM_NGRAM) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, the
+    Jaccard overlap of their distinct n-gram shingle sets — the corpus
+    QA report that tells a pipeline which source pairs are scraping the
+    same upstream content (and therefore need cross-source dedup, not
+    just per-source dedup).
+
+    Scale shape: the corpus folds to DISTINCT (source, shingle) rows
+    first (one shuffle, text never moves again), the self-join keys on
+    the shingle with `source_a < source_b` so each shared shingle
+    expands to at most C(n_sources, 2) pairs — bounded by the source
+    cardinality, never the corpus size — and the per-source totals are
+    a tiny broadcast side.  Pairs with zero shared shingles are absent
+    by construction (inner join) in both engines."""
+    has_words = F.size(F.split(_norm_text(F.col("text")), " ")) >= n
+    sh = (
+        _spread(docs).where(has_words)
+        .select("source", F.explode(_distinct_shingles(n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared
+        .join(F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                       F.col("n_sh").alias("n_a"))),
+              "source_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                       F.col("n_sh").alias("n_b"))),
+              "source_b")
+        .select("source_a", "source_b", "n_a", "n_b", "shared",
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 # -------------------------------------------------------------- repetition
 
 # Gopher-style repetition thresholds, adapted to word level (the corpus

@@ -114,6 +114,77 @@ def customer_order_distribution(customer: DataFrame,
     )
 
 
+def returned_item_customers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            top_n: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue report — customers ranked by the
+    revenue of line items they returned, with nation context.
+
+    Scale shape: the returned-lineitem filter pushes to the parquet
+    scan before the orders join (the only big-big shuffle); customer is
+    a dimension-side hash join and nation a broadcast.  Ordering is on
+    the ROUNDED revenue with a c_custkey tiebreak so the top-k cut is
+    deterministic across engines despite distributed float-sum order."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_n)
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+    )
+
+
+def priority_line_counts(orders: DataFrame, lineitem: DataFrame,
+                         year: str = "1996") -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) aggregation after a fact
+    join — per line status, how many shipped lines belong to
+    high-priority vs low-priority orders.  (The synthetic lineitem has
+    no l_shipmode/commitdate, so the group key is l_linestatus and the
+    window is a ship-date year; the physical shape — pushed range
+    filter, one shuffle join, map-side conditional partial agg — is
+    Q12's.)"""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem
+        .where((F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01")
+                  .cast("timestamp")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(high.cast("long")).alias("high_line_count"),
+             F.sum((~high).cast("long")).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per ship month — the
+    broadcast-dimension join + ratio-of-conditional-sums pattern.
+
+    Scale shape: part projects to (p_partkey, p_type) and broadcasts;
+    the fact table is never shuffled (map-side join + partial agg on
+    the month key), so the plan is one scan + one tiny final agg
+    exchange regardless of lineitem volume."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem
+        .join(broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"),
+                               "yyyy-MM").alias("ship_month"))
+        .agg(F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+             F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy("ship_month")
+    )
+
+
 def large_volume_orders(customer: DataFrame, orders: DataFrame,
                         lineitem: DataFrame,
                         min_quantity: int = 300) -> DataFrame:

@@ -4113,6 +4113,126 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         bench=True,
     ),
+    _q(
+        "decontaminate_bloom",
+        lambda spark, sf: pipeline.decontaminate_bloom(
+            views(spark, sf)["documents"].where("doc_id % 25 <> 0"),
+            views(spark, sf)["documents"].where("doc_id % 25 = 0")),
+        # deterministic md5-salted Bloom membership (k=3, m=2^18): the
+        # oracle replays the filter bit-for-bit, false positives and all
+        f"""WITH shl AS (
+  SELECT doc_id, {_SH5} AS shs
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+), ev AS (
+  SELECT DISTINCT unnest(shs) AS s FROM shl WHERE doc_id % 25 = 0
+), pos AS (
+  SELECT DISTINCT CAST('0x' || substr(md5('bf' || CAST(j AS VARCHAR)
+    || ':' || s), 1, 15) AS BIGINT) % {pipeline.BLOOM_M_BITS} AS p
+  FROM ev, range({pipeline.BLOOM_K}) r(j)
+), tr AS (
+  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM shl
+  WHERE doc_id % 25 <> 0
+), mem AS (
+  SELECT tr.doc_id, tr.n_sh,
+    CASE WHEN p0.p IS NOT NULL AND p1.p IS NOT NULL AND p2.p IS NOT NULL
+         THEN 1 ELSE 0 END AS maybe
+  FROM tr
+  LEFT JOIN pos p0 ON p0.p =
+    CAST('0x' || substr(md5('bf0:' || tr.s), 1, 15) AS BIGINT)
+      % {pipeline.BLOOM_M_BITS}
+  LEFT JOIN pos p1 ON p1.p =
+    CAST('0x' || substr(md5('bf1:' || tr.s), 1, 15) AS BIGINT)
+      % {pipeline.BLOOM_M_BITS}
+  LEFT JOIN pos p2 ON p2.p =
+    CAST('0x' || substr(md5('bf2:' || tr.s), 1, 15) AS BIGINT)
+      % {pipeline.BLOOM_M_BITS}
+), agg AS (
+  SELECT doc_id, any_value(n_sh) AS n_sh, sum(maybe) AS n_maybe
+  FROM mem GROUP BY 1
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+  CAST(n_maybe AS BIGINT) AS n_bloom_hits,
+  round(n_maybe / n_sh, 6) AS bloom_fraction,
+  n_maybe / n_sh >= {pipeline.DECONTAM_MIN_OVERLAP} AS flagged
+FROM agg ORDER BY doc_id""",
+    ),
+    _q(
+        "source_overlap_matrix",
+        lambda spark, sf: pipeline.source_overlap_matrix(
+            views(spark, sf)["documents"]),
+        # cross-source shingle Jaccard; zero-overlap pairs absent in
+        # both engines (inner join)
+        f"""WITH shl AS (
+  SELECT source, {_SH5} AS shs
+  FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+), sh AS (
+  SELECT DISTINCT source, unnest(shs) AS s FROM shl
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+  x.n_sh AS n_a, y.n_sh AS n_b, shared,
+  round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes x ON source_a = x.source
+JOIN sizes y ON source_b = y.source
+ORDER BY source_a, source_b""",
+    ),
+    _q(
+        "returned_item_customers",
+        lambda spark, sf: tpch.returned_item_customers(
+            views(spark, sf)["customer"], views(spark, sf)["orders"],
+            views(spark, sf)["lineitem"], views(spark, sf)["nation"]),
+        # TPC-H Q10 shape: top-k customers by returned-item revenue;
+        # top-k cut ordered on the rounded sum + custkey tiebreak
+        """SELECT c_custkey, c_name, revenue,
+  round(c_acctbal, 2) AS c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3, 4
+) ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    ),
+    _q(
+        "priority_line_counts",
+        lambda spark, sf: tpch.priority_line_counts(
+            views(spark, sf)["orders"], views(spark, sf)["lineitem"]),
+        # TPC-H Q12 shape: conditional agg after the fact join
+        """SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "promo_revenue_share",
+        lambda spark, sf: tpch.promo_revenue_share(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"]),
+        # TPC-H Q14 shape: broadcast part join, per-month promo ratio
+        """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+    AS ship_month,
+  round(100 * sum(CASE WHEN p_type = 'PROMO'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1""",
+    ),
 ]
 
 

@@ -648,6 +648,27 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert cells.get((True, True), 0) > 0
 
 
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
+    """Bloom decontamination is one-sided: per doc, the bloom hit count
+    is >= the exact overlap count (false positives only, never false
+    negatives), so every exactly-contaminated doc is also flagged."""
+    from ozone_spark.functions import pipeline
+    from ozone_spark.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 25 <> 0")
+    ev = docs.where("doc_id % 25 = 0")
+    exact = {r.doc_id: r for r in pipeline.decontaminate(train, ev).collect()}
+    bloom = {r.doc_id: r
+             for r in pipeline.decontaminate_bloom(train, ev).collect()}
+    assert set(exact) == set(bloom)
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b.n_shingles == e.n_shingles
+        assert b.n_bloom_hits >= e.n_overlapping
+        if e.contaminated:
+            assert b.flagged
+
+
 def test_cms_never_undercounts(spark, sf_dir):
     """Count-min guarantee: counters only over-count, so the min over
     rows is >= the exact frequency for every token."""

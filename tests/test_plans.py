@@ -458,3 +458,37 @@ def test_q13_left_outer_keeps_customer_side(spark, t):
     plan = plan_of(customer_order_distribution(t["customer"], t["orders"]))
     assert "LeftOuter" in plan
     assert "HashAggregate" in plan
+
+
+def test_q10_returned_filter_pushed_topk_no_global_sort(spark, t):
+    """returned_item_customers: the returnflag filter reaches the
+    lineitem parquet scan, nation is a broadcast, and the top-20 cut
+    is TakeOrderedAndProject (no global sort of the aggregate)."""
+    from ozone_spark.operators.tpch import returned_item_customers
+    plan = plan_of(returned_item_customers(
+        t["customer"], t["orders"], t["lineitem"], t["nation"]))
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q12_range_filter_pushed(spark, t):
+    """priority_line_counts: the ship-date year window is pushed to the
+    lineitem scan; the conditional counts stay hash-aggregated with a
+    map-side partial."""
+    from ozone_spark.operators.tpch import priority_line_counts
+    plan = plan_of(priority_line_counts(t["orders"], t["lineitem"]))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q14_single_agg_exchange_fact_never_shuffled(spark, t):
+    """promo_revenue_share: part broadcasts, so the only hash exchange
+    in the plan is the final month aggregate — lineitem itself is
+    never shuffled (the lone rangepartitioning orders the ~tens of
+    aggregated month rows, not the fact table)."""
+    from ozone_spark.operators.tpch import promo_revenue_share
+    plan = plan_of(promo_revenue_share(t["lineitem"], t["part"]))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") == 1
