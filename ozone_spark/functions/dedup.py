@@ -173,18 +173,25 @@ def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
     and the kept fraction — the per-doc survival report a curation
     pipeline thresholds on (documents reduced to boilerplate lose most
     paragraphs to earlier copies)."""
+    # the word array is projected to a real column before the paragraph
+    # transform references it — inlining the regexp+split into the
+    # lambda re-evaluates the normalization per paragraph ELEMENT
+    # (subexpression elimination does not reach inside HOF lambdas)
     words = F.split(F.trim(_norm_text(F.col("text"))), " +")
-    n_paras = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), n_paras - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * para_words + 1, para_words)))
-    exploded = (
+    base = (
         # guard on the trimmed TEXT, not size(words): split('') yields
         # [''] (size 1), which would give every wordless doc the same
         # empty paragraph and cross-dedup unrelated docs
         docs.where(F.trim(_norm_text(F.col("text"))) != "")
-        .select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+        .select("doc_id", words.alias("ws"))
+    )
+    n_paras = F.ceil(F.size("ws") / F.lit(para_words)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("ws", i * para_words + 1, para_words)))
+    exploded = (
+        base.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
         .select("doc_id", "para_idx", F.md5(F.col("para")).alias("fp"))
     )
     w = Window.partitionBy("fp").orderBy("doc_id", "para_idx")

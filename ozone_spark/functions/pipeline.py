@@ -24,8 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .dedup import (_norm_text, _spread, connected_components, hash28, hash60,
-                    ngram_jaccard_pairs, word_shingles)
+from .dedup import (_norm_text, _slot_cache, _spread, connected_components,
+                    hash28, hash60, ngram_jaccard_pairs, word_shingles)
 
 # ---------------------------------------------------------------- decontam
 
@@ -38,11 +38,26 @@ DECONTAM_NGRAM = 5
 DECONTAM_MIN_OVERLAP = 0.05
 
 
-def _distinct_shingles(n: int) -> Column:
-    words = F.split(_norm_text(F.col("text")), " ")
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+def _shingle_rows(df: DataFrame, n: int, keys: list[str]) -> DataFrame:
+    """(keys..., s) rows of distinct word n-gram shingles per row of
+    `df`; rows shorter than n words are dropped.
+
+    The word array MUST be projected to a real column before the
+    higher-order transform references it: inlining the
+    regexp_replace+split into the lambda re-evaluates the
+    normalization per shingle ELEMENT (Catalyst's subexpression
+    elimination does not reach inside HOF lambdas) — measured 28x
+    slower on the 10x stress corpus (101 s vs 3.6 s for the same
+    explode).  Same shape as dedup.word_shingles."""
+    ws = F.split(_norm_text(F.col("text")), " ")
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("_ws") - n),
+        lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, n))))
+    return (
+        df.select(*keys, ws.alias("_ws"))
+        .where(F.size("_ws") >= n)
+        .select(*keys, F.explode(shingles).alias("s"))
+    )
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
@@ -55,24 +70,21 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     Plan shape: the eval side is distinct n-grams of a SMALL benchmark
     suite — broadcast it; the corpus side left-joins map-side (no
     corpus shuffle), then one groupBy(doc_id) over compact flag rows.
-    Per-doc totals ride along from F.size on the pre-explode array, so
-    no second pass and no sizes join."""
+    Shingles are distinct per doc and the broadcast left-join is 1:1,
+    so per-doc totals come free as count(*) in the aggregate — the
+    shingle array is built once per row (a second F.size column would
+    double the array work)."""
     ev = (
-        eval_docs.where(F.size(F.split(_norm_text(F.col("text")), " ")) >= n)
-        .select(F.explode(_distinct_shingles(n)).alias("s"))
+        _shingle_rows(eval_docs, n, [])
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    d = _spread(docs).where(
-        F.size(F.split(_norm_text(F.col("text")), " ")) >= n)
-    sh = d.select(
-        "doc_id", F.size(_distinct_shingles(n)).cast("long").alias("n_sh"),
-        F.explode(_distinct_shingles(n)).alias("s"))
+    sh = _shingle_rows(_spread(docs), n, ["doc_id"])
     frac = F.col("n_hit").cast("double") / F.col("n_shingles")
     return (
         sh.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")
-        .agg(F.first("n_sh").alias("n_shingles"),
+        .agg(F.count("*").alias("n_shingles"),
              F.count("hit").alias("n_hit"))
         .select(
             "doc_id", "n_shingles",
@@ -90,16 +102,27 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
 # (<= m entries regardless of eval size) and each membership test is a
 # map-side broadcast join per hash function — the corpus is never
 # shuffled and the only exchange stays the final per-doc groupBy.
-# Determinism: positions are 60-bit md5 prefixes (hash60) mod m with a
-# per-hash-function salt, so any engine with md5 replays the filter
+# Determinism: ONE md5 per shingle yields two independent 60-bit halves
+# (hex digits 1-15 and 17-31) and the k positions derive as
+# (h1 + j*h2) mod m — Kirsch-Mitzenmacher double hashing, which keeps
+# the Bloom error bounds of k independent hashes at a third of the md5
+# CPU (the dominant cost at corpus scale: the 10x stress run spent its
+# time hashing, not joining).  Any engine with md5 replays the filter
 # bit-for-bit — false positives included (the DuckDB oracle in
 # registry.py reproduces them exactly).
 BLOOM_M_BITS = 1 << 18
 BLOOM_K = 3
 
 
-def _bloom_positions(col: Column, k: int, m: int) -> list[Column]:
-    return [hash60(F.concat(F.lit(f"bf{j}:"), col)) % m for j in range(k)]
+def _bloom_hash_halves(col: Column) -> tuple[Column, Column]:
+    h = F.md5(col)
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long"))
+
+
+def _bloom_positions(h1: Column, h2: Column, k: int, m: int) -> list[Column]:
+    # h1 + (k-1)*h2 < k*2^60: no int64 overflow for k <= 4
+    return [(h1 + j * h2) % m for j in range(k)]
 
 
 def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
@@ -114,18 +137,20 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
     the corpus side takes k consecutive map-side broadcast left-joins
     (one per hash function, AQE keeps them in a single stage) and then
     the same single groupBy(doc_id) as the exact variant."""
-    has_words = F.size(F.split(_norm_text(F.col("text")), " ")) >= n
-    ev_pos = (
-        eval_docs.where(has_words)
-        .select(F.explode(_distinct_shingles(n)).alias("s"))
+    eh1, eh2 = _bloom_hash_halves(F.col("s"))
+    # persisted (slot-bounded): each of the k broadcast builds would
+    # otherwise re-shingle the eval corpus
+    ev_pos = _slot_cache(
+        _shingle_rows(eval_docs, n, [])
         .select(F.explode(F.array(
-            *_bloom_positions(F.col("s"), k, m_bits))).alias("p"))
-        .distinct()
-    )
-    sh = _spread(docs).where(has_words).select(
-        "doc_id", F.size(_distinct_shingles(n)).cast("long").alias("n_sh"),
-        F.explode(_distinct_shingles(n)).alias("s"))
-    pos = _bloom_positions(F.col("s"), k, m_bits)
+            *_bloom_positions(eh1, eh2, k, m_bits))).alias("p"))
+        .distinct(), "pipeline.bloom_pos")
+    # shingles are distinct within a doc and the broadcast left-joins
+    # are 1:1, so per-doc totals come free as count(*) in the final
+    # aggregate (no second shingle pass for a size column)
+    sh = _shingle_rows(_spread(docs), n, ["doc_id"]) \
+        .select("doc_id", eh1.alias("h1"), eh2.alias("h2"))
+    pos = _bloom_positions(F.col("h1"), F.col("h2"), k, m_bits)
     maybe = F.lit(True)
     for j in range(k):
         pj = ev_pos.select(F.col("p").alias(f"p{j}"),
@@ -135,9 +160,9 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
         maybe = maybe & F.col(f"hit{j}").isNotNull()
     frac = F.col("n_bloom_hits").cast("double") / F.col("n_shingles")
     return (
-        sh.select("doc_id", "n_sh", maybe.cast("int").alias("maybe"))
+        sh.select("doc_id", maybe.cast("int").alias("maybe"))
         .groupBy("doc_id")
-        .agg(F.first("n_sh").alias("n_shingles"),
+        .agg(F.count("*").alias("n_shingles"),
              F.sum("maybe").cast("long").alias("n_bloom_hits"))
         .select(
             "doc_id", "n_shingles", "n_bloom_hits",
@@ -155,19 +180,26 @@ def source_overlap_matrix(docs: DataFrame,
     same upstream content (and therefore need cross-source dedup, not
     just per-source dedup).
 
-    Scale shape: the corpus folds to DISTINCT (source, shingle) rows
-    first (one shuffle, text never moves again), the self-join keys on
-    the shingle with `source_a < source_b` so each shared shingle
-    expands to at most C(n_sources, 2) pairs — bounded by the source
-    cardinality, never the corpus size — and the per-source totals are
-    a tiny broadcast side.  Pairs with zero shared shingles are absent
-    by construction (inner join) in both engines."""
-    has_words = F.size(F.split(_norm_text(F.col("text")), " ")) >= n
-    sh = (
-        _spread(docs).where(has_words)
-        .select("source", F.explode(_distinct_shingles(n)).alias("s"))
-        .distinct()
-    )
+    Scale shape: each shingle is folded to its 60-bit md5 hash BEFORE
+    anything shuffles, so the distinct and the self-join move 8-byte
+    longs instead of ~40-byte shingle strings (the 10x stress run was
+    dominated by shuffling raw shingle text; hash-set Jaccard biases
+    the ratio by ~|shingles|/2^60 — immaterial, and identical in both
+    engines since the oracle replays the same md5).  The corpus folds
+    to DISTINCT (source, hash) rows (one shuffle, text never moves),
+    the self-join keys on the hash with `source_a < source_b` so each
+    shared shingle expands to at most C(n_sources, 2) pairs — bounded
+    by the source cardinality, never the corpus size — and the
+    per-source totals are a tiny broadcast side.  Pairs with zero
+    shared shingles are absent by construction (inner join) in both
+    engines."""
+    # persisted (slot-bounded): four consumers fan out of this table
+    # (both self-join sides + both size branches) — without the persist
+    # the corpus is re-shingled once per consumer
+    sh = _slot_cache(
+        _shingle_rows(_spread(docs), n, ["source"])
+        .select("source", hash60(F.col("s")).alias("s"))
+        .distinct(), "pipeline.source_overlap")
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     shared = (
         sh.alias("a")
@@ -213,8 +245,13 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     (distinct -> count occurrences): O(n_words * n_distinct) CPU per
     doc but ZERO shuffles — at 100 TB this is the map-only plan you
     want; the explode+groupBy alternative costs two full-corpus
-    exchanges for the same numbers."""
-    ws = F.split(_norm_text(F.col("text")), " ")
+    exchanges for the same numbers.  The word array is projected to a
+    real column before the nested count lambdas reference it —
+    inlining the regexp+split there re-evaluates the normalization per
+    array ELEMENT (subexpression elimination does not reach inside HOF
+    lambdas), turning the per-doc cost quadratic in practice."""
+    split_ws = F.split(_norm_text(F.col("text")), " ")
+    ws = F.col("ws")
     n_words = F.size(ws)
     top_count = lambda arr: F.array_max(F.transform(  # noqa: E731
         F.array_distinct(arr),
@@ -224,13 +261,15 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)))
     dup_frac = (n_words - F.size(F.array_distinct(ws))).cast("double") / n_words
     top_w = top_count(ws).cast("double") / n_words
-    top_bg = top_count(bigrams).cast("double") / F.greatest(
+    top_bg = top_count(F.col("bg")).cast("double") / F.greatest(
         n_words - 1, F.lit(1))
     ok_dup = dup_frac <= REP_MAX_DUP_WORD_FRACTION
     ok_top_w = top_w <= REP_MAX_TOP_WORD_FRACTION
     ok_top_bg = top_bg <= REP_MAX_TOP_BIGRAM_FRACTION
     return (
-        _spread(docs).where(n_words >= 2)
+        _spread(docs).select("doc_id", "source", split_ws.alias("ws"))
+        .where(n_words >= 2)
+        .select("doc_id", "source", "ws", bigrams.alias("bg"))
         .select(
             "doc_id", "source",
             n_words.cast("long").alias("n_words"),

@@ -181,12 +181,15 @@ def document_chunks(docs: DataFrame, chunk_tokens: int = 32,
 
     Pure per-row array math (split + sequence + slice): ZERO shuffles —
     at 100 TB this is a map-only pass that Catalyst pipelines into the
-    parquet scan."""
+    parquet scan.  The word array is projected to a real column before
+    the chunk lambda slices it — inlining the split there re-evaluates
+    it per chunk ELEMENT (subexpression elimination does not reach
+    inside HOF lambdas)."""
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("chunk_tokens must exceed overlap")
     words = F.split(F.col("text"), " ")
-    n_tok = F.size(words)
+    n_tok = F.size("ws")
     starts = F.sequence(
         F.lit(0), F.greatest(n_tok - overlap - 1, F.lit(0)), F.lit(stride))
     chunk = F.explode(F.transform(
@@ -195,10 +198,11 @@ def document_chunks(docs: DataFrame, chunk_tokens: int = 32,
             (s / stride).cast("long").alias("chunk_id"),
             F.least(n_tok - s, F.lit(chunk_tokens)).cast("long")
             .alias("n_tokens"),
-            F.md5(F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens)))
+            F.md5(F.concat_ws(" ", F.slice("ws", s + 1, chunk_tokens)))
             .alias("chunk_md5"))))
     return (
-        docs.where(n_tok > 0)
+        docs.where(F.size(words) > 0)
+        .select("doc_id", words.alias("ws"))
         .select("doc_id", chunk.alias("c"))
         .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_md5")
     )

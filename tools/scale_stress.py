@@ -69,6 +69,9 @@ STRESS_QUERIES = [
     "namespace_dist",            # 10x keys through the per-dir histogram
     "events_sessionize",         # 10x denser per-user event streams
     "snapshot_diff",
+    "decontaminate_bloom",       # Bloom probe joins at 10x corpus
+    "source_overlap_matrix",     # shingle self-join: every shingle in
+                                 # every source here (worst fan-out)
 ]
 
 
