@@ -289,21 +289,31 @@ def winnowing_fingerprints(docs: DataFrame, n: int = 3,
     """Rolling-hash document fingerprinting (winnowing): hash every
     positional word n-gram, slide a `window` over the hash sequence,
     keep each window's minimum — a deterministic, position-robust
-    fingerprint set per document.  Pure window functions, no Python."""
+    fingerprint set per document.
+
+    Computed entirely per-row (positional gram hashes, then a sliding
+    array_min over the hash array): ZERO shuffles — the previous
+    lead()+window formulation repartitioned the whole token stream by
+    doc_id just to look ahead, a full corpus exchange at 100 TB for
+    the same fingerprint values.  Trailing windows truncate exactly
+    like ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING (F.slice past
+    the array end returns the remaining elements), so the per-doc
+    fingerprint SET is bit-identical to the window formulation and the
+    DuckDB oracle is unchanged.  The gram-hash array is projected to a
+    real column before the sliding lambda slices it (HOF lambdas
+    re-evaluate captured expressions per element)."""
     words = F.split(_norm_text(F.col("text")), " ")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = _spread(docs).select("doc_id", F.posexplode(words).alias("pos", "w"))
-    for i in range(1, n):
-        exploded = exploded.withColumn(f"w{i}", F.lead("w", i).over(w))
-    gram = F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, n)])
-    hashes = (
-        exploded.where(F.col(f"w{n-1}").isNotNull())
-        .select("doc_id", "pos", hash60(gram).alias("h"))
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    d = _spread(docs).select("doc_id", words.alias("ws")).where(
+        F.size("ws") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - n + 1),
+        lambda i: hash60(F.concat_ws(" ", F.slice("ws", i, n))))
+    fps = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("hs")),
+        lambda j: F.array_min(F.slice("hs", j, window))))
     return (
-        hashes.withColumn("fp", F.min("h").over(win))
-        .select("doc_id", "fp").distinct()
+        d.select("doc_id", grams.alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
     )
 
 
