@@ -483,6 +483,19 @@ def test_q12_range_filter_pushed(spark, t):
     assert "HashAggregate" in plan
 
 
+def test_winnowing_signature_stage_no_window_exchange(spark, sf_dir):
+    """winnowing_fingerprints computes per-row (gram-hash array +
+    sliding array_min): no Window operator and no exchange beyond
+    _spread's round-robin fan-out — the lead()+window formulation's
+    full token-stream repartition must not come back."""
+    from ozone_spark import tables
+    from ozone_spark.functions.dedup import winnowing_fingerprints
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(winnowing_fingerprints(docs))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # tree node + its detail block
+
+
 def test_q14_single_agg_exchange_fact_never_shuffled(spark, t):
     """promo_revenue_share: part broadcasts, so the only hash exchange
     in the plan is the final month aggregate — lineitem itself is

@@ -72,6 +72,8 @@ STRESS_QUERIES = [
     "decontaminate_bloom",       # Bloom probe joins at 10x corpus
     "source_overlap_matrix",     # shingle self-join: every shingle in
                                  # every source here (worst fan-out)
+    "dedup_winnowing",           # zero-shuffle per-row fingerprints,
+                                 # bucket caps under 10-way-dup skew
 ]
 
 
