@@ -187,30 +187,33 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
     transaction boundary: a tx fanning out to several container rows is
     never split, so resuming with prev_txid = last tx_id loses nothing
     (the reference endpoint pages whole DeletedBlocksTransaction
-    records for the same reason)."""
+    records for the same reason).
+
+    Page-first plan: the page membership (distinct tx ids surviving the
+    joins, ordered, limit+1) is decided on an ID-ONLY projection of the
+    join chain — 8-byte keys, no aggregation state, TakeOrdered instead
+    of a global sort — and only the <= max_records+1 paged transactions
+    flow through the collect_list aggregation.  The previous shape
+    aggregated EVERY pending transaction and paged afterwards (and
+    computed that full aggregate twice, once per fan-out branch): at
+    the reference's log scale that is the whole deleted-blocks table
+    through a collect_list for a 1000-row page."""
     from pyspark.sql import Window
 
-    txns = (
-        deleted_keys.select(F.col("object_id").alias("tx_id"))
+    dk = deleted_keys.select(F.col("object_id").alias("tx_id")) \
         .where(F.col("tx_id") > prev_txid)
-        .join(locations.select(F.col("object_id").alias("tx_id"),
-                               "container_id", "local_id"), "tx_id")
-        .join(broadcast(containers.select("container_id", "state")),
-              "container_id")
-        .groupBy("state", "container_id", "tx_id")
-        .agg(F.count("*").alias("local_id_count"),
-             F.concat_ws(",", F.array_sort(
-                 F.collect_list(F.col("local_id").cast("string"))))
-             .alias("local_ids"))
-        .select(F.col("state").alias("container_state"), "container_id",
-                "tx_id", "local_id_count", "local_ids")
+    loc = locations.select(F.col("object_id").alias("tx_id"),
+                           "container_id", "local_id")
+    # id-only membership: tx ids that produce >= 1 joined row, in the
+    # same set the full chain (inner joins) would keep
+    tx_ids = (
+        dk.join(loc.select("tx_id", "container_id"), "tx_id")
+        .join(broadcast(containers.select("container_id")),
+              "container_id", "left_semi")
+        .select("tx_id").distinct()
     )
-    # Page over DISTINCT tx ids (limit+1 -> ≤ max_records+1 rows, so the
-    # single-partition window is bounded by construction), then join the
-    # tiny page back to pick up every container row of each paged tx.
     tx_page = (
-        txns.select("tx_id").distinct().orderBy("tx_id")
-        .limit(max_records + 1)
+        tx_ids.orderBy("tx_id").limit(max_records + 1)
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy(F.lit(1)).orderBy("tx_id")))
         .withColumn("is_truncated",
@@ -220,9 +223,16 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
         .drop("_rn")
     )
     return (
-        txns.join(broadcast(tx_page), "tx_id")
-        .select("container_state", "container_id", "tx_id",
-                "local_id_count", "local_ids", "is_truncated")
+        loc.join(broadcast(tx_page), "tx_id")
+        .join(broadcast(containers.select("container_id", "state")),
+              "container_id")
+        .groupBy("state", "container_id", "tx_id", "is_truncated")
+        .agg(F.count("*").alias("local_id_count"),
+             F.concat_ws(",", F.array_sort(
+                 F.collect_list(F.col("local_id").cast("string"))))
+             .alias("local_ids"))
+        .select(F.col("state").alias("container_state"), "container_id",
+                "tx_id", "local_id_count", "local_ids", "is_truncated")
         .orderBy("tx_id", "container_id")
     )
 
