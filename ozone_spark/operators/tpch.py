@@ -185,6 +185,60 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def forecast_revenue_change(lineitem: DataFrame, year: str = "1996",
+                            discount: float = 0.05,
+                            max_qty: int = 24) -> DataFrame:
+    """TPC-H Q6 shape: scan-only aggregate under conjunctive range
+    predicates — every filter (ship-date year, discount band, quantity
+    cap) pushes to the parquet scan, so the plan is a pruned scan plus
+    a one-row partial/final aggregate with no joins and no shuffle of
+    data rows."""
+    return (
+        lineitem
+        .where((F.col("l_shipdate") >= F.lit(f"{year}-01-01")
+                .cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01")
+                  .cast("timestamp"))
+               & (F.col("l_discount") >= discount - 0.011)
+               & (F.col("l_discount") <= discount + 0.011)
+               & (F.col("l_quantity") < max_qty))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def discounted_brand_revenue(lineitem: DataFrame,
+                             part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates spanning
+    both join sides — the filter can only apply AFTER the part join,
+    so the plan is a broadcast hash join with the composite predicate
+    evaluated post-join, grouped per brand.
+
+    Scale shape: part broadcasts (two columns); each OR clause alone
+    would pre-filter poorly, but the join output is still one map-side
+    pass — no shuffle of lineitem, one tiny final agg exchange."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("l_quantity") >= 1)
+         & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity") >= 10)
+           & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("l_quantity") >= 20)
+           & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30))
+    )
+    return (
+        lineitem
+        .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy("p_brand")
+    )
+
+
 def large_volume_orders(customer: DataFrame, orders: DataFrame,
                         lineitem: DataFrame,
                         min_quantity: int = 300) -> DataFrame:

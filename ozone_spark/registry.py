@@ -4118,35 +4118,36 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         lambda spark, sf: pipeline.decontaminate_bloom(
             views(spark, sf)["documents"].where("doc_id % 25 <> 0"),
             views(spark, sf)["documents"].where("doc_id % 25 = 0")),
-        # deterministic md5-salted Bloom membership (k=3, m=2^18): the
-        # oracle replays the filter bit-for-bit, false positives and all
+        # deterministic Bloom membership (k=3, m=2^18) via
+        # Kirsch-Mitzenmacher double hashing of ONE md5 per shingle:
+        # the oracle replays the filter bit-for-bit, false positives
+        # and all
         f"""WITH shl AS (
   SELECT doc_id, {_SH5} AS shs
   FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
   WHERE len(w) >= 5
 ), ev AS (
-  SELECT DISTINCT unnest(shs) AS s FROM shl WHERE doc_id % 25 = 0
+  SELECT md5(s) AS h
+  FROM (SELECT DISTINCT unnest(shs) AS s FROM shl WHERE doc_id % 25 = 0)
 ), pos AS (
-  SELECT DISTINCT CAST('0x' || substr(md5('bf' || CAST(j AS VARCHAR)
-    || ':' || s), 1, 15) AS BIGINT) % {pipeline.BLOOM_M_BITS} AS p
+  SELECT DISTINCT (CAST('0x' || substr(h, 1, 15) AS BIGINT)
+    + j * CAST('0x' || substr(h, 17, 15) AS BIGINT))
+      % {pipeline.BLOOM_M_BITS} AS p
   FROM ev, range({pipeline.BLOOM_K}) r(j)
 ), tr AS (
-  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM shl
-  WHERE doc_id % 25 <> 0
+  SELECT doc_id, n_sh,
+    CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h1,
+    CAST('0x' || substr(h, 17, 15) AS BIGINT) AS h2
+  FROM (SELECT doc_id, len(shs) AS n_sh, md5(unnest(shs)) AS h FROM shl
+        WHERE doc_id % 25 <> 0)
 ), mem AS (
   SELECT tr.doc_id, tr.n_sh,
     CASE WHEN p0.p IS NOT NULL AND p1.p IS NOT NULL AND p2.p IS NOT NULL
          THEN 1 ELSE 0 END AS maybe
   FROM tr
-  LEFT JOIN pos p0 ON p0.p =
-    CAST('0x' || substr(md5('bf0:' || tr.s), 1, 15) AS BIGINT)
-      % {pipeline.BLOOM_M_BITS}
-  LEFT JOIN pos p1 ON p1.p =
-    CAST('0x' || substr(md5('bf1:' || tr.s), 1, 15) AS BIGINT)
-      % {pipeline.BLOOM_M_BITS}
-  LEFT JOIN pos p2 ON p2.p =
-    CAST('0x' || substr(md5('bf2:' || tr.s), 1, 15) AS BIGINT)
-      % {pipeline.BLOOM_M_BITS}
+  LEFT JOIN pos p0 ON p0.p = tr.h1 % {pipeline.BLOOM_M_BITS}
+  LEFT JOIN pos p1 ON p1.p = (tr.h1 + tr.h2) % {pipeline.BLOOM_M_BITS}
+  LEFT JOIN pos p2 ON p2.p = (tr.h1 + 2 * tr.h2) % {pipeline.BLOOM_M_BITS}
 ), agg AS (
   SELECT doc_id, any_value(n_sh) AS n_sh, sum(maybe) AS n_maybe
   FROM mem GROUP BY 1
@@ -4161,14 +4162,17 @@ FROM agg ORDER BY doc_id""",
         "source_overlap_matrix",
         lambda spark, sf: pipeline.source_overlap_matrix(
             views(spark, sf)["documents"]),
-        # cross-source shingle Jaccard; zero-overlap pairs absent in
-        # both engines (inner join)
+        # cross-source shingle Jaccard over 60-bit shingle hashes (the
+        # distinct/self-join move longs, not strings — same md5 both
+        # engines); zero-overlap pairs absent in both engines
         f"""WITH shl AS (
   SELECT source, {_SH5} AS shs
   FROM (SELECT source, string_split({_NORM}, ' ') AS w FROM documents)
   WHERE len(w) >= 5
 ), sh AS (
-  SELECT DISTINCT source, unnest(shs) AS s FROM shl
+  SELECT DISTINCT source,
+    CAST('0x' || substr(md5(unnest(shs)), 1, 15) AS BIGINT) AS s
+  FROM shl
 ), sizes AS (
   SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
 ), shared AS (
@@ -4217,6 +4221,36 @@ FROM (
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "forecast_revenue_change",
+        lambda spark, sf: tpch.forecast_revenue_change(
+            views(spark, sf)["lineitem"]),
+        # TPC-H Q6 shape: scan-only agg, every predicate pushed
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.039 AND l_discount <= 0.061
+  AND l_quantity < 24""",
+    ),
+    _q(
+        "discounted_brand_revenue",
+        lambda spark, sf: tpch.discounted_brand_revenue(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"]),
+        # TPC-H Q19 shape: OR-of-ANDs spanning both join sides
+        """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2)
+    AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 20
+       AND p_size <= 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 30
+       AND p_size <= 20)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 40
+       AND p_size <= 30)
 GROUP BY 1 ORDER BY 1""",
     ),
     _q(

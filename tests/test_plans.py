@@ -483,13 +483,42 @@ def test_q12_range_filter_pushed(spark, t):
     assert "HashAggregate" in plan
 
 
+def test_q6_all_predicates_pushed_no_join_no_shuffle(spark, t):
+    """forecast_revenue_change: every range predicate reaches the
+    lineitem scan; the plan has no join and the only exchange is the
+    one-row final aggregate's."""
+    from ozone_spark.operators.tpch import forecast_revenue_change
+    plan = plan_of(forecast_revenue_change(t["lineitem"]))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "Join" not in plan
+
+
+def test_q19_disjunctive_filter_broadcast_join(spark, t):
+    """discounted_brand_revenue: part broadcasts and the OR-of-ANDs
+    evaluates post-join — lineitem itself is never hash-shuffled (the
+    lone hashpartitioning is the per-brand final aggregate)."""
+    from ozone_spark.operators.tpch import discounted_brand_revenue
+    plan = plan_of(discounted_brand_revenue(t["lineitem"], t["part"]))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
 def test_winnowing_signature_stage_no_window_exchange(spark, sf_dir):
     """winnowing_fingerprints computes per-row (gram-hash array +
     sliding array_min): no Window operator and no exchange beyond
     _spread's round-robin fan-out — the lead()+window formulation's
     full token-stream repartition must not come back."""
     from ozone_spark import tables
+    from ozone_spark.functions import dedup as dd
     from ozone_spark.functions.dedup import winnowing_fingerprints
+    # evict the winnowing_pairs slot cache: Spark's cache plan-matching
+    # would otherwise serve this subtree as an InMemoryTableScan whose
+    # stored description embeds the cached plan's own exchanges
+    old = dd._CACHE_SLOTS.pop("winnow_fp", None)
+    if old is not None:
+        old.unpersist()
     docs = tables.load_table(spark, sf_dir, "documents")
     plan = plan_of(winnowing_fingerprints(docs))
     assert "Window" not in plan
