@@ -10,8 +10,10 @@ cross-engine comparison.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
+
+from ozone_spark.functions.dedup import _slot_cache
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -267,4 +269,324 @@ def large_volume_orders(customer: DataFrame, orders: DataFrame,
                 F.round("total_qty", 2).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
+    )
+
+def volume_shipping(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade flows — revenue shipped between
+    a nation PAIR (both directions) per ship year.
+
+    Scale shape: both nation lookups broadcast (supplier side is also a
+    broadcast — the supplier table is dimension-sized), and the pair
+    predicate prunes each broadcast to the two nations BEFORE the fact
+    join, so lineitem rows from any other supplier nation never reach
+    the orders shuffle; the only big-big exchange is lineitem x orders
+    on the order key."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = [nation_a, nation_b]
+    supp_n = (supplier
+              .join(broadcast(nation.where(F.col("n_name").isin(pair))),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust_n = (customer
+              .join(broadcast(nation.where(F.col("n_name").isin(pair))),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (
+        lineitem
+        .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def national_market_share(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          target_nation: str = "NATION_3",
+                          region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q8 shape: a target nation's market share — the fraction of
+    revenue sold to one region's customers that was supplied by one
+    nation, per order year (ratio of a conditional sum to the total).
+
+    Scale shape: the customer-region restriction broadcasts (region x
+    nation x filter), the supplier-nation tag broadcasts, and the share
+    is a single conditional aggregate — no second pass, no join back."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rnations = (nation
+                .join(broadcast(region.where(F.col("r_name") == region_name)),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey"))
+    rcust = (customer
+             .join(broadcast(rnations),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .select("c_custkey"))
+    supp_n = (supplier
+              .join(broadcast(nation.select("n_nationkey",
+                                            F.col("n_name")
+                                            .alias("supp_nation"))),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "supp_nation"))
+    target = F.when(F.col("supp_nation") == target_nation, rev) \
+        .otherwise(F.lit(0.0))
+    return (
+        lineitem
+        .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(rcust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(100 * F.sum(target) / F.sum(rev), 4)
+             .alias("market_share_pct"),
+             F.round(F.sum(rev), 2).alias("region_revenue"))
+        .orderBy("order_year")
+    )
+
+
+def product_type_profit(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        p_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q9 shape: per supplier-nation, per year, the profit on one
+    product type — revenue minus a carrying cost derived from the part's
+    retail price (the fixture has no partsupp supplycost; the physical
+    shape — pushed part filter, two broadcast dimensions, nation/year
+    aggregate — is Q9's).
+
+    Scale shape: the part filter prunes the broadcast BEFORE the fact
+    join so only matching-type line items survive the map side; the
+    supplier-nation tag broadcasts; the one exchange is the final
+    (nation, year) aggregate."""
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    typed = part.where(F.col("p_type") == p_type) \
+        .select("p_partkey", "p_retailprice")
+    supp_n = (supplier
+              .join(broadcast(nation.select("n_nationkey",
+                                            F.col("n_name").alias("nation"))),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", "nation"))
+    return (
+        lineitem
+        .join(broadcast(typed), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"),
+             F.count("*").alias("n_lines"))
+        .orderBy("nation", "ship_year")
+    )
+
+
+def _supplier_quantity(lineitem: DataFrame, date_from: str | None = None,
+                       date_to: str | None = None) -> DataFrame:
+    """Per-supplier shipped-quantity/revenue aggregate (one lineitem
+    pass; quantity sums are exact integers in doubles, so every
+    downstream threshold/max comparison is engine-deterministic)."""
+    li = lineitem
+    if date_from is not None:
+        li = li.where(F.col("l_shipdate")
+                      >= F.lit(date_from).cast("timestamp"))
+    if date_to is not None:
+        li = li.where(F.col("l_shipdate")
+                      < F.lit(date_to).cast("timestamp"))
+    return li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                 date_from: str = "1996-01-01",
+                 date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum shipped
+    quantity in a window — the view-referenced-twice MAX pattern.
+
+    Scale shape: the per-supplier aggregate is computed ONCE (slot
+    cache), its one-row max broadcasts back as a scalar crossJoin, and
+    the ranking metric is the exact-integer quantity sum so the max
+    equality cannot be perturbed by distributed float-sum order."""
+    per_supp = _slot_cache(
+        _supplier_quantity(lineitem, date_from, date_to), "tpch_top_supp")
+    mx = per_supp.agg(F.max("total_qty").alias("max_qty"))
+    return (
+        per_supp.crossJoin(broadcast(mx))
+        .where(F.col("total_qty") == F.col("max_qty"))
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_qty", 1).alias("total_qty"), "revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def important_suppliers(lineitem: DataFrame, supplier: DataFrame,
+                        fraction: float = 0.0105) -> DataFrame:
+    """TPC-H Q11 shape: suppliers whose shipped quantity exceeds a
+    FRACTION OF THE GLOBAL TOTAL — the HAVING-against-a-scalar-subquery
+    pattern.
+
+    Scale shape: one lineitem pass builds the per-supplier aggregate
+    (slot cache); the global total is then a one-row aggregate OVER
+    THAT SMALL TABLE (not a second fact pass) broadcast back as a
+    scalar crossJoin.  The threshold metric is the exact-integer
+    quantity sum, so the cut is engine-deterministic."""
+    per_supp = _slot_cache(_supplier_quantity(lineitem), "tpch_imp_supp")
+    total = per_supp.agg(F.sum("total_qty").alias("grand_qty"))
+    return (
+        per_supp.crossJoin(broadcast(total))
+        .where(F.col("total_qty") > fraction * F.col("grand_qty"))
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_qty", 1).alias("total_qty"),
+                F.round(100 * F.col("total_qty") / F.col("grand_qty"), 4)
+                .alias("share_pct"))
+        .orderBy(F.desc("total_qty"), "s_suppkey")
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#12",
+                           factor: float = 0.5) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost by not filling
+    small-quantity orders — each line compares against ITS PART'S
+    average quantity (the correlated-aggregate pattern).
+
+    Scale shape: the brand filter prunes the part broadcast before the
+    fact join; the per-part average is a window keyed by p_partkey over
+    the brand-filtered subset (ONE shuffle of that small subset, no
+    second fact pass, never a global window).  avg(l_quantity) divides
+    two exact integers, so the threshold is engine-deterministic."""
+    bparts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(broadcast(bparts),
+                       F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < factor * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+             .alias("avg_yearly"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def waiting_orders_suppliers(lineitem: DataFrame, orders: DataFrame,
+                             supplier: DataFrame, late_days: int = 60,
+                             top_n: int = 20) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the EXISTS / NOT-EXISTS double self-join,
+    re-expressed as per-order supplier aggregates.
+
+    Scale shape: instead of two correlated self-joins over lineitem,
+    one join to orders, then ONE explicit orderkey exchange that both
+    the (orderkey, suppkey) aggregate AND the two per-order window
+    counts ride (hashpartitioning on the orderkey satisfies the
+    composite group's clustered distribution, so neither re-shuffles);
+    the blame filter is then a map-side predicate.  The shuffled rows
+    are pre-projected to three narrow columns.  All counts are exact
+    integers."""
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+    per_os = (
+        lineitem
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("late"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("was_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_os
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("was_late").over(w))
+        .where((F.col("was_late") == 1) & (F.col("n_supp") > 1)
+               & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(top_n)
+    )
+
+
+def sales_opportunity(customer: DataFrame, orders: DataFrame,
+                      nation: DataFrame,
+                      dormant_since: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape: per nation, the count and held balance of
+    DORMANT customers — above-average positive balance and no order
+    since a cutoff — the scalar-average + anti-join pattern.  (The
+    fixture's customers nearly all have at least one order ever, so
+    the anti-join is against the recent-order subset; the physical
+    shape is Q22's NOT EXISTS.)
+
+    Scale shape: the positive-balance average is a one-row aggregate
+    broadcast as a scalar crossJoin; the no-recent-orders check is a
+    left-anti hash join on the customer key over the date-pruned
+    orders scan (never a NOT IN re-scan); nation broadcasts.  The
+    threshold compares each 2-dec balance against the rounded scalar,
+    so a distributed partial-sum wiggle below the rounding grid cannot
+    flip membership."""
+    avg_bal = (customer.where(F.col("c_acctbal") > 0)
+               .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal")))
+    recent = orders.where(F.col("o_orderdate")
+                          >= F.lit(dormant_since).cast("timestamp")) \
+        .select("o_custkey")
+    return (
+        customer.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("n_name")
+    )
+
+
+def min_cost_supplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, max_size: int = 15) -> DataFrame:
+    """TPC-H Q2 shape: for each (filtered) part, the supplier offering
+    the lowest observed unit price — the correlated-MIN-subquery
+    pattern, re-expressed as a keyed window rank.
+
+    Scale shape: the size filter prunes the part broadcast before the
+    fact join; unit prices aggregate per (part, supplier) first (one
+    exchange), then the winner is row_number() over a window KEYED BY
+    p_partkey (same key — no extra shuffle), never a global sort.
+    Prices are rounded to the cent grid BEFORE the min/rank so the
+    comparison is engine-deterministic, with the supplier key as the
+    tiebreak."""
+    sparts = part.where(F.col("p_size") <= max_size) \
+        .select("p_partkey", "p_name")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    per_ps = (
+        lineitem
+        .join(broadcast(sparts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(unit).alias("min_unit_price"))
+    )
+    w = Window.partitionBy("p_partkey") \
+        .orderBy("min_unit_price", "l_suppkey")
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                "min_unit_price")
+        .orderBy("p_partkey")
     )

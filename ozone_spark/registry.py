@@ -4267,6 +4267,174 @@ GROUP BY 1 ORDER BY 1""",
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "volume_shipping",
+        lambda spark, sf: tpch.volume_shipping(
+            views(spark, sf)["lineitem"], views(spark, sf)["orders"],
+            views(spark, sf)["customer"], views(spark, sf)["supplier"],
+            views(spark, sf)["nation"]),
+        # TPC-H Q7 shape: bilateral nation-pair trade flows per year
+        """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  year(l_shipdate) AS ship_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        bench=True,
+    ),
+    _q(
+        "national_market_share",
+        lambda spark, sf: tpch.national_market_share(
+            views(spark, sf)["lineitem"], views(spark, sf)["orders"],
+            views(spark, sf)["customer"], views(spark, sf)["supplier"],
+            views(spark, sf)["nation"], views(spark, sf)["region"]),
+        # TPC-H Q8 shape: target nation's share of a region's market
+        """SELECT year(o_orderdate) AS order_year,
+  round(100 * sum(CASE WHEN ns.n_name = 'NATION_3'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / sum(l_extendedprice * (1 - l_discount)), 4) AS market_share_pct,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "product_type_profit",
+        lambda spark, sf: tpch.product_type_profit(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"],
+            views(spark, sf)["supplier"], views(spark, sf)["nation"]),
+        # TPC-H Q9 shape: per-nation, per-year profit on one part type
+        """SELECT n_name AS nation, year(l_shipdate) AS ship_year,
+  round(sum(l_extendedprice * (1 - l_discount)
+            - 0.1 * p_retailprice * l_quantity), 2) AS profit,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    _q(
+        "top_supplier",
+        lambda spark, sf: tpch.top_supplier(
+            views(spark, sf)["lineitem"], views(spark, sf)["supplier"]),
+        # TPC-H Q15 shape: max-over-aggregated-view; exact-integer qty
+        """WITH sq AS (
+  SELECT l_suppkey, sum(l_quantity) AS total_qty,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(total_qty, 1) AS total_qty, revenue
+FROM sq JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_qty = (SELECT max(total_qty) FROM sq)
+ORDER BY s_suppkey""",
+    ),
+    _q(
+        "important_suppliers",
+        lambda spark, sf: tpch.important_suppliers(
+            views(spark, sf)["lineitem"], views(spark, sf)["supplier"]),
+        # TPC-H Q11 shape: HAVING against a global-scalar fraction
+        """WITH sq AS (
+  SELECT l_suppkey, sum(l_quantity) AS total_qty FROM lineitem GROUP BY 1)
+SELECT s_suppkey, s_name, round(total_qty, 1) AS total_qty,
+  round(100 * total_qty / (SELECT sum(total_qty) FROM sq), 4) AS share_pct
+FROM sq JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_qty > 0.0105 * (SELECT sum(total_qty) FROM sq)
+ORDER BY total_qty DESC, s_suppkey""",
+    ),
+    _q(
+        "small_quantity_revenue",
+        lambda spark, sf: tpch.small_quantity_revenue(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"]),
+        # TPC-H Q17 shape: per-part correlated average-quantity cutoff
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+  count(*) AS n_lines
+FROM (
+  SELECT l_extendedprice, l_quantity,
+    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#12'))
+WHERE l_quantity < 0.5 * avg_qty""",
+    ),
+    _q(
+        "waiting_orders_suppliers",
+        lambda spark, sf: tpch.waiting_orders_suppliers(
+            views(spark, sf)["lineitem"], views(spark, sf)["orders"],
+            views(spark, sf)["supplier"]),
+        # TPC-H Q21 shape: sole-late-shipper blame via per-order counts
+        """WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), blamed AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, was_late,
+      count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per_os)
+  WHERE was_late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_suppkey, s_name, numwait
+FROM (SELECT l_suppkey, count(*) AS numwait FROM blamed GROUP BY 1)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+        bench=True,
+    ),
+    _q(
+        "sales_opportunity",
+        lambda spark, sf: tpch.sales_opportunity(
+            views(spark, sf)["customer"], views(spark, sf)["orders"],
+            views(spark, sf)["nation"]),
+        # TPC-H Q22 shape: above-average balance + dormant anti-join
+        """SELECT n_name, count(*) AS numcust,
+  round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "min_cost_supplier",
+        lambda spark, sf: tpch.min_cost_supplier(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"],
+            views(spark, sf)["supplier"]),
+        # TPC-H Q2 shape: per-part min-unit-price supplier via keyed rank
+        """WITH per_ps AS (
+  SELECT p_partkey, p_name, l_suppkey,
+    min(round(l_extendedprice / l_quantity, 2)) AS min_unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 15
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY min_unit_price, l_suppkey) AS rn
+  FROM per_ps)
+SELECT p_partkey, p_name, s_suppkey, s_name, min_unit_price
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1 ORDER BY p_partkey""",
+    ),
 ]
 
 

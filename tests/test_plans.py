@@ -505,6 +505,66 @@ def test_q19_disjunctive_filter_broadcast_join(spark, t):
     assert plan.count("hashpartitioning(") == 1
 
 
+def test_q7_nation_pair_pruned_before_fact_join(spark, t):
+    """volume_shipping: both nation lookups prune to the pair BEFORE
+    the fact join (the isin filter broadcasts), so foreign-nation
+    suppliers never reach the orders shuffle."""
+    from ozone_spark.operators.tpch import volume_shipping
+    plan = plan_of(volume_shipping(t["lineitem"], t["orders"],
+                                   t["customer"], t["supplier"],
+                                   t["nation"]))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("In(n_name") >= 2  # pushed into both nation scans
+
+
+def test_q17_window_keyed_by_partkey_single_fact_pass(spark, t):
+    """small_quantity_revenue: the per-part average is a window KEYED
+    by p_partkey (never a global single-partition window) and lineitem
+    is scanned once (the brand filter prunes via one broadcast join)."""
+    from ozone_spark.operators.tpch import small_quantity_revenue
+    plan = plan_of(small_quantity_revenue(t["lineitem"], t["part"]))
+    assert "Window" in plan
+    assert "hashpartitioning(p_partkey" in plan
+    # formatted explain lists each scan twice (tree + details):
+    # lineitem once + part once = at most 4 mentions
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_q21_blame_windows_share_aggregate_exchange(spark, t):
+    """waiting_orders_suppliers: the (orderkey, suppkey) aggregate and
+    both per-order window counts ride ONE explicit orderkey exchange
+    (subset partitioning satisfies the composite group's clustered
+    distribution), then TakeOrderedAndProject for the top-k (no global
+    sort).  Formatted explain lists each exchange twice (tree +
+    details)."""
+    from ozone_spark.operators.tpch import waiting_orders_suppliers
+    plan = plan_of(waiting_orders_suppliers(t["lineitem"], t["orders"],
+                                            t["supplier"]))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(l_orderkey") <= 2
+
+
+def test_q2_rank_window_shares_group_key(spark, t):
+    """min_cost_supplier: the winner rank is a row_number window keyed
+    by p_partkey riding the same partitioning as the (part, supplier)
+    aggregate; the size filter reaches the part scan."""
+    from ozone_spark.operators.tpch import min_cost_supplier
+    plan = plan_of(min_cost_supplier(t["lineitem"], t["part"],
+                                     t["supplier"]))
+    assert "LessThanOrEqual(p_size" in plan
+    assert "Window" in plan
+
+
+def test_q22_anti_join_with_pruned_recent_orders(spark, t):
+    """sales_opportunity: the dormancy check is a left-anti hash join
+    whose orders side is pruned by the pushed cutoff filter."""
+    from ozone_spark.operators.tpch import sales_opportunity
+    plan = plan_of(sales_opportunity(t["customer"], t["orders"],
+                                     t["nation"]))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_winnowing_signature_stage_no_window_exchange(spark, sf_dir):
     """winnowing_fingerprints computes per-row (gram-hash array +
     sliding array_min): no Window operator and no exchange beyond

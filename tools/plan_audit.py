@@ -43,6 +43,9 @@ BNLJ_OK = {
     # exact broadcast baseline by design (the production path is
     # knn_lsh / knn_ivf / knn_pq)
     "knn_bruteforce",
+    # one-row broadcast scalar crossJoins: Q15's max-over-view, Q11's
+    # global-total HAVING, Q22's average-balance threshold
+    "top_supplier", "important_suppliers", "sales_opportunity",
 }
 
 
