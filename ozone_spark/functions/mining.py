@@ -252,3 +252,48 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
                       bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+def zipf_curve(docs: DataFrame, k: int = 1000, top_n: int = 20) -> DataFrame:
+    """Zipf rank-frequency curve of the corpus vocabulary: the top-n
+    tokens with their rank and count, plus the least-squares slope of
+    ln(freq) on ln(rank) fitted over the top-k — the diagnostic that
+    tells a corpus team whether token frequencies follow the natural
+    ~1/rank law (slope near -1) or the corpus is template-polluted
+    (flatter head) before they burn tokenizer budget on it.
+
+    Scale shape: one shuffle for global word counts, top-k via
+    TakeOrderedAndProject (deterministic count-desc/word-asc ties);
+    ranking and the regression then run over the BOUNDED k-row table
+    (the rank window's single partition holds k rows by construction),
+    and the one-row fit broadcasts back as a scalar crossJoin."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    words = (
+        docs.select(F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    ranked = (
+        words.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word").limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), "word")))
+        .withColumn("lx", F.log("rank"))
+        .withColumn("ly", F.log("cnt"))
+    )
+    fit = ranked.agg(
+        F.count("*").alias("n"), F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"), F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"))
+    fit = fit.select(
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4).alias("zipf_slope"),
+        F.round((F.col("sy") - (F.col("n") * F.col("sxy")
+                                - F.col("sx") * F.col("sy"))
+                 / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * F.col("sx")) / F.col("n"), 4).alias("intercept"))
+    return (
+        ranked.where(F.col("rank") <= top_n)
+        .crossJoin(broadcast(fit))
+        .select("rank", "word", "cnt", "zipf_slope", "intercept")
+        .orderBy("rank")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
 
 
 def tumbling_daily(events: DataFrame) -> DataFrame:
@@ -222,4 +223,72 @@ def event_funnel(events: DataFrame,
                 w.rowsBetween(Window.unboundedPreceding,
                               Window.currentRow)), 6))
         .orderBy("step_idx")
+    )
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by the week of
+    their FIRST event, then for each (cohort, week-offset) the count
+    and share of cohort members active that week — the first-touch
+    attribution + retention triangle every growth dashboard runs.
+
+    Scale shape: the first-touch table is one user-keyed aggregate;
+    the activity join is user-keyed (same partitioning — at scale both
+    sides shuffle once on user_id, no broadcast assumption about user
+    cardinality); the retention matrix is then a tiny
+    (cohort, offset) aggregate with the cohort sizes joined back as a
+    broadcast (bounded by the number of calendar weeks).  All metrics
+    are exact integer counts; the pct divides two exact longs."""
+    first = (events.groupBy("user_id")
+             .agg(F.min("ts").alias("first_ts"))
+             .select("user_id",
+                     F.date_trunc("week", "first_ts").alias("cohort_w")))
+    sizes = first.groupBy("cohort_w").agg(
+        F.count("*").alias("cohort_size"))
+    active = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_w",
+                 (F.datediff("w", "cohort_w") / 7).cast("int")
+                 .alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(broadcast(sizes), "cohort_w")
+        .select(F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_active", "cohort_size",
+                F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                .alias("retention"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def path_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    counts): for each consecutive event pair in a user's timeline, the
+    transition count and the share of all transitions leaving the
+    source type — the navigation-flow / next-action model product
+    analytics fits.
+
+    Scale shape: ONE user-keyed window (lag over ts with the event_id
+    tiebreak — deterministic under timestamp ties) produces the pairs
+    map-side after a single user_id exchange; the matrix aggregate is
+    bounded by |event_type|^2 rows, and the per-source share is a
+    keyed window over that tiny aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type",
+                           F.col("event_type").alias("next_type")) \
+        .agg(F.count("*").alias("n_trans"))
+    per_src = Window.partitionBy("prev_type")
+    return (
+        counts
+        .withColumn("p_next", F.round(
+            F.col("n_trans") / F.sum("n_trans").over(per_src), 6))
+        .orderBy("prev_type", "next_type")
     )

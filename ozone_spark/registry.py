@@ -4435,6 +4435,73 @@ SELECT p_partkey, p_name, s_suppkey, s_name, min_unit_price
 FROM ranked JOIN supplier ON l_suppkey = s_suppkey
 WHERE rn = 1 ORDER BY p_partkey""",
     ),
+    _q(
+        "cohort_retention",
+        lambda spark, sf: eops.cohort_retention(views(spark, sf)["events"]),
+        # weekly first-touch cohorts x week-offset retention triangle
+        """WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort_w, count(*) AS cohort_size FROM first GROUP BY 1
+), active AS (
+  SELECT f.cohort_w,
+    CAST(date_diff('day', f.cohort_w, a.w) / 7 AS INT) AS week_offset,
+    count(*) AS n_active
+  FROM (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        FROM events) a
+  JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT strftime(a.cohort_w, '%Y-%m-%d') AS cohort_week, week_offset,
+  n_active, cohort_size, round(n_active * 1.0 / cohort_size, 6) AS retention
+FROM active a JOIN sizes s ON a.cohort_w = s.cohort_w
+ORDER BY 1, 2""",
+    ),
+    _q(
+        "path_transitions",
+        lambda spark, sf: eops.path_transitions(views(spark, sf)["events"]),
+        # per-user consecutive event-type Markov transition matrix
+        """WITH pairs AS (
+  SELECT lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, count(*) AS n_trans
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_trans,
+  round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY prev_type), 6)
+    AS p_next
+FROM counts ORDER BY 1, 2""",
+    ),
+    _q(
+        "zipf_curve",
+        lambda spark, sf: mining.zipf_curve(views(spark, sf)["documents"]),
+        # top-20 token ranks + ln-ln least-squares slope over the top-1000
+        """WITH words AS (
+  SELECT unnest(string_split(
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS cnt FROM words WHERE word <> ''
+  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1000
+), ranked AS (
+  SELECT word, cnt,
+    row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+    ln(row_number() OVER (ORDER BY cnt DESC, word)) AS lx,
+    ln(cnt) AS ly
+  FROM vocab
+), fit AS (
+  SELECT
+    round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4) AS zipf_slope,
+    round((sum(ly) - (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+      / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) * sum(lx))
+      / count(*), 4) AS intercept
+  FROM ranked)
+SELECT rank, word, cnt, zipf_slope, intercept
+FROM ranked, fit WHERE rank <= 20 ORDER BY rank""",
+    ),
 ]
 
 

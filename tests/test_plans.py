@@ -565,6 +565,30 @@ def test_q22_anti_join_with_pruned_recent_orders(spark, t):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_path_transitions_single_user_exchange(spark, sf_dir):
+    """path_transitions: the lag window is the only user_id exchange
+    and the per-source share window runs on the bounded type-pair
+    aggregate — no global (empty-key) window over event rows."""
+    from ozone_spark import tables
+    from ozone_spark.operators.events import path_transitions
+    ev = tables.namespace_views(spark, sf_dir)["events"]
+    plan = plan_of(path_transitions(ev))
+    # tree + details: one distinct user_id exchange at most
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "Window" in plan
+
+
+def test_cohort_retention_broadcast_sizes(spark, sf_dir):
+    """cohort_retention: cohort sizes join back as a broadcast (bounded
+    by calendar weeks) — the retention matrix never shuffles on the
+    cohort key."""
+    from ozone_spark import tables
+    from ozone_spark.operators.events import cohort_retention
+    ev = tables.namespace_views(spark, sf_dir)["events"]
+    plan = plan_of(cohort_retention(ev))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_winnowing_signature_stage_no_window_exchange(spark, sf_dir):
     """winnowing_fingerprints computes per-row (gram-hash array +
     sliding array_min): no Window operator and no exchange beyond

@@ -44,8 +44,10 @@ BNLJ_OK = {
     # knn_lsh / knn_ivf / knn_pq)
     "knn_bruteforce",
     # one-row broadcast scalar crossJoins: Q15's max-over-view, Q11's
-    # global-total HAVING, Q22's average-balance threshold
+    # global-total HAVING, Q22's average-balance threshold, the Zipf
+    # fit row attached to the top-n token table
     "top_supplier", "important_suppliers", "sales_opportunity",
+    "zipf_curve",
 }
 
 
