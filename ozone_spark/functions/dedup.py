@@ -676,3 +676,37 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+def minhash_recall(docs: DataFrame, truth_threshold: float = 0.5,
+                   est_threshold: float = 0.35) -> DataFrame:
+    """Dedup-quality evaluation harness: how well does the banded
+    MinHash-LSH candidate set recover the EXACT n-gram-Jaccard truth
+    pairs?  One row: truth/candidate/hit counts plus recall (share of
+    true pairs the sketch surfaces) and precision-vs-truth (share of
+    candidates that are truly above the truth cutoff) — the
+    numbers a pipeline team reads before trusting the sketch path at a
+    scale where the exact pass is unaffordable.
+
+    Scale shape: both sides are the existing capped-bucket pair
+    generators (never all-pairs); the comparison is a full-outer join
+    on the (doc_a, doc_b) key — pair-list sized, tiny next to the
+    corpus — and a one-row aggregate.  At 100 TB this is exactly the
+    sampled-audit one runs on a slice to pick band/threshold settings
+    (`suggest_band_bits`), so the harness itself must stay linear: it
+    does."""
+    truth = ngram_jaccard_pairs(docs, threshold=truth_threshold) \
+        .select("doc_a", "doc_b", F.lit(1).alias("in_truth"))
+    cand = minhash_lsh_pairs(docs, threshold=est_threshold) \
+        .select("doc_a", "doc_b", F.lit(1).alias("in_cand"))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum("in_truth").alias("n_truth"),
+        F.sum("in_cand").alias("n_cand"),
+        F.sum(F.when(F.col("in_truth").isNotNull()
+                     & F.col("in_cand").isNotNull(), 1).otherwise(0))
+        .alias("n_hit"),
+    ).select(
+        "n_truth", "n_cand", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+    )

@@ -590,3 +590,76 @@ def min_cost_supplier(lineitem: DataFrame, part: DataFrame,
                 "min_unit_price")
         .orderBy("p_partkey")
     )
+
+def parts_supplier_counts(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame,
+                          exclude_brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each
+    (brand, type, size-band) part segment, excluding a complaint
+    blacklist — the count-distinct + NOT-IN(anti-join) pattern.
+
+    Scale shape: the blacklist (negative-balance suppliers) is a tiny
+    aggregate anti-joined as a broadcast; the part dimension broadcasts;
+    the distinct-supplier count is one (segment, suppkey) dedup
+    exchange then a segment aggregate — never a count(distinct) global
+    re-shuffle per segment."""
+    blacklist = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    seg = part.where(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_type",
+        (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_band"))
+    return (
+        lineitem
+        .join(broadcast(seg), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(blacklist),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "size_band", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "size_band")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+    )
+
+
+def dominant_part_suppliers(lineitem: DataFrame, part: DataFrame,
+                            supplier: DataFrame,
+                            name_prefix: str = "small",
+                            share: float = 0.2) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a `share`
+    fraction of some filtered part's total volume — the nested
+    semi-join chain (supplier IN ... partkey IN ... AND qty >
+    scalar-of-part).  Classic Q20 cuts at 50%; the default here is 20%
+    so the fixture's near-uniform supplier mix still yields dominant
+    pairs at every scale factor.
+
+    Scale shape: the part-name filter prunes the broadcast before the
+    fact join; then ONE explicit p_partkey exchange that both the
+    (part, supplier) aggregate AND the per-part total window ride
+    (subset partitioning satisfies the composite group's clustered
+    distribution — same trick as waiting_orders_suppliers), no fact
+    re-scan; the dominant pairs collapse to a supplier aggregate
+    joined broadcast to names.  Quantity sums are exact integers — the
+    share cut is engine-deterministic."""
+    named = part.where(F.col("p_name").startswith(name_prefix)) \
+        .select("p_partkey")
+    per_ps = (
+        lineitem
+        .join(broadcast(named), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_suppkey", "l_quantity")
+        .repartition("p_partkey")
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("p_partkey")
+    dom = (
+        per_ps.withColumn("part_qty", F.sum("qty").over(w))
+        .where(F.col("qty") > share * F.col("part_qty"))
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"),
+             F.round(F.sum("qty"), 1).alias("dominated_qty"))
+        .join(broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
+        .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
+    )

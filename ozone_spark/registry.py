@@ -4502,6 +4502,111 @@ FROM counts ORDER BY 1, 2""",
 SELECT rank, word, cnt, zipf_slope, intercept
 FROM ranked, fit WHERE rank <= 20 ORDER BY rank""",
     ),
+    _q(
+        "parts_supplier_counts",
+        lambda spark, sf: tpch.parts_supplier_counts(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"],
+            views(spark, sf)["supplier"]),
+        # TPC-H Q16 shape: distinct suppliers per part segment, NOT IN
+        # blacklist as an anti-join
+        """SELECT p_brand, p_type,
+  CAST(floor(p_size / 10) * 10 AS INT) AS size_band,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""",
+    ),
+    _q(
+        "dominant_part_suppliers",
+        lambda spark, sf: tpch.dominant_part_suppliers(
+            views(spark, sf)["lineitem"], views(spark, sf)["part"],
+            views(spark, sf)["supplier"]),
+        # TPC-H Q20 shape: suppliers shipping >half a part's volume
+        """WITH per_ps AS (
+  SELECT p_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY 1, 2
+), dom AS (
+  SELECT l_suppkey, qty FROM (
+    SELECT l_suppkey, qty,
+      sum(qty) OVER (PARTITION BY p_partkey) AS part_qty
+    FROM per_ps)
+  WHERE qty > 0.2 * part_qty)
+SELECT s_suppkey, s_name, n_dominated_parts, dominated_qty
+FROM (SELECT l_suppkey, count(*) AS n_dominated_parts,
+        round(sum(qty), 1) AS dominated_qty
+      FROM dom GROUP BY 1)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_dominated_parts DESC, s_suppkey""",
+    ),
+    _q(
+        "minhash_recall",
+        lambda spark, sf: dedup.minhash_recall(views(spark, sf)["documents"]),
+        # sketch-vs-exact eval: replay BOTH pair generators (the exact
+        # capped-bucket Jaccard truth at >=0.5 and the banded minhash
+        # candidates at est>=0.35) and full-outer join the pair keys
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), hs AS (
+  SELECT doc_id, list_transform(
+    list_distinct(list_transform(
+      range(1, greatest(len(w) - 2, 0) + 1),
+      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
+    s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM words
+), sig AS (
+  SELECT doc_id, [{_minhash_sig_sql()}] AS sig FROM hs
+), bands AS (
+  SELECT doc_id, sig, band,
+    md5(concat_ws(',', sig[band * 4 + 1], sig[band * 4 + 2],
+                  sig[band * 4 + 3], sig[band * 4 + 4])) AS bucket
+  FROM (SELECT doc_id, sig, unnest(range(8)) AS band FROM sig)
+), okb AS (
+  SELECT band, bucket FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 200
+), bf AS (
+  SELECT bands.* FROM bands JOIN okb USING (band, bucket)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE len(list_filter(list_zip(a.sig, b.sig), x -> x[1] = x[2])) / 32.0
+    >= 0.35
+), ev AS (
+  SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+    (t.doc_a IS NOT NULL)::INT AS in_truth,
+    (c.doc_a IS NOT NULL)::INT AS in_cand
+  FROM truth t FULL JOIN cand c USING (doc_a, doc_b))
+SELECT sum(in_truth) AS n_truth, sum(in_cand) AS n_cand,
+  sum(in_truth * in_cand) AS n_hit,
+  round(sum(in_truth * in_cand) * 1.0 / sum(in_truth), 6) AS recall,
+  round(sum(in_truth * in_cand) * 1.0 / sum(in_cand), 6) AS precision
+FROM ev""",
+    ),
 ]
 
 

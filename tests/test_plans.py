@@ -565,6 +565,31 @@ def test_q22_anti_join_with_pruned_recent_orders(spark, t):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_q16_anti_join_broadcast_distinct(spark, t):
+    """parts_supplier_counts: the complaint blacklist is a broadcast
+    anti-join and the distinct-supplier count is a two-level aggregate
+    (segment+suppkey dedup then segment count), never an expand-based
+    count-distinct over the fact rows."""
+    from ozone_spark.operators.tpch import parts_supplier_counts
+    plan = plan_of(parts_supplier_counts(t["lineitem"], t["part"],
+                                         t["supplier"]))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_part_window_rides_group_exchange(spark, t):
+    """dominant_part_suppliers: the (part, supplier) aggregate and the
+    per-part total window ride ONE explicit p_partkey exchange, and the
+    part-name prefix filter reaches the part scan.  Formatted explain
+    lists each exchange twice (tree + details)."""
+    from ozone_spark.operators.tpch import dominant_part_suppliers
+    plan = plan_of(dominant_part_suppliers(t["lineitem"], t["part"],
+                                           t["supplier"]))
+    assert "StringStartsWith(p_name" in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(p_partkey") <= 2
+
+
 def test_path_transitions_single_user_exchange(spark, sf_dir):
     """path_transitions: the lag window is the only user_id exchange
     and the per-source share window runs on the bounded type-pair
