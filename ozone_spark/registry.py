@@ -4607,6 +4607,56 @@ SELECT sum(in_truth) AS n_truth, sum(in_cand) AS n_cand,
   round(sum(in_truth * in_cand) * 1.0 / sum(in_cand), 6) AS precision
 FROM ev""",
     ),
+    _q(
+        "ann_recall",
+        lambda spark, sf: similarity.ann_recall(
+            views(spark, sf)["embeddings"]),
+        # recall@10 of the LSH index vs the exact brute-force top-k,
+        # replaying both sides (same literal hyperplanes as knn_lsh)
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+  ) WHERE rank <= 10
+), sig AS (
+  SELECT vec_id, embedding,
+    ({_lsh_sig_sql('embedding', similarity.suggest_n_planes(_GATE_EMB_N))})
+    AS sig
+  FROM embeddings
+), ql AS (
+  SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM sig
+  WHERE vec_id IN (0, 1, 2)
+), cand AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM sig, ql
+  WHERE bit_count(xor(sig, qsig)) <= 2 AND vec_id <> query_id
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS n_hit,
+  count(*) AS n_truth,
+  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+    / count(*), 6) AS recall_at_k
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1""",
+    ),
 ]
 
 

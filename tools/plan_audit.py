@@ -48,6 +48,8 @@ BNLJ_OK = {
     # fit row attached to the top-n token table
     "top_supplier", "important_suppliers", "sales_opportunity",
     "zipf_curve",
+    # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh
+    "ann_recall",
 }
 
 

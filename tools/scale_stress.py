@@ -74,6 +74,14 @@ STRESS_QUERIES = [
                                  # every source here (worst fan-out)
     "dedup_winnowing",           # zero-shuffle per-row fingerprints,
                                  # bucket caps under 10-way-dup skew
+    "minhash_recall",            # BOTH pair generators + pair-key join
+                                 # under 10-way-dup skew (worst case for
+                                 # the truth-side bucket explode)
+    "waiting_orders_suppliers",  # 10x lineitem through the one-exchange
+                                 # agg+window blame plan
+    "volume_shipping",           # nation-pair fact join at 10x lineitem
+    "cohort_retention",          # 10x denser per-user activity
+    "zipf_curve",                # 10x token stream into the top-k rank
 ]
 
 
