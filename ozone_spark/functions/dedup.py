@@ -549,21 +549,36 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     fp = F.md5(_norm_text(F.col("text")))
     words = F.split(_norm_text(F.col("text")), " ")
     base = _spread(docs).select("doc_id", fp.alias("g"), words.alias("ws"))
-    groups = base.groupBy("g").agg(F.min("doc_id").alias("rep"),
-                                   F.count("*").alias("sz"))
+    # The narrow (doc_id, g) membership is read twice — once for the
+    # group table, once for the final expansion — and recomputing it
+    # means a second full text scan + md5 pass; cache the two-column
+    # projection (~tens of bytes/doc, MEMORY_AND_DISK at scale), not
+    # the word arrays.
+    membership = _slot_cache(base.select("doc_id", "g"), "clusters_base")
+    groups = membership.groupBy("g").agg(F.min("doc_id").alias("rep"),
+                                         F.count("*").alias("sz"))
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    sh = (
+    # k exact copies emit identical (g, shingle-hash) rows; instead of
+    # a dedicated distinct exchange over the full shingle-instance
+    # stream, collect_set dedups them INSIDE the bucket aggregation's
+    # own exchange (one big shuffle, not two).  Per-content shingle
+    # counts never need that stream at all: every copy carries the
+    # identical distinct-shingle array, so n_sh is the array size
+    # reduced per group map-side.
+    sh_raw = (
         base.where(F.size("ws") >= n)
         .select("g", F.explode(shingles).alias("shingle"))
         .select("g", F.xxhash64("shingle").alias("shingle"))
-        .distinct()  # k exact copies -> ONE shingle set
     )
-    sh = _slot_cache(sh, "clusters_sh")
-    sizes = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
+    sizes = (
+        base.where(F.size("ws") >= n)
+        .select("g", F.size(shingles).alias("n_sh"))
+        .groupBy("g").agg(F.min("n_sh").alias("n_sh"))
+    )
     buckets = (
-        sh.groupBy("shingle").agg(F.collect_list("g").alias("ds"))
+        sh_raw.groupBy("shingle").agg(F.collect_set("g").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
         .select(F.array_sort("ds").alias("ds"))
     )
@@ -593,7 +608,7 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     )
     cc = connected_components(gpairs)
     out = (
-        base.select("doc_id", "g").join(groups, "g")
+        membership.join(groups, "g")
         .join(cc.withColumnRenamed("doc_id", "rep"), "rep", "left")
         .where((F.col("sz") >= 2) | F.col("cluster_id").isNotNull())
         .select("doc_id",
@@ -709,4 +724,27 @@ def minhash_recall(docs: DataFrame, truth_threshold: float = 0.5,
         "n_truth", "n_cand", "n_hit",
         F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
         F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+    )
+
+def cluster_size_stats(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Duplicate-cluster size distribution: for each cluster size, how
+    many clusters and how many member documents — the dedup report a
+    corpus team reads to decide whether duplication is a long tail of
+    pairs or a few mega-clusters (which is what decides keeper policy
+    and LSH band settings).
+
+    Scale shape: rides duplicate_clusters unchanged (exact contraction
+    before the quadratic stages), then two tiny aggregates over the
+    membership table — cluster sizes, then the size histogram; both
+    exchanges are cluster-count sized, not corpus sized."""
+    cl = duplicate_clusters(docs, threshold=threshold)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select("cluster_size", "n_clusters",
+                (F.col("cluster_size") * F.col("n_clusters"))
+                .alias("n_docs"))
+        .orderBy("cluster_size")
     )

@@ -1977,6 +1977,57 @@ def _simhash_combine_sql() -> str:
         for i in range(dedup.SIM_BITS))
 
 
+# Shared recursive-CTE pipeline replaying duplicate_clusters in DuckDB
+# (exact-fingerprint contraction -> capped-bucket Jaccard pairs between
+# distinct contents -> transitive closure -> expanded membership);
+# reused by dedup_clusters (full membership) and dedup_cluster_stats
+# (size distribution over the same membership).
+_CLUSTERS_CTE = f"""WITH RECURSIVE fps AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, min(doc_id) AS rep, count(*) AS sz FROM fps GROUP BY fp
+), words AS (
+  SELECT g.rep, string_split({_NORM}, ' ') AS w
+  FROM documents d JOIN grp g ON g.rep = d.doc_id
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT rep, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT rep, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.rep AS doc_a, b.rep AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.rep < b.rep
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.rep = doc_a
+  JOIN sizes sb ON sb.rep = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc_id, a AS root FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+), repc AS (
+  SELECT doc_id AS rep, min(root) AS cluster_id FROM reach GROUP BY 1
+), members AS (
+  SELECT f.doc_id,
+    coalesce(r.cluster_id, g.rep) AS cluster_id,
+    coalesce(r.cluster_id, g.rep) = f.doc_id AS is_keeper
+  FROM fps f JOIN grp g USING (fp) LEFT JOIN repc r ON r.rep = g.rep
+  WHERE g.sz >= 2 OR r.cluster_id IS NOT NULL
+)"""
+
+
 DEDUP_QUERIES = [
     _q(
         "dedup_exact",
@@ -2094,50 +2145,8 @@ FROM r GROUP BY doc_id ORDER BY doc_id""",
         # cluster_id = min doc_id of the expanded component (group reps
         # are group minima, so the component min survives contraction);
         # exact-dup families (sz >= 2) are clusters by definition
-        oracle=f"""WITH RECURSIVE fps AS (
-  SELECT doc_id, md5({_NORM}) AS fp FROM documents
-), grp AS (
-  SELECT fp, min(doc_id) AS rep, count(*) AS sz FROM fps GROUP BY fp
-), words AS (
-  SELECT g.rep, string_split({_NORM}, ' ') AS w
-  FROM documents d JOIN grp g ON g.rep = d.doc_id
-  WHERE len(string_split({_NORM}, ' ')) >= 3
-), sh AS (
-  SELECT rep, unnest(list_distinct(list_transform(
-    range(1, greatest(len(w) - 2, 0) + 1),
-    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
-  FROM words
-), sizes AS (
-  SELECT rep, count(*) AS n_sh FROM sh GROUP BY 1
-), ok AS (
-  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
-), shf AS (
-  SELECT sh.* FROM sh JOIN ok USING (shingle)
-), common AS (
-  SELECT a.rep AS doc_a, b.rep AS doc_b, count(*) AS n_common
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.rep < b.rep
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT doc_a, doc_b FROM common
-  JOIN sizes sa ON sa.rep = doc_a
-  JOIN sizes sb ON sb.rep = doc_b
-  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
-), edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-), reach AS (
-  SELECT DISTINCT a AS doc_id, a AS root FROM edges
-  UNION
-  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
-), repc AS (
-  SELECT doc_id AS rep, min(root) AS cluster_id FROM reach GROUP BY 1
-)
-SELECT f.doc_id,
-  coalesce(r.cluster_id, g.rep) AS cluster_id,
-  coalesce(r.cluster_id, g.rep) = f.doc_id AS is_keeper
-FROM fps f JOIN grp g USING (fp) LEFT JOIN repc r ON r.rep = g.rep
-WHERE g.sz >= 2 OR r.cluster_id IS NOT NULL
-ORDER BY f.doc_id""",
+        oracle=f"""{_CLUSTERS_CTE}
+SELECT doc_id, cluster_id, is_keeper FROM members ORDER BY doc_id""",
     ),
     _q(
         "dedup_minhash_lsh",
@@ -4656,6 +4665,19 @@ SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
 FROM truth t LEFT JOIN approx a
   ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "dedup_cluster_stats",
+        lambda spark, sf: dedup.cluster_size_stats(
+            views(spark, sf)["documents"]),
+        # size histogram over the same cluster membership as
+        # dedup_clusters (shared _CLUSTERS_CTE)
+        oracle=f"""{_CLUSTERS_CTE},
+csizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM members GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+  cluster_size * count(*) AS n_docs
+FROM csizes GROUP BY 1 ORDER BY 1""",
     ),
 ]
 

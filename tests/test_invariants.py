@@ -990,3 +990,75 @@ def test_event_funnel_monotone(spark, sf_dir):
     assert rows[0].conv_from_prev == rows[0].conv_from_top == 1.0
     for r in rows:
         assert 0 < r.conv_from_prev <= 1 and 0 < r.conv_from_top <= 1
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Cohort invariants: offset-0 retention is 1.0 for every cohort
+    (a user is active the week of their first event by definition),
+    retention is in (0, 1], n_active <= cohort_size, and per-cohort
+    active counts sum to the distinct (user, week) activity total."""
+    from ozone_spark.operators.events import cohort_retention
+    ev = tables.load_table(spark, sf_dir, "events")
+    rows = cohort_retention(ev).collect()
+    assert rows, "no cohorts"
+    for r in rows:
+        assert 0 < r.retention <= 1.0
+        assert r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+    total = ev.select("user_id", F.date_trunc("week", "ts").alias("w")) \
+        .distinct().count()
+    assert sum(r.n_active for r in rows) == total
+
+
+def test_path_transitions_probabilities_sum_to_one(spark, sf_dir):
+    """Per source type, the outgoing transition probabilities sum to
+    ~1 and the transition counts sum to n_events - n_users (each
+    user's first event has no predecessor)."""
+    from ozone_spark.operators.events import path_transitions
+    ev = tables.load_table(spark, sf_dir, "events")
+    rows = path_transitions(ev).collect()
+    by_src: dict[str, float] = {}
+    n_trans = 0
+    for r in rows:
+        by_src[r.prev_type] = by_src.get(r.prev_type, 0.0) + r.p_next
+        n_trans += r.n_trans
+    for src, p in by_src.items():
+        assert abs(p - 1.0) < 1e-4, (src, p)
+    expect = ev.count() - ev.select("user_id").distinct().count()
+    assert n_trans == expect
+
+
+def test_minhash_recall_bounds(spark, sf_dir):
+    """The eval harness's own sanity: counts are consistent (hits
+    bounded by both sides) and recall/precision are in [0, 1]."""
+    from ozone_spark.functions.dedup import minhash_recall
+    docs = tables.load_table(spark, sf_dir, "documents")
+    r = minhash_recall(docs).collect()[0]
+    assert r.n_hit <= r.n_truth and r.n_hit <= r.n_cand
+    assert 0 <= r.recall <= 1 and 0 <= r.precision <= 1
+
+
+def test_cluster_size_stats_accounts_every_member(spark, sf_dir):
+    """The size histogram re-aggregates the exact membership table:
+    sum(n_docs) == |duplicate_clusters| rows and every cluster size
+    is >= 2 (singletons are not clusters)."""
+    from ozone_spark.functions.dedup import (cluster_size_stats,
+                                             duplicate_clusters)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = cluster_size_stats(docs).collect()
+    assert rows, "no clusters in fixture"
+    assert all(r.cluster_size >= 2 for r in rows)
+    assert sum(r.n_docs for r in rows) == duplicate_clusters(docs).count()
+
+
+def test_zipf_slope_negative_and_ranks_contiguous(spark, sf_dir):
+    """Zipf invariants: ranks are 1..20 with non-increasing counts and
+    the fitted slope is negative (frequencies fall with rank)."""
+    from ozone_spark.functions.mining import zipf_curve
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = sorted(zipf_curve(docs).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, 21))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert rows[0].zipf_slope < 0
