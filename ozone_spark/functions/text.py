@@ -267,3 +267,32 @@ def fingerprint_summary(docs: DataFrame) -> DataFrame:
              F.countDistinct("fingerprint").alias("n_unique"))
         .orderBy("source")
     )
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_matrix(docs: DataFrame) -> DataFrame:
+    """Per-source language composition as a WIDE matrix — one column
+    per language plus a total — via the DataFrame pivot API (the
+    corpus-composition sheet a data team exports to spreadsheets).
+
+    Scale shape: `pivot` with an EXPLICIT value list compiles to one
+    hash aggregate with |langs| conditional counts per group — one
+    exchange, no per-language scans, and no pre-pass to discover the
+    pivot domain (an open pivot would need one); sources are the group
+    key, so the wide result is |sources| rows."""
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(LANGS))
+    )
+    total = None
+    for lg in LANGS:
+        total = F.col(lg) if total is None else total + F.col(lg)
+    return (
+        out.withColumn("n_docs", total.cast("long"))
+        .select("source", *[F.col(lg).cast("long").alias(lg)
+                            for lg in LANGS], "n_docs")
+        .orderBy("source")
+    )

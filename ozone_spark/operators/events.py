@@ -292,3 +292,31 @@ def path_transitions(events: DataFrame) -> DataFrame:
             F.col("n_trans") / F.sum("n_trans").over(per_src), 6))
         .orderBy("prev_type", "next_type")
     )
+
+
+def weekly_growth(events: DataFrame) -> DataFrame:
+    """Week-over-week event-volume growth: weekly totals per event
+    type with the previous week's count and the percent change — the
+    lag-over-aggregate reporting pattern (the same shape as
+    CLUSTER_GROWTH_DAILY trended over time).
+
+    Scale shape: one (type, week) aggregate over the corpus, then the
+    lag window runs over the TINY aggregate partitioned by event_type
+    — never a window over raw events."""
+    weekly = (
+        events.groupBy("event_type",
+                       F.date_trunc("week", "ts").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    lagw = Window.partitionBy("event_type").orderBy("w")
+    return (
+        weekly
+        .withColumn("prev_events", F.lag("n_events").over(lagw))
+        .select("event_type",
+                F.date_format("w", "yyyy-MM-dd").alias("week"),
+                "n_events", "prev_events",
+                F.round((F.col("n_events") - F.col("prev_events"))
+                        * 100.0 / F.col("prev_events"), 4)
+                .alias("wow_pct"))
+        .orderBy("event_type", "week")
+    )

@@ -4679,6 +4679,36 @@ SELECT cluster_size, count(*) AS n_clusters,
   cluster_size * count(*) AS n_docs
 FROM csizes GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "source_lang_matrix",
+        lambda spark, sf: text.source_lang_matrix(
+            views(spark, sf)["documents"]),
+        # wide per-source language composition (explicit pivot domain)
+        """SELECT source,
+  count(*) FILTER (lang = 'de') AS de,
+  count(*) FILTER (lang = 'en') AS en,
+  count(*) FILTER (lang = 'es') AS es,
+  count(*) FILTER (lang = 'fr') AS fr,
+  count(*) FILTER (lang = 'zh') AS zh,
+  count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "events_weekly_growth",
+        lambda spark, sf: eops.weekly_growth(views(spark, sf)["events"]),
+        # week-over-week growth via lag over the weekly aggregate
+        """WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS w,
+    count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(w, '%Y-%m-%d') AS week, n_events,
+  lag(n_events) OVER (PARTITION BY event_type ORDER BY w) AS prev_events,
+  round((n_events - lag(n_events) OVER (PARTITION BY event_type
+      ORDER BY w)) * 100.0
+    / lag(n_events) OVER (PARTITION BY event_type ORDER BY w), 4)
+    AS wow_pct
+FROM weekly ORDER BY 1, 2""",
+    ),
 ]
 
 
