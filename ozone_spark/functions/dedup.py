@@ -154,6 +154,34 @@ def dedup_threshold_sweep(docs: DataFrame, n: int = 3,
     )
 
 
+def _paragraph_fps(docs: DataFrame, para_words: int) -> DataFrame:
+    """(doc_id, para_idx, fp) rows: md5 fingerprints of non-overlapping
+    `para_words`-word chunks of the normalized text — the shared explode
+    stage of paragraph_dedup and boilerplate_paragraphs.  Paragraph text
+    is dropped at the source: only 32-char fingerprints ever move."""
+    # the word array is projected to a real column before the paragraph
+    # transform references it — inlining the regexp+split into the
+    # lambda re-evaluates the normalization per paragraph ELEMENT
+    # (subexpression elimination does not reach inside HOF lambdas)
+    words = F.split(F.trim(_norm_text(F.col("text"))), " +")
+    base = (
+        # guard on the trimmed TEXT, not size(words): split('') yields
+        # [''] (size 1), which would give every wordless doc the same
+        # empty paragraph and cross-dedup unrelated docs
+        docs.where(F.trim(_norm_text(F.col("text"))) != "")
+        .select("doc_id", words.alias("ws"))
+    )
+    n_paras = F.ceil(F.size("ws") / F.lit(para_words)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("ws", i * para_words + 1, para_words)))
+    return (
+        base.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+        .select("doc_id", "para_idx", F.md5(F.col("para")).alias("fp"))
+    )
+
+
 def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
     """Paragraph-level exact dedup (the Dolma / RefinedWeb recipe:
     drop every later copy of a repeated paragraph corpus-wide, keep the
@@ -173,27 +201,7 @@ def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
     and the kept fraction — the per-doc survival report a curation
     pipeline thresholds on (documents reduced to boilerplate lose most
     paragraphs to earlier copies)."""
-    # the word array is projected to a real column before the paragraph
-    # transform references it — inlining the regexp+split into the
-    # lambda re-evaluates the normalization per paragraph ELEMENT
-    # (subexpression elimination does not reach inside HOF lambdas)
-    words = F.split(F.trim(_norm_text(F.col("text"))), " +")
-    base = (
-        # guard on the trimmed TEXT, not size(words): split('') yields
-        # [''] (size 1), which would give every wordless doc the same
-        # empty paragraph and cross-dedup unrelated docs
-        docs.where(F.trim(_norm_text(F.col("text"))) != "")
-        .select("doc_id", words.alias("ws"))
-    )
-    n_paras = F.ceil(F.size("ws") / F.lit(para_words)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), n_paras - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice("ws", i * para_words + 1, para_words)))
-    exploded = (
-        base.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
-        .select("doc_id", "para_idx", F.md5(F.col("para")).alias("fp"))
-    )
+    exploded = _paragraph_fps(docs, para_words)
     w = Window.partitionBy("fp").orderBy("doc_id", "para_idx")
     kept = exploded.withColumn(
         "kept", (F.row_number().over(w) == 1).cast("int"))
@@ -205,6 +213,55 @@ def paragraph_dedup(docs: DataFrame, para_words: int = 20) -> DataFrame:
                 (F.col("n_paras") - F.col("n_kept")).alias("n_dropped"),
                 F.round(F.col("n_kept") / F.col("n_paras"), 6)
                 .alias("frac_kept"))
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_paragraphs(docs: DataFrame, para_words: int = 20,
+                           min_df: int = 3) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet / RefinedWeb
+    line-dedup rule, distinct from paragraph_dedup's keep-first): a
+    paragraph that appears in >= `min_df` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license headers) and EVERY
+    occurrence is removed — no keeper, unlike keep-first dedup, because
+    a string repeated across unrelated pages carries no signal for any
+    of them.
+
+    Returns one row per document: paragraph count, removed count, the
+    kept fraction, and `cleaned_fp` — md5 over the kept paragraphs'
+    fingerprints in order, a value-checkable proof of exactly which
+    paragraphs survived (the fingerprint-of-fingerprints stands in for
+    rewriting the text so paragraph TEXT never shuffles; a real rewrite
+    joins this verdict back to the exploded paragraphs map-side).
+
+    Scale shape: the explode emits (doc_id, para_idx, 32-char fp) only;
+    document frequency is one fp-keyed exchange with map-side partial
+    aggregation, the verdict join re-uses the same fp hash partitioning,
+    and the per-doc rebuild is the second and final exchange.  Nothing
+    in the plan is proportional to pair counts — boilerplate with
+    millions of occurrences costs its row count, never its square."""
+    exploded = _paragraph_fps(docs, para_words)
+    df_per_fp = exploded.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("df"))
+    flagged = (
+        exploded.join(df_per_fp, "fp")
+        .select("doc_id", "para_idx", "fp",
+                (F.col("df") >= min_df).alias("boiler"))
+    )
+    kept_fps = F.array_join(F.transform(
+        F.array_sort(F.collect_list(
+            F.when(~F.col("boiler"),
+                   F.struct("para_idx", "fp")))),
+        lambda s: s["fp"]), "")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_paras"),
+             F.sum(F.col("boiler").cast("long")).alias("n_removed"),
+             F.md5(kept_fps).alias("cleaned_fp"))
+        .select("doc_id", "n_paras", "n_removed",
+                F.round((F.col("n_paras") - F.col("n_removed"))
+                        / F.col("n_paras"), 6).alias("frac_kept"),
+                "cleaned_fp")
         .orderBy("doc_id")
     )
 

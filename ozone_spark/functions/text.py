@@ -268,6 +268,53 @@ def fingerprint_summary(docs: DataFrame) -> DataFrame:
         .orderBy("source")
     )
 
+GOPHER_STAGE_ORDER = ("ok_word_count", "ok_mean_word_len",
+                      "ok_symbol_ratio", "ok_stopwords", "ok_alpha_words")
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """Sequential filter-attrition funnel over the Gopher rules: one row
+    per stage with docs in/out, the marginal drop, and the cumulative
+    survival percentage — the report a curation team reads to see WHICH
+    rule is eating the corpus (a rule dropping 40% marginally is either
+    doing its job or mis-tuned; the conjunction alone can't tell).
+
+    Stage i's survivor count is the conjunction of rules 1..i, so the
+    funnel is order-sensitive by design (each rule is charged only docs
+    the earlier rules passed).
+
+    Scale shape: all five rules are map-only built-ins evaluated in one
+    corpus pass (gopher_quality_filters), the funnel is ONE global
+    aggregate of six conditional counts collapsing map-side to a single
+    row, and the per-stage unpivot explodes that one row — the whole
+    report costs one scan + one one-row exchange at any corpus size."""
+    g = gopher_quality_filters(docs)
+    surv = None
+    aggs = [F.count("*").alias("n_in")]
+    for i, s in enumerate(GOPHER_STAGE_ORDER):
+        surv = F.col(s) if surv is None else surv & F.col(s)
+        aggs.append(F.sum(surv.cast("long")).alias(f"s{i}"))
+    one = g.agg(*aggs)
+    stages = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(s).alias("rule"),
+            (F.col("n_in") if i == 0 else F.col(f"s{i - 1}"))
+            .alias("docs_in"),
+            F.col(f"s{i}").alias("docs_out"),
+            F.round(F.col(f"s{i}") * 100.0 / F.col("n_in"), 4)
+            .alias("cum_pct"))
+        for i, s in enumerate(GOPHER_STAGE_ORDER)])
+    return (
+        one.select(F.explode(stages).alias("r"))
+        .select("r.stage", "r.rule", "r.docs_in", "r.docs_out",
+                (F.col("r.docs_in") - F.col("r.docs_out"))
+                .alias("n_dropped"),
+                "r.cum_pct")
+        .orderBy("stage")
+    )
+
+
 LANGS = ("de", "en", "es", "fr", "zh")
 
 

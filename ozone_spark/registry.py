@@ -4709,6 +4709,203 @@ SELECT event_type, strftime(w, '%Y-%m-%d') AS week, n_events,
     AS wow_pct
 FROM weekly ORDER BY 1, 2""",
     ),
+    _q(
+        "quality_funnel",
+        lambda spark, sf: text.quality_funnel(views(spark, sf)["documents"]),
+        # sequential Gopher-rule attrition: stage i survivors = conj of
+        # rules 1..i (same rule exprs as the gopher_quality oracle)
+        f"""WITH m AS (
+  SELECT
+    len(string_split(text, ' ')) AS n_words,
+    (length(text) - len(string_split(text, ' ')) + 1)
+      / len(string_split(text, ' ')) AS mean_wl,
+    (length(text)
+      - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+      / greatest(len(string_split(text, ' ')), 1) AS sym_ratio,
+    len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the', 'a', 'of', 'and', 'to', 'in'])) AS n_sw,
+    len(list_filter(string_split(text, ' '),
+        w -> regexp_matches(w, '[a-zA-Z]')))
+      / greatest(len(string_split(text, ' ')), 1) AS alpha_ratio
+  FROM documents
+), f AS (
+  SELECT count(*) AS n_in,
+    CAST(sum(((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS}))::INT) AS BIGINT) AS s0,
+    CAST(sum(((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS})
+      AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN}))::INT)
+      AS BIGINT) AS s1,
+    CAST(sum(((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS})
+      AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+      AND sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO})::INT)
+      AS BIGINT) AS s2,
+    CAST(sum(((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS})
+      AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+      AND sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+      AND n_sw >= {text.GOPHER_MIN_DISTINCT_STOPWORDS})::INT)
+      AS BIGINT) AS s3,
+    CAST(sum(((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS})
+      AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+      AND sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+      AND n_sw >= {text.GOPHER_MIN_DISTINCT_STOPWORDS}
+      AND alpha_ratio >= {text.GOPHER_MIN_ALPHA_WORD_RATIO})::INT)
+      AS BIGINT) AS s4
+  FROM m
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS stage, 'ok_word_count' AS rule,
+    n_in AS docs_in, s0 AS docs_out, n_in - s0 AS n_dropped,
+    round(s0 * 100.0 / n_in, 4) AS cum_pct FROM f
+  UNION ALL SELECT CAST(2 AS INT), 'ok_mean_word_len', s0, s1, s0 - s1,
+    round(s1 * 100.0 / n_in, 4) FROM f
+  UNION ALL SELECT CAST(3 AS INT), 'ok_symbol_ratio', s1, s2, s1 - s2,
+    round(s2 * 100.0 / n_in, 4) FROM f
+  UNION ALL SELECT CAST(4 AS INT), 'ok_stopwords', s2, s3, s2 - s3,
+    round(s3 * 100.0 / n_in, 4) FROM f
+  UNION ALL SELECT CAST(5 AS INT), 'ok_alpha_words', s3, s4, s3 - s4,
+    round(s4 * 100.0 / n_in, 4) FROM f
+) ORDER BY stage""",
+    ),
+    _q(
+        "boilerplate_paragraphs",
+        lambda spark, sf: dedup.boilerplate_paragraphs(
+            views(spark, sf)["documents"], para_words=20, min_df=3),
+        # frequency-threshold boilerplate: every occurrence of a
+        # paragraph seen in >= 3 distinct docs removed (no keeper);
+        # cleaned_fp = md5 over the kept fingerprints in para order
+        f"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim({_NORM}), ' +') AS ws
+  FROM documents WHERE trim({_NORM}) <> ''
+), ix AS (
+  SELECT doc_id, ws,
+    unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS i
+  FROM w
+), e AS (
+  SELECT doc_id, CAST(i AS INT) AS para_idx,
+    md5(array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ')) AS fp
+  FROM ix
+), dfreq AS (
+  SELECT fp, count(DISTINCT doc_id) AS df FROM e GROUP BY 1
+), flagged AS (
+  SELECT e.doc_id, e.para_idx, e.fp, dfreq.df >= 3 AS boiler
+  FROM e JOIN dfreq USING (fp)
+)
+SELECT doc_id, count(*) AS n_paras,
+  CAST(sum(boiler::INT) AS BIGINT) AS n_removed,
+  round((count(*) - sum(boiler::INT)) / count(*), 6) AS frac_kept,
+  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN fp END, ''
+    ORDER BY para_idx), '')) AS cleaned_fp
+FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+    ),
+    _q(
+        "embedding_outliers",
+        lambda spark, sf: similarity.embedding_outliers(
+            views(spark, sf)["embeddings"]),
+        # per-label top-5 centroid-distance outliers in the
+        # kmeans_assign fixed-point scheme: exact int sums -> one
+        # int/int division per mean, same left-assoc distance fold,
+        # floored int distances ranked desc with a vec_id tiebreak
+        f"""WITH q AS (
+  SELECT vec_id, label, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {similarity.KM_QUANT}) AS BIGINT))
+    AS qv
+  FROM embeddings
+), c AS (
+  SELECT label,
+    {", ".join(f"sum(qv[{i + 1}]) / count(*) AS m{i + 1}"
+               for i in range(64))}
+  FROM q GROUP BY label
+), s AS (
+  SELECT q.vec_id, q.label,
+    CAST(floor({" + ".join(
+        f"(q.qv[{i + 1}] - c.m{i + 1}) * (q.qv[{i + 1}] - c.m{i + 1})"
+        for i in range(64))}) AS BIGINT) AS d
+  FROM q JOIN c ON q.label = c.label
+), t AS (
+  SELECT label, CAST(sum(d) AS BIGINT) AS sum_d, count(*) AS n
+  FROM s GROUP BY 1
+), r AS (
+  SELECT vec_id, label, d,
+    CAST(row_number() OVER (PARTITION BY label
+      ORDER BY d DESC, vec_id) AS INT) AS rank
+  FROM s
+)
+SELECT r.label, r.rank, r.vec_id, r.d AS dist_sq_q,
+  round((r.d * t.n) / t.sum_d, 4) AS dist_ratio
+FROM r JOIN t USING (label)
+WHERE r.rank <= 5
+ORDER BY r.label, r.rank""",
+    ),
+    _q(
+        "ivf_recall",
+        lambda spark, sf: similarity.ivf_recall(
+            views(spark, sf)["embeddings"]),
+        # recall@10 of the IVF index (same centroid/probe math as the
+        # knn_ivf oracle) vs the exact brute-force top-k
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (20, 21, 22)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+  ) WHERE rank <= 10
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id < {similarity.N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_DOT.format(a='e.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_DOT.format(a='q.qe', b='c.c')} DESC,
+                 c.centroid_id ASC) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {similarity.N_PROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+    round({_DOT.format(a='p.qe', b='a.embedding')}
+      / (sqrt({_DOT.format(a='p.qe', b='p.qe')})
+         * sqrt({_DOT.format(a='a.embedding', b='a.embedding')})), 6)
+      AS cos_sim
+  FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
+  ) WHERE rank <= 10
+)
+SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS n_hit,
+  count(*) AS n_truth,
+  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+    / count(*), 6) AS recall_at_k
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1""",
+    ),
 ]
 
 

@@ -1062,3 +1062,83 @@ def test_zipf_slope_negative_and_ranks_contiguous(spark, sf_dir):
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert rows[0].zipf_slope < 0
+
+
+def test_boilerplate_paragraphs_frequency_rule(spark):
+    """Synthetic corpus: a paragraph repeated across 3 docs is removed
+    from ALL of them (no keeper — unlike paragraph_dedup's keep-first),
+    a 2-doc paragraph survives everywhere at min_df=3, and cleaned_fp
+    proves exactly which paragraphs were kept."""
+    boiler = " ".join(["cookie"] * 20)
+    rare = " ".join(["story"] * 20)
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} {rare}"),
+         (2, f"{boiler} {rare}"),
+         (3, boiler),
+         (4, " ".join(["unique"] * 20))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.boilerplate_paragraphs(docs, min_df=3).collect()}
+    # boiler hits 3 distinct docs -> removed everywhere; rare hits 2
+    assert (out[1].n_paras, out[1].n_removed) == (2, 1)
+    assert (out[2].n_paras, out[2].n_removed) == (2, 1)
+    assert (out[3].n_paras, out[3].n_removed, out[3].frac_kept) == (1, 1, 0.0)
+    assert (out[4].n_paras, out[4].n_removed, out[4].frac_kept) == (1, 0, 1.0)
+    # docs 1 and 2 keep exactly the same surviving paragraph set
+    assert out[1].cleaned_fp == out[2].cleaned_fp
+    assert out[1].cleaned_fp != out[3].cleaned_fp
+    # doc 3 kept nothing; its cleaned_fp is md5 of the empty string
+    import hashlib
+    assert out[3].cleaned_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_quality_funnel_chain_consistency(spark, sf_dir):
+    """Funnel invariants: stage 1 starts at the corpus size, each
+    stage's docs_in equals the previous stage's docs_out, survivor
+    counts are non-increasing, and the final stage's docs_out equals
+    the count of docs passing the full Gopher conjunction."""
+    from ozone_spark.functions.text import (gopher_quality_filters,
+                                            quality_funnel)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = sorted(quality_funnel(docs).collect(), key=lambda r: r.stage)
+    assert rows[0].docs_in == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_out
+        assert cur.docs_out <= cur.docs_in
+    for r in rows:
+        assert r.n_dropped == r.docs_in - r.docs_out
+    full = gopher_quality_filters(docs).where(F.col("passes_gopher")).count()
+    assert rows[-1].docs_out == full
+
+
+def test_embedding_outliers_topk_per_label(spark, sf_dir):
+    """Top-k outlier invariants: exactly k rows per label with ranks
+    1..k, distances non-increasing within a label, and the rank-1
+    outlier at or above the label's mean squared distance (ratio >= 1)."""
+    from ozone_spark.functions.similarity import embedding_outliers
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    rows = embedding_outliers(emb, k=3).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    n_labels = emb.select("label").distinct().count()
+    assert len(by_label) == n_labels
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        dists = [r.dist_sq_q for r in rs]
+        assert dists == sorted(dists, reverse=True)
+        assert rs[0].dist_ratio >= 1.0  # the max is never below the mean
+
+
+def test_ivf_recall_bounds(spark, sf_dir):
+    """Recall rows are one per query with n_truth == k and recall in
+    [0, 1]; n_hit never exceeds n_truth."""
+    from ozone_spark.functions.similarity import ivf_recall
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    rows = ivf_recall(emb, [20, 21, 22], k=10).collect()
+    assert [r.query_id for r in rows] == [20, 21, 22]
+    for r in rows:
+        assert r.n_truth == 10
+        assert 0 <= r.n_hit <= r.n_truth
+        assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-9

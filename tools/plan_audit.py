@@ -48,8 +48,9 @@ BNLJ_OK = {
     # fit row attached to the top-n token table
     "top_supplier", "important_suppliers", "sales_opportunity",
     "zipf_curve",
-    # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh
-    "ann_recall",
+    # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh /
+    # knn_ivf respectively
+    "ann_recall", "ivf_recall",
 }
 
 
