@@ -424,6 +424,57 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return d.select("doc_id", sig.alias("signature"))
 
 
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows: the signature banded into N_BANDS
+    md5 band-buckets — the shared banding stage of minhash_lsh_pairs
+    and lsh_bucket_stats."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[
+                         F.col("signature")[b * ROWS_PER_BAND + r].cast("string")
+                         for r in range(ROWS_PER_BAND)])).alias("bucket"))
+            for b in range(N_BANDS)])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_bucket_stats(docs: DataFrame, n: int = 3,
+                     max_bucket: int = 200) -> DataFrame:
+    """Bucket-size skew report for the MinHash-LSH banded join — the
+    diagnostic behind the `max_bucket` saturation cap: per band, how
+    many buckets are singletons (no pairs), pairable (2..cap), or
+    saturated (> cap, dropped), how many docs the drop forfeits, and
+    the candidate-pair volume the pairable buckets will explode into
+    (sum of C(sz, 2)).  Run this BEFORE the pair pass at a new scale:
+    pair_candidates is the shuffle bill, and a fat n_saturated says the
+    banding is too coarse (fewer rows per band -> more selective
+    buckets).
+
+    Scale shape: the signature map is the shared zero-shuffle stage,
+    sizes are one (band, bucket)-keyed partial agg, and the report
+    collapses to N_BANDS rows — the whole diagnostic is strictly
+    cheaper than the pair pass it sizes."""
+    sig = _slot_cache(minhash_signatures(docs, n), "minhash_sig")
+    sz = F.col("sz")
+    pairable = (sz >= 2) & (sz <= max_bucket)
+    return (
+        _minhash_bands(sig)
+        .groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_buckets"),
+             F.sum((sz == 1).cast("long")).alias("n_singleton"),
+             F.sum(pairable.cast("long")).alias("n_pairable"),
+             F.sum((sz > max_bucket).cast("long")).alias("n_saturated"),
+             F.sum(F.when(sz > max_bucket, sz).otherwise(0))
+             .alias("docs_in_saturated"),
+             F.max(sz).alias("max_bucket_sz"),
+             F.sum(F.when(pairable, (sz * (sz - 1) / 2).cast("long"))
+                   .otherwise(0)).alias("pair_candidates"))
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = 0.5,
                       max_bucket: int = 200) -> DataFrame:
@@ -444,15 +495,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     quadratically, so they are dropped — same policy as
     `ngram_jaccard_pairs` and standard practice for web-scale LSH."""
     sig = _slot_cache(minhash_signatures(docs, n), "minhash_sig")
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[
-                         F.col("signature")[b * ROWS_PER_BAND + r].cast("string")
-                         for r in range(ROWS_PER_BAND)])).alias("bucket"))
-            for b in range(N_BANDS)])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = _minhash_bands(sig)
     buckets = (
         bands.groupBy("band", "bucket").agg(F.collect_list("doc_id").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))

@@ -294,6 +294,44 @@ def path_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_anomalies(events: DataFrame, factor: float = 3.0) -> DataFrame:
+    """Robust volume-anomaly detection per event type: flag days whose
+    count deviates from the type's median by more than `factor` x MAD
+    (median absolute deviation) — the outage/bot-spike detector that,
+    unlike mean/stddev z-scores, is not dragged by the anomalies it is
+    trying to find.
+
+    Determinism: daily counts are exact integers; each median is ONE
+    exact-percentile aggregate over a bounded group (days-per-type), so
+    med/mad are integers or exact .5 halves — the flag comparison never
+    sits on a float-noise boundary.
+
+    Scale shape: one (type, day) aggregate over the corpus with
+    map-side combine is the only corpus-sized exchange; medians and
+    deviations run over the TINY daily table, and the two per-type
+    stats frames broadcast back onto it."""
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med"))
+    dev = (
+        daily.join(broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("n_events") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .select("event_type",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_events", "med", "mad",
+                (F.col("adev") > factor * F.col("mad")).alias("is_anomaly"))
+        .orderBy("event_type", "day")
+    )
+
+
 def weekly_growth(events: DataFrame) -> DataFrame:
     """Week-over-week event-volume growth: weekly totals per event
     type with the previous week's count and the percent change — the

@@ -1965,6 +1965,29 @@ def _minhash_sig_sql() -> str:
         for a, b in dedup.perm_consts())
 
 
+# shared minhash prelude: normalized 3-word shingles -> 28-bit md5 base
+# hashes -> 32 Carter-Wegman minima -> 8 md5 band-buckets.  Used by the
+# dedup_minhash_lsh and lsh_bucket_stats oracles.
+_MINHASH_BANDS_CTES = f"""WITH words AS (
+  SELECT doc_id, string_split({{norm}}, ' ') AS w FROM documents
+  WHERE len(string_split({{norm}}, ' ')) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(
+    list_distinct(list_transform(
+      range(1, greatest(len(w) - 2, 0) + 1),
+      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
+    s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs
+  FROM words
+), sig AS (
+  SELECT doc_id, [{{sig_body}}] AS sig FROM hs
+), bands AS (
+  SELECT doc_id, sig, band,
+    md5(concat_ws(',', sig[band * 4 + 1], sig[band * 4 + 2],
+                  sig[band * 4 + 3], sig[band * 4 + 4])) AS bucket
+  FROM (SELECT doc_id, sig, unnest(range(8)) AS band FROM sig)
+)"""
+
+
 def _simhash_sums_sql() -> str:
     return ", ".join(
         f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -2154,24 +2177,8 @@ SELECT doc_id, cluster_id, is_keeper FROM members ORDER BY doc_id""",
             views(spark, sf)["documents"], threshold=0.1),
         # replays the exact md5->28-bit->Carter-Wegman pipeline with the
         # same literal (a, b) constants the Spark plan inlines
-        f"""WITH words AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
-  WHERE len(string_split({_NORM}, ' ')) >= 3
-), hs AS (
-  SELECT doc_id, list_transform(
-    list_distinct(list_transform(
-      range(1, greatest(len(w) - 2, 0) + 1),
-      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
-    s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS hs
-  FROM words
-), sig AS (
-  SELECT doc_id, [{_minhash_sig_sql()}] AS sig FROM hs
-), bands AS (
-  SELECT doc_id, sig, band,
-    md5(concat_ws(',', sig[band * 4 + 1], sig[band * 4 + 2],
-                  sig[band * 4 + 3], sig[band * 4 + 4])) AS bucket
-  FROM (SELECT doc_id, sig, unnest(range(8)) AS band FROM sig)
-), ok AS (
+        _MINHASH_BANDS_CTES.format(norm=_NORM, sig_body=_minhash_sig_sql())
+        + """, ok AS (
   SELECT band, bucket FROM bands GROUP BY 1, 2
   HAVING count(*) BETWEEN 2 AND 200
 ), bf AS (
@@ -4905,6 +4912,48 @@ SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
 FROM truth t LEFT JOIN approx a
   ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "lsh_bucket_stats",
+        lambda spark, sf: dedup.lsh_bucket_stats(
+            views(spark, sf)["documents"]),
+        # per-band bucket-size skew report over the same banding as
+        # dedup_minhash_lsh (shared _MINHASH_BANDS_CTES prelude)
+        _MINHASH_BANDS_CTES.format(norm=_NORM, sig_body=_minhash_sig_sql())
+        + """, sizes AS (
+  SELECT band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
+)
+SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
+  CAST(sum((sz = 1)::INT) AS BIGINT) AS n_singleton,
+  CAST(sum((sz BETWEEN 2 AND 200)::INT) AS BIGINT) AS n_pairable,
+  CAST(sum((sz > 200)::INT) AS BIGINT) AS n_saturated,
+  CAST(sum(CASE WHEN sz > 200 THEN sz ELSE 0 END) AS BIGINT)
+    AS docs_in_saturated,
+  max(sz) AS max_bucket_sz,
+  CAST(sum(CASE WHEN sz BETWEEN 2 AND 200 THEN sz * (sz - 1) // 2
+    ELSE 0 END) AS BIGINT) AS pair_candidates
+FROM sizes GROUP BY band ORDER BY band""",
+    ),
+    _q(
+        "events_daily_anomalies",
+        lambda spark, sf: eops.daily_anomalies(views(spark, sf)["events"]),
+        # median/MAD robust anomaly flag over exact-integer daily counts
+        """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, median(n_events) AS med FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day, d.n_events, m.med,
+    abs(d.n_events - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+  d.med, m.mad, d.adev > 3.0 * m.mad AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY 1, 2""",
     ),
 ]
 

@@ -1142,3 +1142,41 @@ def test_ivf_recall_bounds(spark, sf_dir):
         assert r.n_truth == 10
         assert 0 <= r.n_hit <= r.n_truth
         assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-9
+
+
+def test_lsh_bucket_stats_partition_of_buckets(spark, sf_dir):
+    """Each band's buckets partition into singleton/pairable/saturated;
+    per-band member totals equal the signature row count (every doc
+    lands in exactly one bucket per band)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = dedup.lsh_bucket_stats(docs).collect()
+    assert [r.band for r in rows] == list(range(8))
+    n_sigs = dedup.minhash_signatures(docs).count()
+    for r in rows:
+        assert r.n_buckets == r.n_singleton + r.n_pairable + r.n_saturated
+        assert r.max_bucket_sz >= 1
+        assert r.pair_candidates >= r.n_pairable  # C(sz,2) >= 1 each
+    # no saturation at fixture scale: singleton + pair members = docs
+    for r in rows:
+        assert r.docs_in_saturated == 0
+
+
+def test_daily_anomalies_flags_spike_only(spark):
+    """Synthetic series: 9 flat days + one 10x spike per type — the
+    spike is flagged, flat days are not (MAD is immune to the spike)."""
+    from ozone_spark.operators.events import daily_anomalies
+    rows = []
+    for d in range(1, 10):
+        rows += [("click", f"2024-01-0{d} 00:00:0{i}", 1.0)
+                 for i in range(3)]
+    rows += [("click", f"2024-01-10 00:00:{i:02d}", 1.0)
+             for i in range(30)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    out = {r.day: r for r in daily_anomalies(events).collect()}
+    assert len(out) == 10
+    assert out["2024-01-10"].is_anomaly
+    assert not any(r.is_anomaly for d, r in out.items() if d != "2024-01-10")
+    assert out["2024-01-10"].med == 3.0 and out["2024-01-10"].mad == 0.0
