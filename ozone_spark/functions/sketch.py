@@ -256,3 +256,53 @@ def bloom_membership_report(docs: DataFrame) -> DataFrame:
     train = fps.where(F.col("doc_id") % 5 != 0).select("fp")
     probe = fps.select("fp").distinct()
     return bloom_probe_stats(train, probe)
+
+
+def table_profile(df: DataFrame, cols: list[str],
+                  k: int = KMV_K) -> DataFrame:
+    """Per-column table profile in ONE pass: row/null counts,
+    lexicographic min/max, exact distinct count, and the KMV distinct
+    estimate — the auto-profiling sweep a warehouse runs on ingest to
+    drive join-strategy and partition-count decisions (a column whose
+    distinct estimate fits a broadcast threshold changes the plan).
+
+    Values are unpivoted to (col_name, value-string) rows so every
+    statistic shares one scan; nulls are counted but excluded from
+    distinct/min/max (matching SQL aggregate semantics).  The KMV
+    estimate replays bit-identically in other engines (52-bit md5 →
+    exact doubles, see module docstring); at production scale the exact
+    distinct is the column you DROP — the sketch is the point — but
+    here it doubles as the estimator's accuracy witness.
+
+    Scale shape: one scan emitting |cols| x n skinny rows, a distinct
+    exchange on (col_name, value), and a per-column rank window over
+    DISTINCT values only; the same partial-aggregate k-minima swap as
+    kmv_shingle_estimate applies when distinct counts are huge."""
+    vals = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(c).cast("string").alias("v"))
+        for c in cols])).alias("s")).select("s.col_name", "s.v")
+    stats = vals.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"))
+    d = vals.where(F.col("v").isNotNull()).distinct() \
+        .withColumn("h", hash52(F.col("v")))
+    rn = Window.partitionBy("col_name").orderBy("h", "v")
+    agg = (
+        d.withColumn("rn", F.row_number().over(rn))
+        .groupBy("col_name")
+        .agg(F.count("*").alias("n_distinct"),
+             F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"))
+    )
+    est = F.when(
+        F.col("n_distinct") < k, F.col("n_distinct").cast("double")
+    ).otherwise((k - 1) * TWO_52 / F.col("hk"))
+    return (
+        stats.join(agg, "col_name")
+        .select("col_name", "n_rows", "n_nulls", "n_distinct",
+                F.round(est, 4).alias("kmv_estimate"),
+                "min_val", "max_val")
+        .orderBy("col_name")
+    )

@@ -4955,6 +4955,50 @@ SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
 FROM dev d JOIN mad m USING (event_type)
 ORDER BY 1, 2""",
     ),
+    _q(
+        "table_profile",
+        lambda spark, sf: sketch.table_profile(
+            views(spark, sf)["lineitem"],
+            ["l_orderkey", "l_suppkey", "l_linenumber",
+             "l_returnflag", "l_linestatus"]),
+        # one-pass per-column profile; KMV estimate replays the 52-bit
+        # md5 math exactly ((k-1) * 2^52 / h_k, k = 256)
+        f"""WITH vals AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v
+  FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+  FROM lineitem
+  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+), stats AS (
+  SELECT col_name, count(*) AS n_rows,
+    CAST(sum((v IS NULL)::INT) AS BIGINT) AS n_nulls,
+    min(v) AS min_val, max(v) AS max_val
+  FROM vals GROUP BY 1
+), d AS (
+  SELECT DISTINCT col_name, v FROM vals WHERE v IS NOT NULL
+), h AS (
+  SELECT col_name, v,
+    CAST(('0x' || substr(md5(v), 1, 13)) AS BIGINT) AS h
+  FROM d
+), r AS (
+  SELECT col_name, h,
+    row_number() OVER (PARTITION BY col_name ORDER BY h, v) AS rn
+  FROM h
+), agg AS (
+  SELECT col_name, count(*) AS n_distinct,
+    max(CASE WHEN rn = {sketch.KMV_K} THEN h END) AS hk
+  FROM r GROUP BY 1
+)
+SELECT s.col_name, s.n_rows, s.n_nulls, a.n_distinct,
+  round(CASE WHEN a.n_distinct < {sketch.KMV_K}
+    THEN a.n_distinct * 1.0
+    ELSE {(sketch.KMV_K - 1) * float(1 << 52)} / a.hk END, 4)
+    AS kmv_estimate,
+  s.min_val, s.max_val
+FROM stats s JOIN agg a USING (col_name) ORDER BY col_name""",
+    ),
 ]
 
 

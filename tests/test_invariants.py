@@ -1180,3 +1180,25 @@ def test_daily_anomalies_flags_spike_only(spark):
     assert out["2024-01-10"].is_anomaly
     assert not any(r.is_anomaly for d, r in out.items() if d != "2024-01-10")
     assert out["2024-01-10"].med == 3.0 and out["2024-01-10"].mad == 0.0
+
+
+def test_table_profile_exact_smallcard_and_counts(spark, sf_dir):
+    """Profile invariants: every column reports the same n_rows; a
+    column with < k distinct values gets kmv_estimate == exact count;
+    min/max bracket the domain lexicographically."""
+    from ozone_spark.functions.sketch import table_profile
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    rows = {r.col_name: r for r in table_profile(
+        li, ["l_orderkey", "l_returnflag", "l_linestatus"]).collect()}
+    n = li.count()
+    assert all(r.n_rows == n for r in rows.values())
+    assert all(r.n_nulls == 0 for r in rows.values())
+    rf = rows["l_returnflag"]
+    assert rf.n_distinct <= 3
+    assert rf.kmv_estimate == float(rf.n_distinct)  # < k: exact fallback
+    assert rf.min_val <= rf.max_val
+    ok = rows["l_orderkey"]
+    exact = li.select("l_orderkey").distinct().count()
+    assert ok.n_distinct == exact
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6%; allow 4 sigma
+    assert abs(ok.kmv_estimate - exact) / exact < 0.25

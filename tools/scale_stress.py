@@ -82,6 +82,13 @@ STRESS_QUERIES = [
     "volume_shipping",           # nation-pair fact join at 10x lineitem
     "cohort_retention",          # 10x denser per-user activity
     "zipf_curve",                # 10x token stream into the top-k rank
+    "boilerplate_paragraphs",    # here EVERY paragraph has df=10 >= 3:
+                                 # the all-boilerplate worst case for the
+                                 # fp frequency join + per-doc rebuild
+    "lsh_bucket_stats",          # the skew report itself on 10x-hot
+                                 # buckets (sizes the pair bill above)
+    "embedding_outliers",        # centroid partial-agg at 10x vectors
+    "events_daily_anomalies",    # 10x daily counts into the MAD stats
 ]
 
 
