@@ -341,6 +341,93 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.8,
+                      max_bucket: int = 200) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — n_common over
+    the SMALLER doc's shingle count (Broder's max-containment).  This
+    is what Jaccard structurally misses: a paragraph quoted verbatim
+    inside a 100x longer page has containment ~1 but Jaccard ~1%, so a
+    Jaccard-thresholded dedup keeps both copies.  Pairs are emitted
+    when containment clears `threshold`; the Jaccard score rides along
+    so downstream can see exactly which pairs only containment caught.
+
+    Scale shape: identical to ngram_jaccard_pairs (shared cached
+    shingle table, same capped inverted-index bucket explode, same two
+    shuffles) — only the final ratio differs, so running both costs one
+    extra join over the pair list, not a second index build."""
+    sh = _slot_cache(
+        word_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        "ngram_sh")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    buckets = (
+        sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    common = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .where(cont >= threshold)
+        .select("doc_a", "doc_b", "n_common",
+                F.round(cont, 6).alias("containment"),
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def growth_curve(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Corpus dedup-saturation curve: ingest docs in doc_id order split
+    into `n_buckets` equal id-range slices, and per slice count how
+    many docs carry a NEVER-SEEN-BEFORE content fingerprint — the
+    marginal-utility-of-more-data curve.  A crawl whose late buckets
+    add few new fingerprints has saturated its sources: the next 10 TB
+    buys storage, not training signal.
+
+    Scale shape: first-occurrence is the same bounded per-fingerprint
+    rank window as paragraph_dedup (never a global window); the bucket
+    id is exact integer math against one broadcast max-id scalar (the
+    sanctioned one-row crossJoin); cumulative stats run over the
+    n_buckets-row aggregate only."""
+    base = docs.select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    mx = base.agg(F.max("doc_id").alias("m"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        base.withColumn("is_new",
+                        (F.row_number().over(w) == 1).cast("long"))
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr(f"CAST(doc_id * {n_buckets} DIV (m + 1) AS INT)")
+                .alias("bucket"), "is_new")
+    )
+    agg = flagged.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("is_new").alias("n_new"))
+    cw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        agg.withColumn("cum_docs", F.sum("n_docs").over(cw))
+        .withColumn("cum_new", F.sum("n_new").over(cw))
+        .select("bucket", "n_docs", "n_new", "cum_docs", "cum_new",
+                F.round(F.col("cum_new") / F.col("cum_docs"), 6)
+                .alias("distinct_frac"))
+        .orderBy("bucket")
+    )
+
+
 def winnowing_fingerprints(docs: DataFrame, n: int = 3,
                            window: int = 8) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing): hash every

@@ -4999,6 +4999,68 @@ SELECT s.col_name, s.n_rows, s.n_nulls, a.n_distinct,
   s.min_val, s.max_val
 FROM stats s JOIN agg a USING (col_name) ORDER BY col_name""",
     ),
+    _q(
+        "dedup_containment",
+        lambda spark, sf: dedup.containment_pairs(
+            views(spark, sf)["documents"], threshold=0.8),
+        # Broder max-containment over the same capped inverted index as
+        # dedup_ngram_jaccard; WHERE applies to the unrounded ratio
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  round(n_common / least(sa.n_sh, sb.n_sh), 6) AS containment,
+  round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.8
+ORDER BY 1, 2""",
+    ),
+    _q(
+        "corpus_growth_curve",
+        lambda spark, sf: dedup.growth_curve(views(spark, sf)["documents"]),
+        # dedup-saturation curve: first-occurrence fingerprints per
+        # doc_id-range decile, with cumulative distinct fraction
+        f"""WITH base AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents
+), mx AS (SELECT max(doc_id) AS m FROM base),
+flagged AS (
+  SELECT doc_id,
+    (row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)::INT
+    AS is_new
+  FROM base
+), b AS (
+  SELECT CAST(doc_id * 10 // (m + 1) AS INT) AS bucket, is_new
+  FROM flagged, mx
+), agg AS (
+  SELECT bucket, count(*) AS n_docs,
+    CAST(sum(is_new) AS BIGINT) AS n_new
+  FROM b GROUP BY 1
+)
+SELECT bucket, n_docs, n_new,
+  CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+  CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+  round(sum(n_new) OVER (ORDER BY bucket) * 1.0
+    / sum(n_docs) OVER (ORDER BY bucket), 6) AS distinct_frac
+FROM agg ORDER BY bucket""",
+    ),
 ]
 
 

@@ -1202,3 +1202,41 @@ def test_table_profile_exact_smallcard_and_counts(spark, sf_dir):
     assert ok.n_distinct == exact
     # KMV relative error ~ 1/sqrt(k-2) ≈ 6%; allow 4 sigma
     assert abs(ok.kmv_estimate - exact) / exact < 0.25
+
+
+def test_containment_catches_asymmetric_dup(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    == 1.0 while Jaccard stays small — the pair Jaccard-thresholded
+    dedup misses by construction."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}"), (3, "other text entirely")],
+        "doc_id long, text string")
+    rows = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.1
+
+
+def test_growth_curve_totals_and_monotonicity(spark, sf_dir):
+    """Curve invariants: buckets partition the corpus (sum n_docs ==
+    corpus size), cumulative columns are running sums, n_new never
+    exceeds n_docs, and the final cum_new equals the corpus's distinct
+    fingerprint count."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = sorted(dedup.growth_curve(docs).collect(),
+                  key=lambda r: r.bucket)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    cum_d = cum_n = 0
+    for r in rows:
+        cum_d += r.n_docs
+        cum_n += r.n_new
+        assert (r.cum_docs, r.cum_new) == (cum_d, cum_n)
+        assert 0 <= r.n_new <= r.n_docs
+    distinct = docs.select(
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    ).distinct().count()
+    assert rows[-1].cum_new == distinct

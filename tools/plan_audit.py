@@ -51,6 +51,8 @@ BNLJ_OK = {
     # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh /
     # knn_ivf respectively
     "ann_recall", "ivf_recall",
+    # one-row broadcast max-id scalar for the bucket split
+    "corpus_growth_curve",
 }
 
 
