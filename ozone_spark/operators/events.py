@@ -332,6 +332,37 @@ def daily_anomalies(events: DataFrame, factor: float = 3.0) -> DataFrame:
     )
 
 
+def stickiness(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / trailing-WAU stickiness per day — the engagement ratio
+    every product analytics stack reports (1.0 = every weekly user
+    shows up daily; ~1/7 = each user appears once a week).
+
+    The trailing-window DISTINCT is the catch: weekly actives cannot be
+    summed from daily actives (users repeat), so each (user, day) pair
+    is fanned out to the `window_days` target days it contributes to
+    and the target day counts distinct users — exact, at a bounded
+    window_days x |user-days| row cost, the standard exact formulation
+    before a corpus graduates to sketch-mergeable HLL/KMV unions.
+
+    Scale shape: one distinct over (day, user) pairs (map-side partial),
+    a map-only explode of int-sized rows, and two bounded-key count-
+    distinct aggregates; raw events are scanned once."""
+    ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    fan = ud.select(
+        F.explode(F.sequence(
+            F.col("day"), F.date_add("day", window_days - 1))).alias("day"),
+        "user_id")
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "dau", "wau",
+                F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"))
+        .orderBy("day")
+    )
+
+
 def weekly_growth(events: DataFrame) -> DataFrame:
     """Week-over-week event-volume growth: weekly totals per event
     type with the previous week's count and the percent change — the

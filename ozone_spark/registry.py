@@ -5061,6 +5061,25 @@ SELECT bucket, n_docs, n_new,
     / sum(n_docs) OVER (ORDER BY bucket), 6) AS distinct_frac
 FROM agg ORDER BY bucket""",
     ),
+    _q(
+        "events_stickiness",
+        lambda spark, sf: eops.stickiness(views(spark, sf)["events"]),
+        # DAU / trailing-7d-WAU: (user, day) pairs fanned to the 7
+        # target days they count toward, then exact distinct per day
+        """WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), fan AS (
+  SELECT ud.day + CAST(o.o AS INT) AS day, ud.user_id
+  FROM ud, (SELECT unnest(range(0, 7)) AS o) o
+), wau AS (
+  SELECT day, count(DISTINCT user_id) AS wau FROM fan GROUP BY 1
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+  round(d.dau * 1.0 / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day) ORDER BY 1""",
+    ),
 ]
 
 

@@ -1240,3 +1240,28 @@ def test_growth_curve_totals_and_monotonicity(spark, sf_dir):
         F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
     ).distinct().count()
     assert rows[-1].cum_new == distinct
+
+
+def test_stickiness_bounds_and_window(spark):
+    """Synthetic check: a user active daily gives stickiness 1.0 while
+    a once-a-week user dilutes it; WAU counts a user for exactly
+    window_days trailing days."""
+    from ozone_spark.operators.events import stickiness
+    rows = [("u1", f"2024-03-{d:02d} 10:00:00") for d in range(1, 15)]
+    rows.append(("u2", "2024-03-08 12:00:00"))
+    events = spark.createDataFrame(
+        rows, "user_id string, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.day: r for r in stickiness(events).collect()}
+    # day 7: only u1 active in trailing week -> 1/1
+    assert (out["2024-03-07"].dau, out["2024-03-07"].wau) == (1, 1)
+    assert out["2024-03-07"].stickiness == 1.0
+    # days 8..14: u2's one visit stays in the trailing window
+    for d in range(8, 15):
+        assert out[f"2024-03-{d:02d}"].wau == 2
+    assert out["2024-03-08"].dau == 2
+    assert out["2024-03-09"].dau == 1
+    assert out["2024-03-09"].stickiness == 0.5
+    # u2 ages out after day 14 (no day-15 DAU row exists to check, but
+    # every reported ratio stays in (0, 1])
+    assert all(0 < r.stickiness <= 1.0 for r in out.values())
