@@ -306,3 +306,72 @@ def table_profile(df: DataFrame, cols: list[str],
                 "min_val", "max_val")
         .orderBy("col_name")
     )
+
+
+def kmv_source_overlap(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Mergeable-sketch set algebra across sources: per source pair,
+    the KMV-estimated union, intersection (inclusion-exclusion) and
+    Jaccard of the distinct word-bigram sets — the overlap matrix
+    WITHOUT re-scanning text per pair.  This is why sketches beat exact
+    folds at 100 TB: the per-source k-minima are built once in one
+    pass, every pair statistic is then array math over 2k ints, and
+    sketches from different days/clusters merge associatively (the
+    union k-minima of A∪B are the k smallest of the two k-min lists).
+    The exact twin (source_overlap_matrix) shuffles the full distinct
+    (source, shingle) fold; accuracy vs it is pinned by a pytest.
+
+    Scale shape: one distinct over (source, 52-bit hash) pairs, one
+    bounded rank window per source, then all pair math runs on
+    |sources| k-int arrays joined by a broadcast inequality —
+    independent of corpus size."""
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(w, F.lit(1), n - 1), F.slice(w, F.lit(2), n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = (
+        docs.select("source", F.explode(grams).alias("g"))
+        .select("source", hash52(F.col("g")).alias("h"))
+        .distinct()
+    )
+    stats = toks.groupBy("source").agg(F.count("*").alias("nd"))
+    rn = Window.partitionBy("source").orderBy("h")
+    sk = (
+        toks.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") <= k)
+        .groupBy("source").agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .join(stats, "source")
+    )
+    a = sk.select(F.col("source").alias("src_a"), F.col("hs").alias("ha"),
+                  F.col("nd").alias("nd_a"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("hs").alias("hb"),
+                  F.col("nd").alias("nd_b"))
+    # merged k-minima projected to a real column: it is referenced by
+    # three downstream expressions and HOF-heavy exprs re-evaluate per
+    # reference (see the winnowing/paragraph lambda note)
+    p = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .withColumn("mg", F.slice(
+            F.array_sort(F.array_distinct(F.concat("ha", "hb"))), 1, k))
+    )
+
+    def _est(nd, hs):
+        return F.when(nd < k, nd.cast("double")) \
+            .otherwise((k - 1) * TWO_52 / F.element_at(hs, k))
+
+    ea = _est(F.col("nd_a"), F.col("ha"))
+    eb = _est(F.col("nd_b"), F.col("hb"))
+    eu = F.when(F.size("mg") < k, F.size("mg").cast("double")) \
+        .otherwise((k - 1) * TWO_52 / F.element_at(F.col("mg"), k))
+    inter = F.greatest(F.lit(0.0), ea + eb - eu)
+    return (
+        p.select("src_a", "src_b",
+                 F.round(ea, 4).alias("est_a"),
+                 F.round(eb, 4).alias("est_b"),
+                 F.round(eu, 4).alias("union_est"),
+                 F.round(inter, 4).alias("inter_est"),
+                 F.round(inter / eu, 6).alias("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    )

@@ -294,6 +294,48 @@ def path_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Event-type co-occurrence with lift — which behaviors cluster in
+    the same users (the market-basket view of the event stream): for
+    each type pair, the distinct-user overlap and lift = P(a,b) /
+    (P(a)P(b)) (>1 = the types attract, <1 = they repel).
+
+    Scale shape: one distinct over (user, type) pairs, then pairs are
+    exploded per user from the collect_set array (bounded by the TYPE
+    vocabulary, never user volume — C(|types|, 2) rows per user max)
+    and counted in one exchange; per-type totals and the user count
+    ride a broadcast join.  Exact integer counts; lift is one division
+    per output row."""
+    ut = events.select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    n_users = ut.agg(
+        F.countDistinct("user_id").alias("n_users"))
+    pair_expr = F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+    )
+    pairs = (
+        ut.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    lift = (F.col("n_both") * F.col("n_users")).cast("double") \
+        / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs
+        .join(broadcast(per_type.select(F.col("event_type").alias("type_a"),
+                                        F.col("n").alias("n_a"))), "type_a")
+        .join(broadcast(per_type.select(F.col("event_type").alias("type_b"),
+                                        F.col("n").alias("n_b"))), "type_b")
+        .crossJoin(broadcast(n_users))
+        .select("type_a", "type_b", "n_both", "n_a", "n_b",
+                F.round(lift, 6).alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 def daily_anomalies(events: DataFrame, factor: float = 3.0) -> DataFrame:
     """Robust volume-anomaly detection per event type: flag days whose
     count deviates from the type's median by more than `factor` x MAD

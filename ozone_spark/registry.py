@@ -5080,6 +5080,86 @@ SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
   round(d.dau * 1.0 / w.wau, 6) AS stickiness
 FROM dau d JOIN wau w USING (day) ORDER BY 1""",
     ),
+    _q(
+        "events_type_cooccurrence",
+        lambda spark, sf: eops.type_cooccurrence(views(spark, sf)["events"]),
+        # distinct-user overlap per type pair + lift vs independence
+        """WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), per_type AS (
+  SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+), nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+  round((p.n_both * nu.n_users) / (ta.n * tb.n), 6) AS lift
+FROM pairs p
+JOIN per_type ta ON ta.event_type = p.type_a
+JOIN per_type tb ON tb.event_type = p.type_b
+CROSS JOIN nu
+ORDER BY 1, 2""",
+    ),
+    _q(
+        "kmv_source_overlap",
+        lambda spark, sf: sketch.kmv_source_overlap(
+            views(spark, sf)["documents"]),
+        # mergeable KMV set algebra per source pair: union k-minima =
+        # k smallest of the two k-min lists; inclusion-exclusion for
+        # the intersection; same 52-bit md5 hashes as the Spark side
+        f"""WITH words AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h
+  FROM (
+    SELECT source, w[i] || ' ' || w[i + 1] AS g
+    FROM (SELECT source, w,
+            unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+          FROM words))
+), stats AS (
+  SELECT source, count(*) AS nd FROM toks GROUP BY 1
+), r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+), sk AS (
+  SELECT source, list_sort(list(h)) AS hs
+  FROM r WHERE rn <= {sketch.KMV_K} GROUP BY 1
+), p AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.hs AS ha, b.hs AS hb,
+    sa.nd AS nd_a, sb.nd AS nd_b
+  FROM sk a JOIN sk b ON a.source < b.source
+  JOIN stats sa ON sa.source = a.source
+  JOIN stats sb ON sb.source = b.source
+), m AS (
+  SELECT *,
+    list_sort(list_distinct(list_concat(ha, hb)))[1:{sketch.KMV_K}] AS mg
+  FROM p
+), e AS (
+  SELECT src_a, src_b,
+    CASE WHEN nd_a < {sketch.KMV_K} THEN CAST(nd_a AS DOUBLE)
+      ELSE {(sketch.KMV_K - 1) * float(1 << 52)} / ha[{sketch.KMV_K}] END
+      AS ea,
+    CASE WHEN nd_b < {sketch.KMV_K} THEN CAST(nd_b AS DOUBLE)
+      ELSE {(sketch.KMV_K - 1) * float(1 << 52)} / hb[{sketch.KMV_K}] END
+      AS eb,
+    CASE WHEN len(mg) < {sketch.KMV_K} THEN CAST(len(mg) AS DOUBLE)
+      ELSE {(sketch.KMV_K - 1) * float(1 << 52)} / mg[{sketch.KMV_K}] END
+      AS eu
+  FROM m
+)
+SELECT src_a, src_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+  round(eu, 4) AS union_est,
+  round(greatest(0.0, ea + eb - eu), 4) AS inter_est,
+  round(greatest(0.0, ea + eb - eu) / eu, 6) AS jaccard_est
+FROM e ORDER BY 1, 2""",
+    ),
 ]
 
 

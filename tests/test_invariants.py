@@ -1265,3 +1265,36 @@ def test_stickiness_bounds_and_window(spark):
     # u2 ages out after day 14 (no day-15 DAU row exists to check, but
     # every reported ratio stays in (0, 1])
     assert all(0 < r.stickiness <= 1.0 for r in out.values())
+
+
+def test_kmv_source_overlap_accuracy_vs_exact(spark, sf_dir):
+    """Sketch-algebra accuracy: per-pair KMV Jaccard tracks the exact
+    bigram Jaccard within the estimator's error budget, and the set
+    identities hold (union >= each side's estimate within rounding,
+    intersection >= 0, jaccard in [0, 1])."""
+    from ozone_spark.functions.sketch import kmv_source_overlap
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = kmv_source_overlap(docs).collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        assert r.union_est >= max(r.est_a, r.est_b) * 0.75
+        assert r.inter_est >= 0
+        assert 0 <= r.jaccard_est <= 1
+    # exact bigram jaccard for the first pair, computed independently
+    r0 = rows[0]
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(w)
+    grams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(w, F.lit(1), n - 1), F.slice(w, F.lit(2), n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    gsets = {
+        src: {g[0] for g in docs.where(F.col("source") == src)
+              .select(F.explode(grams).alias("g")).distinct().collect()}
+        for src in (r0.src_a, r0.src_b)}
+    sa, sb = gsets[r0.src_a], gsets[r0.src_b]
+    exact_j = len(sa & sb) / len(sa | sb)
+    # KMV rel-err ~ 1/sqrt(k-2) ~ 6% per estimate; inclusion-exclusion
+    # compounds three of them — allow a wide but meaningful band
+    assert abs(r0.jaccard_est - exact_j) < 0.15

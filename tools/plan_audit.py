@@ -47,12 +47,15 @@ BNLJ_OK = {
     # global-total HAVING, Q22's average-balance threshold, the Zipf
     # fit row attached to the top-n token table
     "top_supplier", "important_suppliers", "sales_opportunity",
-    "zipf_curve",
+    "zipf_curve", "events_type_cooccurrence",
     # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh /
     # knn_ivf respectively
     "ann_recall", "ivf_recall",
     # one-row broadcast max-id scalar for the bucket split
     "corpus_growth_curve",
+    # |sources|-row sketch table joined to itself by broadcast
+    # inequality — pair math over k-int arrays, corpus-independent
+    "kmv_source_overlap",
 }
 
 
