@@ -390,6 +390,31 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+def frequent_ngrams(docs: DataFrame, n: int = 8, k: int = 50) -> DataFrame:
+    """Memorization-risk scan: the k word-n-grams appearing in the most
+    DISTINCT documents — long verbatim strings repeated across many
+    docs are exactly what a model memorizes and regurgitates (license
+    headers, templated disclaimers), and the output is the removal list
+    remove_duplicate_spans / boilerplate_paragraphs act on.
+
+    Scale shape: per-doc distinct shingles are the shared zero-shuffle
+    map (word_shingles), document frequency is one shingle-keyed
+    partial agg, and the top-k is TakeOrderedAndProject (per-partition
+    heads merged on one reducer — no global sort)."""
+    df_per = (
+        word_shingles(docs, n)
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("df"), "shingle")  # k rows: one partition
+    return (
+        df_per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", F.col("shingle").alias("ngram"), "df")
+        .orderBy("rank")
+    )
+
+
 def growth_curve(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Corpus dedup-saturation curve: ingest docs in doc_id order split
     into `n_buckets` equal id-range slices, and per slice count how

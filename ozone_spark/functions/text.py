@@ -124,6 +124,44 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def label_agreement(docs: DataFrame) -> DataFrame:
+    """Per-source label-noise report: how often the stopword-profile
+    classifier agrees with the stored `lang` label, plus the
+    undecidable fraction — the audit a curation team runs on a NEW
+    source before trusting its self-reported language metadata (a
+    source whose labels disagree with content gets re-tagged or
+    dropped, since lang drives the per-language dedup/perplexity
+    partitions downstream).
+
+    Scale shape: the classifier is the same map-only built-in expression
+    stack as language_id; the report is one |sources|-row aggregate."""
+    t = F.col("text")
+    scores = [stopword_count(t, ws).alias(f"hits_{lang}")
+              for lang, ws in LANG_PROFILES.items()]
+    scored = docs.select("lang", "source", *scores)
+    langs = list(LANG_PROFILES)
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    pred = F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    return (
+        scored.select("source", "lang", pred.alias("predicted"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum((F.col("predicted") == F.col("lang")).cast("long"))
+             .alias("n_agree"),
+             F.sum((F.col("predicted") == "und").cast("long"))
+             .alias("n_undecided"))
+        .select("source", "n_docs", "n_agree", "n_undecided",
+                F.round(F.col("n_agree") / F.col("n_docs"), 6)
+                .alias("agree_rate"))
+        .orderBy("source")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over case/punct-normalized text
     (the cheap exact-dup fingerprint; rolling-hash near-dup lives in

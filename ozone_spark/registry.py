@@ -5160,6 +5160,52 @@ SELECT src_a, src_b, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
   round(greatest(0.0, ea + eb - eu) / eu, 6) AS jaccard_est
 FROM e ORDER BY 1, 2""",
     ),
+    _q(
+        "label_agreement",
+        lambda spark, sf: text.label_agreement(views(spark, sf)["documents"]),
+        # same stopword-profile classifier as language_id, folded to a
+        # per-source agreement/undecided report
+        """WITH s AS (
+  SELECT source, lang,
+    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'and'))) AS hits_en,
+    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und', 'die'))) AS hits_de,
+    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'los'))) AS hits_es,
+    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'et', 'les'))) AS hits_fr
+  FROM documents
+), p AS (
+  SELECT source, lang, CASE
+    WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+    WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+    ELSE 'fr' END AS predicted
+  FROM s
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum((predicted = lang)::INT) AS BIGINT) AS n_agree,
+  CAST(sum((predicted = 'und')::INT) AS BIGINT) AS n_undecided,
+  round(sum((predicted = lang)::INT) / count(*), 6) AS agree_rate
+FROM p GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "frequent_ngrams",
+        lambda spark, sf: dedup.frequent_ngrams(views(spark, sf)["documents"]),
+        # top-50 8-grams by distinct-document frequency (memorization
+        # removal list); ties broken by the ngram string
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 7, 0) + 1),
+    i -> {" || ' ' || ".join(f"w[i + {j}]" for j in range(8))}))) AS shingle
+  FROM words WHERE len(w) >= 8
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY df DESC, shingle) AS rank,
+  shingle AS ngram, df
+FROM dfreq ORDER BY df DESC, shingle LIMIT 50""",
+    ),
 ]
 
 

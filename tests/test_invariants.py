@@ -1298,3 +1298,33 @@ def test_kmv_source_overlap_accuracy_vs_exact(spark, sf_dir):
     # KMV rel-err ~ 1/sqrt(k-2) ~ 6% per estimate; inclusion-exclusion
     # compounds three of them — allow a wide but meaningful band
     assert abs(r0.jaccard_est - exact_j) < 0.15
+
+
+def test_label_agreement_totals(spark, sf_dir):
+    """Agreement report partitions: n_agree + disagreements == n_docs;
+    per-source totals sum to the corpus; rates in [0, 1]."""
+    from ozone_spark.functions.text import label_agreement
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = label_agreement(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_docs
+        assert 0 <= r.n_undecided <= r.n_docs
+        assert 0 <= r.agree_rate <= 1
+
+
+def test_frequent_ngrams_rank_and_df(spark):
+    """A shared 8-gram ranks first with df == number of docs carrying
+    it; unique n-grams trail with df 1."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{shared} one extra words here now ok fine"),
+         (2, f"prefix tokens {shared}"),
+         (3, f"{shared}"),
+         (4, "totally different text with eight plus words in it")],
+        "doc_id long, text string")
+    rows = dedup.frequent_ngrams(docs, n=8, k=5).collect()
+    assert rows[0].ngram == shared and rows[0].df == 3
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
