@@ -4811,6 +4811,7 @@ SELECT doc_id, count(*) AS n_paras,
   md5(coalesce(string_agg(CASE WHEN NOT boiler THEN fp END, ''
     ORDER BY para_idx), '')) AS cleaned_fp
 FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+        bench=True,
     ),
     _q(
         "embedding_outliers",
@@ -4933,6 +4934,7 @@ SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
   CAST(sum(CASE WHEN sz BETWEEN 2 AND 200 THEN sz * (sz - 1) // 2
     ELSE 0 END) AS BIGINT) AS pair_candidates
 FROM sizes GROUP BY band ORDER BY band""",
+        bench=True,
     ),
     _q(
         "events_daily_anomalies",
@@ -5060,6 +5062,7 @@ SELECT bucket, n_docs, n_new,
   round(sum(n_new) OVER (ORDER BY bucket) * 1.0
     / sum(n_docs) OVER (ORDER BY bucket), 6) AS distinct_frac
 FROM agg ORDER BY bucket""",
+        bench=True,
     ),
     _q(
         "events_stickiness",
