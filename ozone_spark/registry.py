@@ -5209,6 +5209,46 @@ SELECT row_number() OVER (ORDER BY df DESC, shingle) AS rank,
   shingle AS ngram, df
 FROM dfreq ORDER BY df DESC, shingle LIMIT 50""",
     ),
+    _q(
+        "pq_reconstruction_report",
+        lambda spark, sf: similarity.pq_reconstruction_report(
+            views(spark, sf)["embeddings"]),
+        # per-label exact-integer PQ reconstruction error over the same
+        # codes as pq_codes (shared _PQ_CTES)
+        _PQ_CTES + f""", lab AS (
+  SELECT vec_id, label FROM embeddings
+)
+SELECT label,
+  CAST(count(*) // {similarity.PQ_M} AS BIGINT) AS n_vecs,
+  CAST(sum(dist) AS BIGINT) AS total_err,
+  round(sum(dist) * 1.0 / count(*), 4) AS avg_err_per_sub
+FROM best JOIN lab USING (vec_id)
+WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "ivf_list_balance",
+        lambda spark, sf: similarity.ivf_list_balance(
+            views(spark, sf)["embeddings"]),
+        # list sizes under the same assignment rule as knn_ivf
+        f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id < {similarity.N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_DOT.format(a='e.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT centroid_id, count(*) AS n_vecs FROM assigned GROUP BY 1
+), t AS (SELECT sum(n_vecs) AS tot FROM sizes)
+SELECT centroid_id, n_vecs,
+  round(n_vecs / tot, 6) AS share,
+  round(n_vecs * {similarity.N_CENTROIDS} / tot, 4) AS skew
+FROM sizes, t ORDER BY 1""",
+    ),
 ]
 
 

@@ -1328,3 +1328,31 @@ def test_frequent_ngrams_rank_and_df(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     dfs = [r.df for r in rows]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_pq_reconstruction_consistency_with_codes(spark, sf_dir):
+    """Report totals equal the sum of pq_codes' per-subspace errors and
+    label vector counts partition the corpus."""
+    from ozone_spark.functions.similarity import (PQ_M,
+                                                  pq_reconstruction_report)
+    from ozone_spark.functions.similarity import pq_codes
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    rows = pq_reconstruction_report(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    total = sum(r.total_err for r in rows)
+    codes_total = pq_codes(emb).agg(F.sum("dist_sq")).collect()[0][0]
+    assert total == codes_total
+    for r in rows:
+        assert abs(r.avg_err_per_sub - r.total_err / (r.n_vecs * PQ_M)) < 1e-3
+
+
+def test_ivf_list_balance_partition(spark, sf_dir):
+    """List sizes partition the corpus; shares sum to ~1; skew is share
+    renormalized by the centroid count."""
+    from ozone_spark.functions.similarity import ivf_list_balance
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    rows = ivf_list_balance(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.skew - r.share * len(rows)) < 1e-2
