@@ -67,6 +67,37 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_distribution(events: DataFrame,
+                         gap_minutes: int = 30) -> DataFrame:
+    """Corpus-wide session-shape distribution: exact p50/p90/p99 and
+    max of events-per-session and session duration — the one-row
+    summary behind "did the release change engagement" dashboards,
+    and the tail numbers (p99 duration) that surface bot sessions.
+
+    Scale note: sessions are already the output of the per-user window
+    (orders of magnitude fewer rows than events); the global percentile
+    is exact over that session table — at extreme session counts the
+    swap is approx_percentile, same as size_percentiles documents."""
+    s = sessionize(events, gap_minutes)
+    pe = F.expr("percentile(n_events, array(0.5, 0.9, 0.99))")
+    pd = F.expr("percentile(duration_s, array(0.5, 0.9, 0.99))")
+    return (
+        s.agg(F.count("*").alias("n_sessions"),
+              pe.alias("pe"), pd.alias("pd"),
+              F.max("n_events").alias("max_events"),
+              F.max("duration_s").alias("max_duration_s"))
+        .select("n_sessions",
+                F.round(F.col("pe")[0], 4).alias("p50_events"),
+                F.round(F.col("pe")[1], 4).alias("p90_events"),
+                F.round(F.col("pe")[2], 4).alias("p99_events"),
+                "max_events",
+                F.round(F.col("pd")[0], 4).alias("p50_duration_s"),
+                F.round(F.col("pd")[1], 4).alias("p90_duration_s"),
+                F.round(F.col("pd")[2], 4).alias("p99_duration_s"),
+                "max_duration_s")
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k users by total value within each event type (rank window)."""
     totals = (

@@ -663,3 +663,35 @@ def dominant_part_suppliers(lineitem: DataFrame, part: DataFrame,
         .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
         .orderBy(F.desc("n_dominated_parts"), "s_suppkey")
     )
+
+
+def order_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    p50/p90/p99 and max days between o_orderdate and l_shipdate — the
+    fulfillment-SLA report (is URGENT actually shipping faster?).
+
+    Scale shape: the fact join rides the l_orderkey->o_orderkey
+    broadcast-or-shuffle hash join with only two narrow date columns
+    projected; latencies are exact integer day counts, so the per-
+    priority exact percentile (bounded groups: |priorities|) is
+    engine-portable."""
+    lat = (
+        lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                            F.to_date("o_orderdate").alias("od"),
+                            "o_orderpriority"), "l_orderkey")
+        .select("o_orderpriority",
+                F.datediff("sd", "od").cast("long").alias("days"))
+    )
+    p = F.expr("percentile(days, array(0.5, 0.9, 0.99))")
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), p.alias("p"),
+             F.max("days").alias("max_days"))
+        .select("o_orderpriority", "n_items",
+                F.round(F.col("p")[0], 4).alias("p50_days"),
+                F.round(F.col("p")[1], 4).alias("p90_days"),
+                F.round(F.col("p")[2], 4).alias("p99_days"),
+                "max_days")
+        .orderBy("o_orderpriority")
+    )

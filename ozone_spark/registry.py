@@ -1458,6 +1458,28 @@ GROUP BY 1 ORDER BY 1""",
 # event-time analytics (ST6 north star)
 # ---------------------------------------------------------------------------
 
+# shared sessionization prelude (30-minute gap rule) ending in the
+# per-(user, session) aggregate `sess`; used by events_sessionize and
+# events_session_distribution
+_SESSIONIZE_CTES = """WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_ms(ts) // 1000 AS tss FROM events
+), l AS (
+  SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, CASE WHEN prev IS NOT NULL AND tss - prev > 1800 THEN 1 ELSE 0 END
+    AS new_sess FROM l
+), c AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s
+), sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+    CAST(max(tss) - min(tss) AS BIGINT) AS duration_s,
+    round(sum(value), 4) AS total_value
+  FROM c GROUP BY 1, 2
+)"""
+
+
 EVENT_QUERIES = [
     _q(
         "events_tumbling_daily",
@@ -1479,22 +1501,9 @@ GROUP BY 1 ORDER BY 1""",
     _q(
         "events_sessionize",
         lambda spark, sf: eops.sessionize(views(spark, sf)["events"]),
-        """WITH e AS (
-  SELECT user_id, event_id, ts, value, epoch_ms(ts) // 1000 AS tss FROM events
-), l AS (
-  SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM e
-), s AS (
-  SELECT *, CASE WHEN prev IS NOT NULL AND tss - prev > 1800 THEN 1 ELSE 0 END
-    AS new_sess FROM l
-), c AS (
-  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s
-)
-SELECT user_id, session_id, count(*) AS n_events,
-  CAST(max(tss) - min(tss) AS BIGINT) AS duration_s,
-  round(sum(value), 4) AS total_value
-FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+        _SESSIONIZE_CTES + """
+SELECT user_id, session_id, n_events, duration_s, total_value
+FROM sess ORDER BY 1, 2""",
         bench=True,
     ),
     _q(
@@ -5248,6 +5257,42 @@ SELECT centroid_id, n_vecs,
   round(n_vecs / tot, 6) AS share,
   round(n_vecs * {similarity.N_CENTROIDS} / tot, 4) AS skew
 FROM sizes, t ORDER BY 1""",
+    ),
+    _q(
+        "events_session_distribution",
+        lambda spark, sf: eops.session_distribution(
+            views(spark, sf)["events"]),
+        # one-row session-shape summary over the shared sessionize CTE;
+        # quantile_cont matches Spark's exact interpolated percentile
+        _SESSIONIZE_CTES + """
+SELECT count(*) AS n_sessions,
+  round(quantile_cont(n_events, 0.5), 4) AS p50_events,
+  round(quantile_cont(n_events, 0.9), 4) AS p90_events,
+  round(quantile_cont(n_events, 0.99), 4) AS p99_events,
+  max(n_events) AS max_events,
+  round(quantile_cont(duration_s, 0.5), 4) AS p50_duration_s,
+  round(quantile_cont(duration_s, 0.9), 4) AS p90_duration_s,
+  round(quantile_cont(duration_s, 0.99), 4) AS p99_duration_s,
+  max(duration_s) AS max_duration_s
+FROM sess""",
+    ),
+    _q(
+        "order_ship_latency",
+        lambda spark, sf: tpch.order_ship_latency(
+            views(spark, sf)["orders"], views(spark, sf)["lineitem"]),
+        # exact integer day latencies; per-priority exact percentiles
+        """WITH lat AS (
+  SELECT o.o_orderpriority,
+    date_diff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_items,
+  round(quantile_cont(days, 0.5), 4) AS p50_days,
+  round(quantile_cont(days, 0.9), 4) AS p90_days,
+  round(quantile_cont(days, 0.99), 4) AS p99_days,
+  CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY 1 ORDER BY 1""",
     ),
 ]
 

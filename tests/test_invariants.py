@@ -1356,3 +1356,32 @@ def test_ivf_list_balance_partition(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert abs(r.skew - r.share * len(rows)) < 1e-2
+
+
+def test_session_distribution_consistency(spark, sf_dir):
+    """The one-row summary agrees with the session table it summarizes:
+    counts, maxima, and percentile ordering p50 <= p90 <= p99 <= max."""
+    from ozone_spark.operators.events import (session_distribution,
+                                              sessionize)
+    events = tables.load_table(spark, sf_dir, "events")
+    r = session_distribution(events).collect()[0]
+    sess = sessionize(events)
+    assert r.n_sessions == sess.count()
+    mx = sess.agg(F.max("n_events"), F.max("duration_s")).collect()[0]
+    assert (r.max_events, r.max_duration_s) == (mx[0], mx[1])
+    assert r.p50_events <= r.p90_events <= r.p99_events <= r.max_events
+    assert (r.p50_duration_s <= r.p90_duration_s
+            <= r.p99_duration_s <= r.max_duration_s)
+
+
+def test_order_ship_latency_bounds(spark, sf_dir):
+    """Latency rows cover every priority present in orders that have
+    lineitems; percentiles are ordered and non-negative day counts."""
+    from ozone_spark.operators.tpch import order_ship_latency
+    orders = tables.load_table(spark, sf_dir, "orders")
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    rows = order_ship_latency(orders, lineitem).collect()
+    assert sum(r.n_items for r in rows) == lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey).count()
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
