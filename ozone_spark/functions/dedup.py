@@ -686,9 +686,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
 
 def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
+    # Seed labels with min(self, min neighbor) — the exact state after
+    # round 1's nbr_min step, for the same shuffle the identity init
+    # (distinct over edge endpoints) would have cost anyway.  Same
+    # fixpoint, one fewer O(log d) round at every scale.
     labels = (
-        edges.select(F.col("a").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nb"))
+        .select("doc_id",
+                F.least(F.col("doc_id"), F.col("nb")).alias("cluster_id"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
