@@ -643,3 +643,30 @@ def test_q14_single_agg_exchange_fact_never_shuffled(spark, t):
     plan = plan_of(promo_revenue_share(t["lineitem"], t["part"]))
     assert "BroadcastHashJoin" in plan
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_boilerplate_paragraphs_fp_only_exchanges(spark, sf_dir):
+    """boilerplate_paragraphs shuffles fingerprints and ids only: no
+    paragraph text or document text crosses an Exchange, and the one
+    join is the fp-keyed frequency equi-join (no cartesian)."""
+    from ozone_spark.functions.dedup import boilerplate_paragraphs
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(boilerplate_paragraphs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "para#" not in line and "text#" not in line, line
+
+
+def test_kmv_source_overlap_corpus_independent_pair_stage(spark, sf_dir):
+    """The pair stage of kmv_source_overlap runs on the per-source
+    sketch table: no document text appears in any Exchange (the only
+    corpus-wide shuffles carry (source, hash) pairs)."""
+    from ozone_spark.functions.sketch import kmv_source_overlap
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(kmv_source_overlap(docs))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
