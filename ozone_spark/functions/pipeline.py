@@ -543,6 +543,42 @@ def training_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Train/val/test leakage audit: for every content fingerprint, the
+    SET of splits its copies landed in — a fingerprint spanning splits
+    means the model is evaluated on text it trained on verbatim (the
+    self-inflicted contamination `decontaminate` can't see because both
+    sides are your own corpus).  One row per observed split-set with
+    fingerprint/doc counts and the leak flag; clean splits still report
+    their singleton rows, so an empty-leak run is distinguishable from
+    a broken one.
+
+    Scale shape: the split is the same map-only md5 rule as
+    training_shards (no join against it needed); the audit is one
+    fingerprint-keyed aggregate folding splits with collect_set
+    (bounded by |splits| = 3) and one 2^|splits|-row rollup."""
+    split_key = sample_key(F.col("doc_id"), SPLIT_SALT)
+    split = F.when(split_key < SPLIT_CUTS[0][1], SPLIT_CUTS[0][0]) \
+        .when(split_key < SPLIT_CUTS[1][1], SPLIT_CUTS[1][0]) \
+        .otherwise(SPLIT_CUTS[2][0])
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    per_fp = (
+        docs.select(split.alias("split"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.array_join(F.array_sort(F.collect_set("split")), "+")
+             .alias("split_set"),
+             F.count("*").alias("n_docs"))
+    )
+    return (
+        per_fp.groupBy("split_set")
+        .agg(F.count("*").alias("n_fingerprints"),
+             F.sum("n_docs").alias("n_docs"))
+        .select("split_set", "n_fingerprints", "n_docs",
+                F.col("split_set").contains("+").alias("is_leak"))
+        .orderBy("split_set")
+    )
+
+
 # ------------------------------------------------------ cross-corpus dedup
 
 CROSS_EXISTING_RE = r"^src[0-9]$"   # fixture: src0-9 = existing corpus,

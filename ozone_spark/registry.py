@@ -5294,6 +5294,34 @@ SELECT o_orderpriority, count(*) AS n_items,
   CAST(max(days) AS BIGINT) AS max_days
 FROM lat GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "split_leakage",
+        lambda spark, sf: pipeline.split_leakage(views(spark, sf)["documents"]),
+        # same md5 split rule as training_shards; split-set per content
+        # fingerprint, leak = a set spanning more than one split
+        f"""WITH base AS (
+  SELECT CASE
+    WHEN CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000
+      < {pipeline.SPLIT_CUTS[0][1]} THEN 'train'
+    WHEN CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000
+      < {pipeline.SPLIT_CUTS[1][1]} THEN 'val'
+    ELSE 'test' END AS split,
+    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+  FROM documents
+), per AS (
+  SELECT fp,
+    array_to_string(list_sort(list_distinct(list(split))), '+')
+      AS split_set,
+    count(*) AS n_docs
+  FROM base GROUP BY fp
+)
+SELECT split_set, count(*) AS n_fingerprints,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  contains(split_set, '+') AS is_leak
+FROM per GROUP BY 1 ORDER BY 1""",
+    ),
 ]
 
 

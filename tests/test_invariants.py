@@ -1385,3 +1385,28 @@ def test_order_ship_latency_bounds(spark, sf_dir):
         orders, lineitem.l_orderkey == orders.o_orderkey).count()
     for r in rows:
         assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
+def test_split_leakage_detects_planted_leak(spark):
+    """A duplicated text whose copies land in different splits is
+    reported as a leak row; the split assignment matches
+    training_shards' rule doc-for-doc."""
+    from ozone_spark.functions.pipeline import split_leakage, training_shards
+    # find doc_ids that training_shards assigns to different splits
+    ids = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)], "doc_id long, text string")
+    assigned = {r.doc_id: r.split
+                for r in training_shards(ids).collect()}
+    val_id = next(i for i, s in assigned.items() if s == "val")
+    train_id = next(i for i, s in assigned.items() if s == "train")
+    docs = spark.createDataFrame(
+        [(train_id, "identical leaked text"),
+         (val_id, "identical leaked text"),
+         (next(i for i, s in assigned.items()
+               if s == "train" and i != train_id), "clean text")],
+        "doc_id long, text string")
+    rows = {r.split_set: r for r in split_leakage(docs).collect()}
+    assert rows["train+val"].is_leak
+    assert rows["train+val"].n_fingerprints == 1
+    assert rows["train+val"].n_docs == 2
+    assert not rows["train"].is_leak
