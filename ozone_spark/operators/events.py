@@ -436,6 +436,51 @@ def stickiness(events: DataFrame, window_days: int = 7) -> DataFrame:
     )
 
 
+def ewma_forecast(events: DataFrame) -> DataFrame:
+    """Next-day volume forecast per event type: EWMA with alpha = 1/2
+    (s_t = (s_{t-1} + x_t) / 2) plus a one-step-ahead backtest MAE over
+    the history — the capacity-planning number with its own trust
+    metric attached.
+
+    alpha = 1/2 is deliberate: halving is an exact exponent shift in
+    IEEE doubles, so the recurrence is a deterministic left fold any
+    engine replays bit-identically (the same determinism budget as
+    kmeans_assign; an arbitrary alpha would multiply by an inexact
+    (1-alpha) every step).
+
+    Scale shape: one (type, day) count aggregate over the corpus, then
+    ALL fold math runs per-row on the bounded per-type day array
+    (collected ordered, |days| elements) — the backtest's prefix folds
+    are O(|days|^2) scalar ops on a |types|-row table, not a shuffle."""
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double")).alias("vals"))
+    )
+    vals = F.col("vals")
+    fold = lambda sl, init: F.aggregate(  # noqa: E731 — shared fold rule
+        sl, init, lambda a, x: (a + x) / 2)
+    ewma = fold(F.slice(vals, 2, F.size(vals) - 1), F.element_at(vals, 1))
+    errs = F.transform(
+        F.sequence(F.lit(2), F.size(vals)),
+        lambda t: F.abs(
+            F.element_at(vals, t)
+            - fold(F.slice(vals, 2, t - 2), F.element_at(vals, 1))))
+    mae = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size(errs)
+    return (
+        arr.select("event_type",
+                   F.size(vals).cast("long").alias("n_days"),
+                   F.round(ewma, 6).alias("ewma_forecast"),
+                   F.round(mae, 6).alias("backtest_mae"))
+        .orderBy("event_type")
+    )
+
+
 def weekly_growth(events: DataFrame) -> DataFrame:
     """Week-over-week event-volume growth: weekly totals per event
     type with the previous week's count and the percent change — the

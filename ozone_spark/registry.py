@@ -5322,6 +5322,33 @@ SELECT split_set, count(*) AS n_fingerprints,
   contains(split_set, '+') AS is_leak
 FROM per GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "events_ewma_forecast",
+        lambda spark, sf: eops.ewma_forecast(views(spark, sf)["events"]),
+        # alpha=1/2 EWMA: every halving is an exact exponent shift, so
+        # the left fold replays bit-identically via list_reduce
+        """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT event_type,
+    list_transform(list(n ORDER BY day), x -> CAST(x AS DOUBLE)) AS vals
+  FROM daily GROUP BY 1
+), e AS (
+  SELECT event_type, vals, len(vals) AS n_days,
+    list_reduce(vals, (a, x) -> (a + x) / 2) AS ewma,
+    list_transform(range(2, len(vals) + 1), t -> abs(
+      vals[CAST(t AS INT)] - CASE WHEN t = 2 THEN vals[1]
+        ELSE list_reduce(vals[1:CAST(t AS INT) - 1],
+                         (a, x) -> (a + x) / 2) END)) AS errs
+  FROM arr
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  round(ewma, 6) AS ewma_forecast,
+  round(list_reduce(errs, (a, x) -> a + x) / len(errs), 6)
+    AS backtest_mae
+FROM e ORDER BY 1""",
+    ),
 ]
 
 

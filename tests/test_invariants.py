@@ -1410,3 +1410,28 @@ def test_split_leakage_detects_planted_leak(spark):
     assert rows["train+val"].n_fingerprints == 1
     assert rows["train+val"].n_docs == 2
     assert not rows["train"].is_leak
+
+
+def test_ewma_forecast_recurrence(spark):
+    """EWMA replays the s_t = (s_{t-1} + x_t)/2 recurrence exactly and
+    the backtest MAE matches a hand computation."""
+    from ozone_spark.operators.events import ewma_forecast
+    counts = [4, 8, 2, 6]  # one event-type, 4 days, counts via rows
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [("click", f"2024-02-{d:02d} 00:00:{i:02d}") for i in range(c)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = ewma_forecast(events).collect()[0]
+    s = float(counts[0])
+    preds = []
+    for x in counts[1:]:
+        preds.append(s)
+        s = (s + x) / 2
+    # preds are one-step-ahead predictions for days 2..n
+    expected_mae = sum(abs(p - x) for p, x in
+                       zip(preds, counts[1:])) / len(preds)
+    assert r.n_days == 4
+    assert r.ewma_forecast == round(s, 6)
+    assert r.backtest_mae == round(expected_mae, 6)
