@@ -543,6 +543,36 @@ def training_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
+def approx_group_counts(docs: DataFrame, rate: float = 0.1,
+                        stratum_col: str = "lang",
+                        salt: str = "htsample-v1") -> DataFrame:
+    """Sample-first aggregation with its error audit: per group, the
+    Horvitz-Thompson scale-up (sampled_count / rate) from a
+    deterministic md5 Bernoulli sample next to the exact count — the
+    pattern that turns a 100 TB group-by into a 10 TB one when ±3% is
+    acceptable, with the fixture-scale exact column proving the
+    estimator honest (production drops it; the estimate is the point).
+
+    Determinism: the sample is the md5-keyed Bernoulli from
+    stratified_sample (any engine replays the exact member set), so the
+    'estimate' is reproducible — no rand() in the plan.
+
+    Scale shape: one scan; the sample filter is map-only; both counts
+    fold in the same group exchange via conditional aggregation."""
+    threshold = int(rate * _SAMPLE_MOD)
+    in_sample = sample_key(F.col("doc_id"), salt) < threshold
+    est = F.sum(in_sample.cast("long")) / rate
+    return (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("exact_docs"),
+             F.sum(in_sample.cast("long")).alias("sampled_docs"),
+             F.round(est, 4).alias("ht_estimate"),
+             F.round(F.abs(est - F.count("*")) / F.count("*"), 6)
+             .alias("rel_err"))
+        .orderBy(stratum_col)
+    )
+
+
 def split_leakage(docs: DataFrame) -> DataFrame:
     """Train/val/test leakage audit: for every content fingerprint, the
     SET of splits its copies landed in — a fingerprint spanning splits

@@ -5349,6 +5349,25 @@ SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
     AS backtest_mae
 FROM e ORDER BY 1""",
     ),
+    _q(
+        "approx_group_counts",
+        lambda spark, sf: pipeline.approx_group_counts(
+            views(spark, sf)["documents"]),
+        # Horvitz-Thompson scale-up from the md5 Bernoulli sample (rate
+        # 0.1 -> key < 1000 of 10000), exact count alongside
+        """WITH k AS (
+  SELECT lang,
+    (CAST('0x' || substr(md5('htsample-v1:' || CAST(doc_id AS VARCHAR)),
+      1, 7) AS BIGINT) % 10000 < 1000) AS in_sample
+  FROM documents
+)
+SELECT lang, count(*) AS exact_docs,
+  CAST(sum(in_sample::INT) AS BIGINT) AS sampled_docs,
+  round(sum(in_sample::INT) / 0.1, 4) AS ht_estimate,
+  round(abs(sum(in_sample::INT) / 0.1 - count(*)) / count(*), 6)
+    AS rel_err
+FROM k GROUP BY 1 ORDER BY 1""",
+    ),
 ]
 
 

@@ -1435,3 +1435,16 @@ def test_ewma_forecast_recurrence(spark):
     assert r.n_days == 4
     assert r.ewma_forecast == round(s, 6)
     assert r.backtest_mae == round(expected_mae, 6)
+
+
+def test_approx_group_counts_ht_identity(spark, sf_dir):
+    """HT estimate == sampled/rate exactly; sample is a subset of the
+    group; at rate=1.0 the estimate IS the exact count."""
+    from ozone_spark.functions.pipeline import approx_group_counts
+    docs = tables.load_table(spark, sf_dir, "documents")
+    for r in approx_group_counts(docs, rate=0.1).collect():
+        assert 0 <= r.sampled_docs <= r.exact_docs
+        assert r.ht_estimate == round(r.sampled_docs / 0.1, 4)
+    for r in approx_group_counts(docs, rate=1.0).collect():
+        assert r.sampled_docs == r.exact_docs
+        assert r.rel_err == 0.0
