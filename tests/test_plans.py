@@ -670,3 +670,16 @@ def test_kmv_source_overlap_corpus_independent_pair_stage(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_aqe_coalesces_small_shuffle_at_runtime(spark, sf_dir):
+    """AQE evidence: after execution, a small groupBy's shuffle read is
+    coalesced below the static shuffle-partition count — the runtime
+    re-plan that keeps 100 TB configs from drowning small stages in
+    empty tasks."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    df = docs.groupBy("lang").count()
+    df.collect()  # materialize so AQE finalizes the executed plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed, executed[:500]
+    assert "coalesced" in executed, executed[:500]
