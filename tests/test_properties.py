@@ -148,3 +148,79 @@ def test_name_uuid_layout_any_input(spark, data):
         r"[0-9a-f]{12}$")
     assert all(pat.match(r.u) for r in rows)
     assert len({r.u for r in rows}) == len(rows)
+
+
+@settings(max_examples=2, deadline=None)
+@given(data=st.data())
+def test_boilerplate_vs_pure_python_model(spark, data):
+    """boilerplate_paragraphs matches a pure-python rendering of the
+    frequency rule on arbitrary small corpora: paragraphs are 20-word
+    chunks of the normalized text; every occurrence of a chunk seen in
+    >= min_df distinct docs is removed."""
+    import hashlib
+    import re
+    from ozone_spark.functions.dedup import boilerplate_paragraphs
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1"])
+    texts = data.draw(st.lists(
+        st.lists(word, min_size=0, max_size=65).map(" ".join),
+        min_size=1, max_size=12))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           boilerplate_paragraphs(docs, min_df=2).collect()}
+
+    def paras(t):
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower()).strip()
+        if not t:
+            return []
+        ws = re.split(r" +", t)
+        return [" ".join(ws[i:i + 20]) for i in range(0, len(ws), 20)]
+
+    from collections import defaultdict
+    df_count = defaultdict(set)
+    for i, t in enumerate(texts):
+        for p in paras(t):
+            df_count[hashlib.md5(p.encode()).hexdigest()].add(i)
+    for i, t in enumerate(texts):
+        ps = [hashlib.md5(p.encode()).hexdigest() for p in paras(t)]
+        if not ps:
+            assert i not in got
+            continue
+        removed = [p for p in ps if len(df_count[p]) >= 2]
+        kept = [p for p in ps if len(df_count[p]) < 2]
+        assert got[i].n_paras == len(ps)
+        assert got[i].n_removed == len(removed)
+        assert got[i].cleaned_fp == hashlib.md5(
+            "".join(kept).encode()).hexdigest()
+
+
+@settings(max_examples=2, deadline=None)
+@given(data=st.data())
+def test_growth_curve_model_any_corpus(spark, data):
+    """growth_curve matches a pure-python first-occurrence model for
+    arbitrary doc_id gaps and duplicate patterns."""
+    import hashlib
+    import re
+    from ozone_spark.functions.dedup import growth_curve
+    texts = data.draw(st.lists(
+        st.sampled_from(["a b c", "d e f", "a b c", "zz yy", "d e f"]),
+        min_size=2, max_size=30))
+    ids = data.draw(st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=len(texts), max_size=len(texts), unique=True))
+    rows = list(zip(ids, texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.bucket: r for r in growth_curve(docs).collect()}
+    m = max(ids)
+    seen, model = set(), {}
+    for i, t in sorted(rows):
+        fp = hashlib.md5(
+            re.sub(r"[^a-z0-9 ]", "", t.lower()).encode()).hexdigest()
+        b = i * 10 // (m + 1)
+        d = model.setdefault(b, [0, 0])
+        d[0] += 1
+        if fp not in seen:
+            seen.add(fp)
+            d[1] += 1
+    assert {b: (r.n_docs, r.n_new) for b, r in got.items()} == {
+        b: tuple(v) for b, v in model.items()}
