@@ -567,17 +567,25 @@ def min_cost_supplier(lineitem: DataFrame, part: DataFrame,
     fact join; unit prices aggregate per (part, supplier) first (one
     exchange), then the winner is row_number() over a window KEYED BY
     p_partkey (same key — no extra shuffle), never a global sort.
-    Prices are rounded to the cent grid BEFORE the min/rank so the
-    comparison is engine-deterministic, with the supplier key as the
-    tiebreak."""
+
+    Determinism: the per-row unit price is rounded to the cent grid in
+    EXACT INTEGER math — price cents are exact (2-decimal domain, the
+    *100 double lands ~1e-9 from an integer, never near a half), and
+    half-up cent rounding is (2a + b) DIV (2b).  round(price/qty, 2)
+    on the raw double ratio was the r5 sf0.1 sweep's one genuine hash
+    mismatch: the two engines disagree on half-approximation doubles,
+    and at 60k rows one such ratio finally occurs."""
     sparts = part.where(F.col("p_size") <= max_size) \
         .select("p_partkey", "p_name")
-    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    unit_cents = F.expr(
+        f"(2 * CAST(round(l_extendedprice * 100) AS BIGINT)"
+        f" + CAST(l_quantity AS BIGINT))"
+        f" DIV (2 * CAST(l_quantity AS BIGINT))")
     per_ps = (
         lineitem
         .join(broadcast(sparts), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "l_suppkey")
-        .agg(F.min(unit).alias("min_unit_price"))
+        .agg((F.min(unit_cents) / 100.0).alias("min_unit_price"))
     )
     w = Window.partitionBy("p_partkey") \
         .orderBy("min_unit_price", "l_suppkey")

@@ -4019,8 +4019,15 @@ def _cdc_overflow_reprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     over = scdc.process_or_reprocess(
         spark, f"{work}/cdc", keys_now, f"{work}/store_o", f"{work}/ckpt_o",
         capacity=0)
+    # capacity explicitly above any fixture's pending-log size: the
+    # point of this branch is the TRUE incremental drain.  The module
+    # default (sized to the gate fixture) overflowed at sf0.1, and the
+    # silent fallback made both branches reprocess — rows still
+    # matched per path-label only by accident of the union, and the
+    # sf0.1 sweep caught the hash mismatch.
     incr = scdc.process_or_reprocess(
-        spark, f"{work}/cdc", keys_now, f"{work}/store_i", f"{work}/ckpt_i")
+        spark, f"{work}/cdc", keys_now, f"{work}/store_i", f"{work}/ckpt_i",
+        capacity=1 << 40)
     return over.unionByName(incr).orderBy(
         "path", "volume", "bucket", "bin_index")
 
@@ -4445,10 +4452,14 @@ GROUP BY 1 ORDER BY 1""",
         lambda spark, sf: tpch.min_cost_supplier(
             views(spark, sf)["lineitem"], views(spark, sf)["part"],
             views(spark, sf)["supplier"]),
-        # TPC-H Q2 shape: per-part min-unit-price supplier via keyed rank
+        # TPC-H Q2 shape: per-part min-unit-price supplier via keyed
+        # rank; unit cents in exact integer half-up math ((2a+b)//(2b))
+        # — round(double ratio, 2) diverged cross-engine at sf0.1
         """WITH per_ps AS (
   SELECT p_partkey, p_name, l_suppkey,
-    min(round(l_extendedprice / l_quantity, 2)) AS min_unit_price
+    min((2 * CAST(round(l_extendedprice * 100) AS BIGINT)
+         + CAST(l_quantity AS BIGINT))
+        // (2 * CAST(l_quantity AS BIGINT))) / 100.0 AS min_unit_price
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_size <= 15
   GROUP BY 1, 2, 3

@@ -4,9 +4,11 @@ tests/drive_contract.py, including the driver's stricter behavior of
 sorting the pandas frame — which dies on array cells, so array-typed
 outputs fail here exactly as they fail in the real gate).
 
-Usage: python tools/gate_check.py [--out FILE] [--all] [name ...]
+Usage: python tools/gate_check.py [--out FILE] [--all] [--sf DIR] [name ...]
 (no names = first 50 in gate order, i.e. what the driver will actually
-verify this round; --all = every registered query).
+verify this round; --all = every registered query; --sf points both
+engines at another fixture dir, e.g. /root/testdata/sf0.1 for a
+10x-the-gate-scale correctness sweep).
 
 --out FILE writes a driver-format JSON artifact (per-query rows_match /
 schema_match / hash_match / row counts / err) — the round's insurance
@@ -53,10 +55,6 @@ def main():
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
     qs, os_ = e.queries(), e.oracle_sql()
     argv = sys.argv[1:]
     out_path = None
@@ -64,6 +62,15 @@ def main():
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    global SF
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        SF = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
     if "--all" in argv:
         names = list(qs)
     else:
