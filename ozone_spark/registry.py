@@ -2292,6 +2292,19 @@ def _lsh_sig_sql(vec: str, n_planes: int | None = None) -> str:
     return " + ".join(terms)
 
 
+def _lsh_sig_adaptive_sql(vec: str) -> str:
+    """Signature expression following the suggest_n_planes law across
+    BOTH shipped embedding corpora (500 vectors at the gate scales ->
+    7 planes; 2000 at sf0.1 -> 9): static SQL cannot vary its
+    expression SHAPE with the data, so the two law outcomes are
+    enumerated in a CASE on the corpus count — the same two sizes the
+    import-time asserts pin."""
+    sig_small = _lsh_sig_sql(vec, similarity.suggest_n_planes(_GATE_EMB_N))
+    sig_big = _lsh_sig_sql(vec, similarity.suggest_n_planes(2000))
+    return (f"CASE WHEN (SELECT count(*) FROM embeddings) <= {_GATE_EMB_N}"
+            f" THEN ({sig_small}) ELSE ({sig_big}) END")
+
+
 def _band_sig_sql(vec: str, planes: list[list[float]]) -> str:
     """DuckDB expression for one band signature over an explicit plane
     slice (mirrors similarity._sig_from_planes bit weights)."""
@@ -2346,7 +2359,7 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
         # signature/bucket math is replayed exactly in DuckDB
         f"""WITH sig AS (
   SELECT vec_id, embedding,
-    ({_lsh_sig_sql('embedding', similarity.suggest_n_planes(_GATE_EMB_N))})
+    ({_lsh_sig_adaptive_sql('embedding')})
     AS sig
   FROM embeddings
 ), q AS (
@@ -2374,9 +2387,16 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
             views(spark, sf)["embeddings"], [20, 21, 22], k=10),
         # assignment tie-break mirrors array_max over struct(dot, id):
         # higher dot wins, ties -> higher centroid_id (DESC)
-        f"""WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
-  WHERE vec_id < 16
+        f"""WITH ncent AS (
+  -- suggest_n_centroids in SQL: ~sqrt(n) rounded to a power of two,
+  -- clamped to [4, 65536]; python round is banker's vs DuckDB's
+  -- half-away, divergent only at n = 2^odd exactly (no fixture is)
+  SELECT greatest(4, least(65536, CAST(power(2,
+    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
+  WHERE vec_id < nc
 ), assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -4665,7 +4685,7 @@ FROM ev""",
   ) WHERE rank <= 10
 ), sig AS (
   SELECT vec_id, embedding,
-    ({_lsh_sig_sql('embedding', similarity.suggest_n_planes(_GATE_EMB_N))})
+    ({_lsh_sig_adaptive_sql('embedding')})
     AS sig
   FROM embeddings
 ), ql AS (
@@ -4892,9 +4912,13 @@ ORDER BY r.label, r.rank""",
     SELECT *, row_number() OVER (PARTITION BY query_id
       ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
   ) WHERE rank <= 10
+), ncent AS (
+  SELECT greatest(4, least(65536, CAST(power(2,
+    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
+  FROM embeddings
 ), cents AS (
-  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
-  WHERE vec_id < {similarity.N_CENTROIDS}
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
+  WHERE vec_id < nc
 ), assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
