@@ -89,6 +89,9 @@ STRESS_QUERIES = [
                                  # buckets (sizes the pair bill above)
     "embedding_outliers",        # centroid partial-agg at 10x vectors
     "events_daily_anomalies",    # 10x daily counts into the MAD stats
+    "streaming_session_stats",   # applyInPandasWithState drain: 10x
+                                 # denser per-user state at 1M events
+    "streaming_dedup",           # dropDuplicates state at 10x key volume
 ]
 
 
