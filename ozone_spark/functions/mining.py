@@ -297,3 +297,46 @@ def zipf_curve(docs: DataFrame, k: int = 1000, top_n: int = 20) -> DataFrame:
         .select("rank", "word", "cnt", "zipf_slope", "intercept")
         .orderBy("rank")
     )
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = 50) -> DataFrame:
+    """One distributed BPE training step: the k most frequent adjacent
+    symbol pairs over the corpus vocabulary — the primitive a
+    byte-pair-encoding tokenizer trainer (Sennrich et al. 2016) runs
+    per merge round (rank 1 IS the next merge).  Counts are weighted by
+    word frequency with within-word multiplicity ("aaa" contributes
+    "aa" twice), exactly the classical formulation.
+
+    Scale shape: the corpus collapses to the VOCABULARY first (one
+    word-count aggregate with map-side combine — pair math never
+    touches corpus volume, only distinct words), pair explode is a
+    per-row transform over character offsets, and the top-k is
+    TakeOrderedAndProject.  Iterating merges re-runs this on a
+    re-symbolized vocab table — each round costs vocab size, not
+    corpus size."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    vocab = (
+        docs.select(F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.substring(F.col("word"), i, F.lit(2)))
+    exploded = (
+        vocab.where(F.length("word") >= 2)
+        .select("word", "freq", F.explode(pairs).alias("pair"))
+    )
+    top = (
+        exploded.groupBy("pair")
+        .agg(F.sum("freq").alias("total_count"),
+             F.countDistinct("word").alias("n_words"))
+        .orderBy(F.desc("total_count"), "pair")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("total_count"), "pair")  # k rows
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "pair", "total_count", "n_words")
+        .orderBy("rank")
+    )

@@ -5403,6 +5403,31 @@ SELECT lang, count(*) AS exact_docs,
     AS rel_err
 FROM k GROUP BY 1 ORDER BY 1""",
     ),
+    _q(
+        "bpe_merge_candidates",
+        lambda spark, sf: mining.bpe_merge_candidates(
+            views(spark, sf)["documents"]),
+        # one BPE training step: adjacent symbol-pair counts over the
+        # vocabulary, weighted by word frequency with multiplicity
+        f"""WITH w AS (
+  SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x <> ''))
+    AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS freq FROM w GROUP BY 1
+), pairs AS (
+  SELECT word, freq, substr(word, CAST(i AS INT), 2) AS pair
+  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM vocab WHERE length(word) >= 2)
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS total_count,
+    count(DISTINCT word) AS n_words
+  FROM pairs GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY total_count DESC, pair) AS rank,
+  pair, total_count, n_words
+FROM agg ORDER BY total_count DESC, pair LIMIT 50""",
+    ),
 ]
 
 

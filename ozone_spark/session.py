@@ -78,3 +78,21 @@ def get_spark(app_name: str = "ozone-spark", cpus: int | None = None) -> SparkSe
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+def suggest_shuffle_partitions(input_bytes: int,
+                               target_partition_bytes: int = 128 << 20,
+                               min_partitions: int = 8,
+                               max_partitions: int = 200_000) -> int:
+    """Shuffle-partition sizing law: enough partitions that each
+    post-shuffle partition lands near `target_partition_bytes`
+    (Spark's default file-split size — comfortably in-memory per task),
+    clamped to [min, max].  At 100 TB / 128 MB that is ~800k capped to
+    200k (AQE coalescing then rides runtime statistics downward; this
+    law sets the pre-AQE ceiling so no single partition exceeds memory
+    even before the re-plan).  Pure function so jobs can size
+    spark.sql.shuffle.partitions from the scan estimate before the
+    first shuffle runs."""
+    need = (max(input_bytes, 0) + target_partition_bytes - 1) \
+        // target_partition_bytes
+    return int(max(min_partitions, min(max_partitions, need)))

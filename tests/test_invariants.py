@@ -1448,3 +1448,17 @@ def test_approx_group_counts_ht_identity(spark, sf_dir):
     for r in approx_group_counts(docs, rate=1.0).collect():
         assert r.sampled_docs == r.exact_docs
         assert r.rel_err == 0.0
+
+
+def test_bpe_merge_candidates_hand_count(spark):
+    """Pair counts replay the classical BPE formulation: frequency-
+    weighted with within-word multiplicity ('aaa' -> 'aa' twice)."""
+    from ozone_spark.functions.mining import bpe_merge_candidates
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "aaa aaa"), (3, "ab")],
+        "doc_id long, text string")
+    rows = {r.pair: r for r in bpe_merge_candidates(docs, k=10).collect()}
+    # vocab: aaa freq 3 (2 pairs 'aa' each), ab freq 2 (1 pair)
+    assert rows["aa"].total_count == 6 and rows["aa"].n_words == 1
+    assert rows["ab"].total_count == 2 and rows["ab"].n_words == 1
+    assert rows["aa"].rank == 1

@@ -224,3 +224,17 @@ def test_growth_curve_model_any_corpus(spark, data):
             d[1] += 1
     assert {b: (r.n_docs, r.n_new) for b, r in got.items()} == {
         b: tuple(v) for b, v in model.items()}
+
+
+@settings(max_examples=20, deadline=None)
+@given(nbytes=st.integers(min_value=0, max_value=1 << 50))
+def test_suggest_shuffle_partitions_law(nbytes):
+    """Sizing law invariants: within clamps, ceil semantics (every
+    partition <= target unless clamped), monotone in input size."""
+    from ozone_spark.session import suggest_shuffle_partitions as ssp
+    target = 128 << 20
+    p = ssp(nbytes)
+    assert 8 <= p <= 200_000
+    if 8 * target <= nbytes <= 200_000 * target:
+        assert (p - 1) * target < nbytes <= p * target
+    assert ssp(nbytes) <= ssp(nbytes + target)
