@@ -340,3 +340,83 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 50) -> DataFrame:
         .select("rank", "pair", "total_count", "n_words")
         .orderBy("rank")
     )
+
+
+BPE_MERGES = 8
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): run
+    `n_merges` merge rounds over the corpus vocabulary and return the
+    learned merge table — round, pair, the new symbol, and the pair's
+    frequency-weighted count at selection time.  This IS the tokenizer
+    artifact a training pipeline ships.
+
+    The classical left-to-right non-overlapping merge is expressed as a
+    LITERAL string replace over a boundary-doubled symbol encoding:
+    words are kept as '||'-separated symbols ('abc' -> '||a||b||c||'),
+    and merging (a, b) is replace('|a||b|' -> '|ab|').  The doubled
+    boundary gives each adjacency its own pipe pair, so consecutive
+    merges ('abab' -> 'ab','ab') don't starve each other, overlapping
+    runs resolve left-to-right ('aaa' -> 'aa','a'), and symbol-prefix
+    false matches ('bc' vs 'b') are impossible — verified identical in
+    Spark and DuckDB, which is what makes the whole trainer
+    oracle-replayable round for round.
+
+    Scale shape: one corpus pass builds the word-frequency vocabulary;
+    every merge round after that is vocab-sized (pair explode over
+    symbol arrays + one argmax + a broadcast one-row replace) — the
+    iterated-state-as-DataFrame pattern shared with kmeans_assign, no
+    collect() anywhere."""
+    from functools import reduce as _reduce
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    vocab = (
+        docs.select(F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .select("freq", F.concat(F.lit("||"), F.array_join(chars, "||"),
+                                 F.lit("||")).alias("sym"))
+    )
+    rounds = []
+    # Eager per-round truncation: round r's pair counts hang off round
+    # r-1's replace, whose one-row argmax hangs off ITS OWN aggregation
+    # — left lazy, every union branch replays its whole prefix and the
+    # trainer goes quadratic in rounds (measured 41s -> 12s at the
+    # gate fixture).  The vocab table is vocabulary-sized, so the
+    # checkpoint is cheap; same loop-state pattern as _cc_loop.
+    for r in range(n_merges):
+        vocab = vocab.localCheckpoint()
+        vs = vocab.select(
+            "freq",
+            F.filter(F.split(F.col("sym"), r"\|\|"),
+                     lambda x: x != "").alias("s"))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.concat(F.element_at("s", i), F.lit("|"),
+                               F.element_at("s", i + 1)))
+        best = (
+            vs.where(F.size("s") >= 2)
+            .select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair").limit(1)
+        )
+        a = F.substring_index(F.col("pair"), "|", 1)
+        b = F.substring_index(F.col("pair"), "|", -1)
+        best = best.select(
+            "pair", "cnt",
+            F.concat(F.lit("|"), a, F.lit("||"), b, F.lit("|"))
+            .alias("srch"),
+            F.concat(F.lit("|"), a, b, F.lit("|")).alias("repl"),
+            F.concat(a, b).alias("new_symbol"))
+        rounds.append(best.select(
+            F.lit(r + 1).alias("merge_round"), "pair", "new_symbol",
+            F.col("cnt").alias("total_count")))
+        vocab = (
+            vocab.crossJoin(broadcast(best.select("srch", "repl")))
+            .select("freq",
+                    F.replace(F.col("sym"), F.col("srch"), F.col("repl"))
+                    .alias("sym"))
+        )
+    return _reduce(lambda x, y: x.unionByName(y), rounds) \
+        .orderBy("merge_round")

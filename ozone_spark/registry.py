@@ -3432,7 +3432,50 @@ SELECT vec_id, cluster, CAST(floor(d) AS BIGINT) AS dist_sq_q FROM (
     return "".join(parts)
 
 
+def _bpe_oracle(n_merges: int = mining.BPE_MERGES) -> str:
+    """Unrolled BPE merge rounds as chained CTEs — the same boundary-
+    doubled literal-replace merge as mining.bpe_train, round for round
+    (same pattern as _kmeans_oracle's unrolled Lloyd's iterations)."""
+    sp = "string_split(pair, '|')"
+    parts = [f"""WITH v0 AS (
+  SELECT count(*) AS freq,
+    '||' || array_to_string(string_split(word, ''), '||') || '||' AS sym
+  FROM (SELECT unnest(list_filter(string_split({_NORM}, ' '),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""]
+    for r in range(n_merges):
+        parts.append(f""", p{r} AS (
+  SELECT s[CAST(i AS INT)] || '|' || s[CAST(i AS INT) + 1] AS pair, freq
+  FROM (
+    SELECT freq, s, unnest(range(1, len(s))) AS i
+    FROM (SELECT freq,
+            list_filter(string_split(sym, '||'), x -> x <> '') AS s
+          FROM v{r}))
+), b{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
+  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+), v{r + 1} AS (
+  SELECT freq, replace(sym,
+    '|' || {sp}[1] || '||' || {sp}[2] || '|',
+    '|' || {sp}[1] || {sp}[2] || '|') AS sym
+  FROM v{r}, b{r})""")
+    selects = [
+        f"""SELECT CAST({r + 1} AS INT) AS merge_round, pair,
+    {sp}[1] || {sp}[2] AS new_symbol, cnt AS total_count FROM b{r}"""
+        for r in range(n_merges)]
+    parts.append("\nSELECT * FROM (\n" + "\nUNION ALL ".join(selects)
+                 + "\n) ORDER BY merge_round")
+    return "".join(parts)
+
+
 MINING_QUERIES = [
+    _q(
+        "bpe_train",
+        lambda spark, sf: mining.bpe_train(views(spark, sf)["documents"]),
+        _bpe_oracle(),
+    ),
     _q(
         "vocab_coverage",
         lambda spark, sf: mining.vocab_coverage(views(spark, sf)["documents"]),

@@ -1462,3 +1462,19 @@ def test_bpe_merge_candidates_hand_count(spark):
     assert rows["aa"].total_count == 6 and rows["aa"].n_words == 1
     assert rows["ab"].total_count == 2 and rows["ab"].n_words == 1
     assert rows["aa"].rank == 1
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checked merge sequence: corpus of 'abab' x3 and 'ab' x2
+    learns (a,b) first (count 8: two per 'abab' occurrence + one per
+    'ab'), then (ab,ab) inside 'abab' (count 3)."""
+    from ozone_spark.functions.mining import bpe_train
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab")],
+        "doc_id long, text string")
+    rows = sorted(bpe_train(docs, n_merges=2).collect(),
+                  key=lambda r: r.merge_round)
+    assert (rows[0].pair, rows[0].new_symbol, rows[0].total_count) \
+        == ("a|b", "ab", 8)
+    assert (rows[1].pair, rows[1].new_symbol, rows[1].total_count) \
+        == ("ab|ab", "abab", 3)
