@@ -345,7 +345,22 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 50) -> DataFrame:
 BPE_MERGES = 8
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq, sym) vocabulary with the boundary-doubled initial
+    symbolization ('abc' -> '||a||b||c||')."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    return (
+        docs.select(F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .select("word", "freq",
+                F.concat(F.lit("||"), F.array_join(chars, "||"),
+                         F.lit("||")).alias("sym"))
+    )
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int):
     """Iterated BPE tokenizer training (Sennrich et al. 2016): run
     `n_merges` merge rounds over the corpus vocabulary and return the
     learned merge table — round, pair, the new symbol, and the pair's
@@ -369,15 +384,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     iterated-state-as-DataFrame pattern shared with kmeans_assign, no
     collect() anywhere."""
     from functools import reduce as _reduce
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
-    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
-    vocab = (
-        docs.select(F.explode(F.split(norm, " ")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word").agg(F.count("*").alias("freq"))
-        .select("freq", F.concat(F.lit("||"), F.array_join(chars, "||"),
-                                 F.lit("||")).alias("sym"))
-    )
+    vocab = _bpe_vocab(docs)
     rounds = []
     # Eager per-round truncation: round r's pair counts hang off round
     # r-1's replace, whose one-row argmax hangs off ITS OWN aggregation
@@ -414,9 +421,57 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             F.col("cnt").alias("total_count")))
         vocab = (
             vocab.crossJoin(broadcast(best.select("srch", "repl")))
-            .select("freq",
+            .select("word", "freq",
                     F.replace(F.col("sym"), F.col("srch"), F.col("repl"))
                     .alias("sym"))
         )
-    return _reduce(lambda x, y: x.unionByName(y), rounds) \
-        .orderBy("merge_round")
+    return (_reduce(lambda x, y: x.unionByName(y), rounds)
+            .orderBy("merge_round"), vocab)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The learned merge table (see _bpe_loop's docstring above for the
+    algorithm, determinism and scale notes)."""
+    merges, _ = _bpe_loop(docs, n_merges)
+    return merges
+
+
+def bpe_encode_stats(docs: DataFrame,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenizer fertility report: train the n-merge BPE, encode the
+    corpus with it (the loop's final vocabulary already holds every
+    word's post-merge symbolization — encoding is a word join, not a
+    re-scan), and report per-language chars/token and tokens/word —
+    the numbers that decide whether a tokenizer is fair across the
+    corpus's languages before a multilingual training run.
+
+    Scale shape: training is vocab-sized per round (_bpe_loop); the
+    encode is one (word)-keyed join of the exploded corpus against the
+    vocab's symbol counts, aggregated per language with map-side
+    combine.  All counts exact integers."""
+    _, vocab = _bpe_loop(docs, n_merges)
+    enc = vocab.select(
+        "word",
+        F.size(F.filter(F.split(F.col("sym"), r"\|\|"),
+                        lambda x: x != "")).cast("long").alias("n_sym"))
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    dw = (
+        docs.select("doc_id", "lang",
+                    F.explode(F.split(norm, " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        dw.join(enc, "word")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("total_words"),
+             F.sum(F.length("word")).alias("total_chars"),
+             F.sum("n_sym").alias("total_tokens"))
+        .select("lang", "n_docs", "total_words", "total_chars",
+                "total_tokens",
+                F.round(F.col("total_tokens") / F.col("total_words"), 6)
+                .alias("fertility"),
+                F.round(F.col("total_chars") / F.col("total_tokens"), 6)
+                .alias("chars_per_token"))
+        .orderBy("lang")
+    )

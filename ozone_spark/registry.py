@@ -3432,13 +3432,14 @@ SELECT vec_id, cluster, CAST(floor(d) AS BIGINT) AS dist_sq_q FROM (
     return "".join(parts)
 
 
-def _bpe_oracle(n_merges: int = mining.BPE_MERGES) -> str:
+def _bpe_prefix(n_merges: int = mining.BPE_MERGES) -> str:
     """Unrolled BPE merge rounds as chained CTEs — the same boundary-
-    doubled literal-replace merge as mining.bpe_train, round for round
-    (same pattern as _kmeans_oracle's unrolled Lloyd's iterations)."""
+    doubled literal-replace merge as mining._bpe_loop, round for round
+    (same pattern as _kmeans_oracle's unrolled Lloyd's iterations).
+    Ends with v{n} holding every word's post-merge symbolization."""
     sp = "string_split(pair, '|')"
     parts = [f"""WITH v0 AS (
-  SELECT count(*) AS freq,
+  SELECT word, count(*) AS freq,
     '||' || array_to_string(string_split(word, ''), '||') || '||' AS sym
   FROM (SELECT unnest(list_filter(string_split({_NORM}, ' '),
                                   x -> x <> '')) AS word
@@ -3457,17 +3458,40 @@ def _bpe_oracle(n_merges: int = mining.BPE_MERGES) -> str:
   SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
   GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
 ), v{r + 1} AS (
-  SELECT freq, replace(sym,
+  SELECT word, freq, replace(sym,
     '|' || {sp}[1] || '||' || {sp}[2] || '|',
     '|' || {sp}[1] || {sp}[2] || '|') AS sym
   FROM v{r}, b{r})""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = mining.BPE_MERGES) -> str:
+    sp = "string_split(pair, '|')"
     selects = [
         f"""SELECT CAST({r + 1} AS INT) AS merge_round, pair,
     {sp}[1] || {sp}[2] AS new_symbol, cnt AS total_count FROM b{r}"""
         for r in range(n_merges)]
-    parts.append("\nSELECT * FROM (\n" + "\nUNION ALL ".join(selects)
-                 + "\n) ORDER BY merge_round")
-    return "".join(parts)
+    return (_bpe_prefix(n_merges) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL ".join(selects) + "\n) ORDER BY merge_round")
+
+
+def _bpe_encode_oracle(n_merges: int = mining.BPE_MERGES) -> str:
+    return _bpe_prefix(n_merges) + f""", enc AS (
+  SELECT word,
+    len(list_filter(string_split(sym, '||'), x -> x <> '')) AS n_sym
+  FROM v{n_merges}
+), dw AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS total_words,
+  CAST(sum(length(word)) AS BIGINT) AS total_chars,
+  CAST(sum(n_sym) AS BIGINT) AS total_tokens,
+  round(sum(n_sym) * 1.0 / count(*), 6) AS fertility,
+  round(sum(length(word)) * 1.0 / sum(n_sym), 6) AS chars_per_token
+FROM dw JOIN enc USING (word)
+GROUP BY 1 ORDER BY 1"""
 
 
 MINING_QUERIES = [
@@ -3475,6 +3499,12 @@ MINING_QUERIES = [
         "bpe_train",
         lambda spark, sf: mining.bpe_train(views(spark, sf)["documents"]),
         _bpe_oracle(),
+    ),
+    _q(
+        "bpe_encode_stats",
+        lambda spark, sf: mining.bpe_encode_stats(
+            views(spark, sf)["documents"]),
+        _bpe_encode_oracle(),
     ),
     _q(
         "vocab_coverage",

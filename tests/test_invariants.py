@@ -1478,3 +1478,20 @@ def test_bpe_train_learns_expected_merges(spark):
         == ("a|b", "ab", 8)
     assert (rows[1].pair, rows[1].new_symbol, rows[1].total_count) \
         == ("ab|ab", "abab", 3)
+
+
+def test_bpe_encode_stats_compression_monotone(spark, sf_dir):
+    """Encoding invariants: tokens never exceed chars (merges only
+    shrink), fertility >= 1 symbol per word never — actually tokens >=
+    words is NOT guaranteed after many merges, but tokens <= chars and
+    totals partition the corpus; more merges never increase tokens."""
+    from ozone_spark.functions.mining import bpe_encode_stats
+    docs = tables.load_table(spark, sf_dir, "documents")
+    r4 = {r.lang: r for r in bpe_encode_stats(docs, n_merges=4).collect()}
+    r8 = {r.lang: r for r in bpe_encode_stats(docs, n_merges=8).collect()}
+    assert set(r4) == set(r8)
+    for lang in r4:
+        assert r4[lang].total_tokens <= r4[lang].total_chars
+        assert r8[lang].total_tokens <= r4[lang].total_tokens
+        assert r4[lang].total_words == r8[lang].total_words
+        assert r4[lang].total_chars == r8[lang].total_chars
