@@ -28,6 +28,8 @@ BNLJ_OK = {
     "lm_cross_entropy", "perplexity_buckets", "vocab_coverage",
     "kmeans_assign", "knn_ivf", "knn_pq", "knn_ivf_pq", "pq_codes",
     "pq_reconstruction_report", "ivf_list_balance",
+    # one-row broadcast merge-literal crossJoins per BPE round
+    "bpe_train", "bpe_encode_stats",
     "semantic_dedup", "shingle_cardinality_kmv", "weighted_sample",
     "bloom_membership", "cms_heavy_hitters", "safemode_status",
     "global_stats", "cluster_state", "key_insight_summary",
