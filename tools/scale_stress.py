@@ -92,6 +92,11 @@ STRESS_QUERIES = [
     "streaming_session_stats",   # applyInPandasWithState drain: 10x
                                  # denser per-user state at 1M events
     "streaming_dedup",           # dropDuplicates state at 10x key volume
+    "bpe_train",                 # tokenizer training: the corpus->vocab
+                                 # fold at 10x (vocab itself is scale-
+                                 # free here — replicas are copies)
+    "table_profile",             # per-column profile: distinct exchange
+                                 # + KMV rank at 10x lineitem
 ]
 
 

@@ -51,6 +51,9 @@ SKEW_QUERIES = [
     "rolling_user_1h",        # trailing RANGE frame over the hot stream
     "skewed_event_totals",    # the explicit salted-aggregate demo
     "events_daily_anomalies", # volume stats are user-agnostic: control
+    "events_type_cooccurrence",  # hot user holds every type: the max
+                                 # per-user pair fan-out C(|types|, 2)
+    "events_ewma_forecast",   # per-type day arrays unchanged by skew
 ]
 
 
