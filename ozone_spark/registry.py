@@ -3501,6 +3501,54 @@ MINING_QUERIES = [
         _bpe_oracle(),
     ),
     _q(
+        "simhash_recall",
+        lambda spark, sf: dedup.simhash_recall(views(spark, sf)["documents"]),
+        # block-permutation LSH candidates vs the exact Hamming truth
+        # set over a 20% deterministic md5 doc sample (all-pairs truth
+        # is bounded by the sample BY DESIGN)
+        f"""WITH tok AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+), agg AS (
+  SELECT doc_id, {_simhash_sums_sql()}
+  FROM tok GROUP BY 1
+), sig AS (
+  SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM agg
+), samp AS (
+  SELECT * FROM sig
+  WHERE CAST(('0x' || substr(md5('{dedup.SIMRECALL_SALT}:'
+    || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000
+    < {dedup.SIMRECALL_BP}
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+), blocks AS (
+  SELECT doc_id, simhash, blk,
+    (simhash >> (blk * 15)) & 32767 AS val
+  FROM (SELECT doc_id, simhash, unnest(range(4)) AS blk FROM sig)
+), ok AS (
+  SELECT blk, val FROM blocks GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 200
+), bf AS (
+  SELECT blocks.* FROM blocks JOIN ok USING (blk, val)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bf a JOIN bf b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+)
+SELECT count(*) AS n_truth,
+  CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_found,
+  round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+    / count(*), 6) AS recall
+FROM truth t LEFT JOIN cands c
+  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""",
+    ),
+    _q(
         "bpe_encode_stats",
         lambda spark, sf: mining.bpe_encode_stats(
             views(spark, sf)["documents"]),

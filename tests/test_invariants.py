@@ -1495,3 +1495,25 @@ def test_bpe_encode_stats_compression_monotone(spark, sf_dir):
         assert r8[lang].total_tokens <= r4[lang].total_tokens
         assert r4[lang].total_words == r8[lang].total_words
         assert r4[lang].total_chars == r8[lang].total_chars
+
+
+def test_simhash_recall_bounds_and_truth_consistency(spark, sf_dir):
+    """Recall row is consistent: n_found <= n_truth, recall = ratio,
+    and the truth count matches an independent computation of Hamming
+    <= 8 pairs over the same deterministic sample."""
+    from ozone_spark.functions.dedup import (SIMRECALL_BP, SIMRECALL_SALT,
+                                             hash28, simhash_recall,
+                                             simhash_signatures)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    r = simhash_recall(docs).collect()[0]
+    assert 0 <= r.n_found <= r.n_truth
+    assert r.recall == round(r.n_found / r.n_truth, 6)
+    key = hash28(F.concat_ws(":", F.lit(SIMRECALL_SALT),
+                             F.col("doc_id").cast("string"))) % 10000
+    sigs = {row.doc_id: row.simhash
+            for row in simhash_signatures(docs)
+            .where(key < SIMRECALL_BP).collect()}
+    ids = sorted(sigs)
+    n_truth = sum(1 for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if bin(sigs[a] ^ sigs[b]).count("1") <= 8)
+    assert r.n_truth == n_truth

@@ -54,6 +54,8 @@ BNLJ_OK = {
     # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh /
     # knn_ivf respectively
     "ann_recall", "ivf_recall",
+    # bounded-sample all-pairs truth set by design (eval-on-a-sample)
+    "simhash_recall",
     # one-row broadcast max-id scalar for the bucket split
     "corpus_growth_curve",
     # |sources|-row sketch table joined to itself by broadcast
