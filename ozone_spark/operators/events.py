@@ -241,18 +241,32 @@ def event_funnel(events: DataFrame,
         m = prev.select(F.lit(i + 1).alias("step_idx"),
                         F.lit(step).alias("step"), "user_id")
         marks = m if marks is None else marks.unionByName(m)
-    counts = marks.groupBy("step_idx", "step").agg(
-        F.count("*").alias("n_users"))
+    # Static step spine: a step ZERO users reach would otherwise emit
+    # no row (its empty aggregate vanishes from the union), while a
+    # funnel report must always show all steps — n_users=0 included
+    # (ADVICE r5).  len(steps) literal rows; broadcast-joined.
+    spine = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx INT, step STRING")
+    counts = (
+        spine.join(marks.groupBy("step_idx", "step")
+                   .agg(F.count("*").alias("n_users")),
+                   ["step_idx", "step"], "left")
+        .withColumn("n_users",
+                    F.coalesce("n_users", F.lit(0)).cast("long"))
+    )
     w = Window.orderBy("step_idx")
+    prev_n = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+    top_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # conversions are null (not NaN) when the denominator step is empty
+    # — matches SQL division-by-zero semantics so the oracle agrees
     return (
         counts
-        .withColumn("conv_from_prev", F.round(
-            F.col("n_users") / F.coalesce(F.lag("n_users").over(w),
-                                          F.col("n_users")), 6))
-        .withColumn("conv_from_top", F.round(
-            F.col("n_users") / F.first("n_users").over(
-                w.rowsBetween(Window.unboundedPreceding,
-                              Window.currentRow)), 6))
+        .withColumn("conv_from_prev", F.when(
+            prev_n > 0, F.round(F.col("n_users") / prev_n, 6)))
+        .withColumn("conv_from_top", F.when(
+            top_n > 0, F.round(F.col("n_users") / top_n, 6)))
         .orderBy("step_idx")
     )
 
@@ -472,11 +486,20 @@ def ewma_forecast(events: DataFrame) -> DataFrame:
             F.element_at(vals, t)
             - fold(F.slice(vals, 2, t - 2), F.element_at(vals, 1))))
     mae = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size(errs)
+    # A type with ONE active day has no one-step-ahead history:
+    # unguarded, F.sequence(2, 1) yields the DESCENDING [2, 1] (Spark
+    # defaults step to -1 when start > stop), whose t=1 slice has
+    # negative length — a runtime error that fails the whole query on
+    # any corpus with a newly-introduced event type (ADVICE r5).  The
+    # backtest is only defined from day 2, so MAE is null below that;
+    # the forecast itself (fold over an empty tail = day-1 value) is
+    # fine at any size.
+    mae_guarded = F.when(F.size(vals) >= 2, F.round(mae, 6))
     return (
         arr.select("event_type",
                    F.size(vals).cast("long").alias("n_days"),
                    F.round(ewma, 6).alias("ewma_forecast"),
-                   F.round(mae, 6).alias("backtest_mae"))
+                   mae_guarded.alias("backtest_mae"))
         .orderBy("event_type")
     )
 

@@ -2278,6 +2278,15 @@ assert similarity.suggest_n_centroids(_GATE_EMB_N) == similarity.N_CENTROIDS
 assert (similarity.suggest_band_bits(_GATE_EMB_N)
         == similarity.NEAR_DUP_BAND_BITS)
 
+# The sf0.1 embeddings corpus ships 2000 vectors; _lsh_sig_adaptive_sql
+# enumerates exactly the two shipped sizes, so the big branch's plane
+# width is tied to THIS constant (ADVICE r5: a drifted sf0.1 fixture
+# must fail loudly, not silently compare mismatched geometries —
+# tools/gate_check.py cross-checks the actual fixture count at startup).
+_SF01_EMB_N = 2000
+assert similarity.suggest_n_planes(_SF01_EMB_N) == 9, \
+    "sig_big plane width drifted from the suggest_n_planes law"
+
 
 def _lsh_sig_sql(vec: str, n_planes: int | None = None) -> str:
     """DuckDB expression for the hyperplane signature, inlining the same
@@ -2300,7 +2309,7 @@ def _lsh_sig_adaptive_sql(vec: str) -> str:
     enumerated in a CASE on the corpus count — the same two sizes the
     import-time asserts pin."""
     sig_small = _lsh_sig_sql(vec, similarity.suggest_n_planes(_GATE_EMB_N))
-    sig_big = _lsh_sig_sql(vec, similarity.suggest_n_planes(2000))
+    sig_big = _lsh_sig_sql(vec, similarity.suggest_n_planes(_SF01_EMB_N))
     return (f"CASE WHEN (SELECT count(*) FROM embeddings) <= {_GATE_EMB_N}"
             f" THEN ({sig_small}) ELSE ({sig_big}) END")
 
@@ -3504,8 +3513,9 @@ MINING_QUERIES = [
         "simhash_recall",
         lambda spark, sf: dedup.simhash_recall(views(spark, sf)["documents"]),
         # block-permutation LSH candidates vs the exact Hamming truth
-        # set over a 20% deterministic md5 doc sample (all-pairs truth
-        # is bounded by the sample BY DESIGN)
+        # set over a fixed-COUNT deterministic md5-ranked doc sample
+        # (all-pairs truth is bounded by the sample BY DESIGN, and the
+        # bound is corpus-size-independent)
         f"""WITH tok AS (
   SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
@@ -3517,10 +3527,10 @@ MINING_QUERIES = [
 ), sig AS (
   SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM agg
 ), samp AS (
-  SELECT * FROM sig
-  WHERE CAST(('0x' || substr(md5('{dedup.SIMRECALL_SALT}:'
-    || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000
-    < {dedup.SIMRECALL_BP}
+  SELECT doc_id, simhash FROM sig
+  ORDER BY CAST(('0x' || substr(md5('{dedup.SIMRECALL_SALT}:'
+    || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id
+  LIMIT {dedup.SIMRECALL_SAMPLE_N}
 ), truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM samp a JOIN samp b ON a.doc_id < b.doc_id
@@ -3543,8 +3553,8 @@ MINING_QUERIES = [
 SELECT count(*) AS n_truth,
   CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_found,
-  round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-    / count(*), 6) AS recall
+  (CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS recall_ppm
 FROM truth t LEFT JOIN cands c
   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""",
     ),
@@ -4250,10 +4260,12 @@ GROUP BY 1, 2""",
   UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 )
 SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
-  round(n_users / coalesce(lag(n_users) OVER (ORDER BY step_idx),
-                           n_users), 6) AS conv_from_prev,
-  round(n_users / first_value(n_users) OVER (ORDER BY step_idx), 6)
-    AS conv_from_top
+  CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users) > 0
+    THEN round(n_users / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                                  n_users), 6) END AS conv_from_prev,
+  CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+    THEN round(n_users / first_value(n_users) OVER (ORDER BY step_idx), 6)
+  END AS conv_from_top
 FROM counts ORDER BY step_idx""",
     ),
     _q(
@@ -4387,10 +4399,10 @@ FROM (
             views(spark, sf)["orders"], views(spark, sf)["lineitem"]),
         # TPC-H Q12 shape: conditional agg after the fact join
         """SELECT l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 0 ELSE 1 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -4722,11 +4734,18 @@ ORDER BY n_dominated_parts DESC, s_suppkey""",
     _q(
         "minhash_recall",
         lambda spark, sf: dedup.minhash_recall(views(spark, sf)["documents"]),
-        # sketch-vs-exact eval: replay BOTH pair generators (the exact
-        # capped-bucket Jaccard truth at >=0.5 and the banded minhash
-        # candidates at est>=0.35) and full-outer join the pair keys
-        f"""WITH words AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        # sketch-vs-exact eval over a fixed-COUNT md5-ranked doc slice
+        # (the whole corpus at gate scales): replay BOTH pair
+        # generators (the exact capped-bucket Jaccard truth at >=0.5
+        # and the banded minhash candidates at est>=0.35) and
+        # full-outer join the pair keys
+        f"""WITH sampdocs AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY CAST(('0x' || substr(md5('{dedup.MINRECALL_SALT}:'
+    || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id
+  LIMIT {dedup.MINRECALL_SAMPLE_N}
+), words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM sampdocs
   WHERE len(string_split({_NORM}, ' ')) >= 3
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4778,10 +4797,13 @@ ORDER BY n_dominated_parts DESC, s_suppkey""",
     (t.doc_a IS NOT NULL)::INT AS in_truth,
     (c.doc_a IS NOT NULL)::INT AS in_cand
   FROM truth t FULL JOIN cand c USING (doc_a, doc_b))
-SELECT sum(in_truth) AS n_truth, sum(in_cand) AS n_cand,
-  sum(in_truth * in_cand) AS n_hit,
-  round(sum(in_truth * in_cand) * 1.0 / sum(in_truth), 6) AS recall,
-  round(sum(in_truth * in_cand) * 1.0 / sum(in_cand), 6) AS precision
+SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+  CAST(sum(in_cand) AS BIGINT) AS n_cand,
+  CAST(sum(in_truth * in_cand) AS BIGINT) AS n_hit,
+  (CAST(sum(in_truth * in_cand) AS BIGINT) * 1000000)
+    // CAST(sum(in_truth) AS BIGINT) AS recall_ppm,
+  (CAST(sum(in_truth * in_cand) AS BIGINT) * 1000000)
+    // CAST(sum(in_cand) AS BIGINT) AS precision_ppm
 FROM ev""",
     ),
     _q(
@@ -4825,11 +4847,16 @@ FROM ev""",
       ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
   ) WHERE rank <= 10
 )
-SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+SELECT t.query_id,
+  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_hit,
   count(*) AS n_truth,
-  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-    / count(*), 6) AS recall_at_k
+  (CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS recall_ppm,
+  (SELECT CASE WHEN count(*) <= {_GATE_EMB_N}
+     THEN {similarity.suggest_n_planes(_GATE_EMB_N)}
+     ELSE {similarity.suggest_n_planes(_SF01_EMB_N)} END
+   FROM embeddings) AS n_planes
 FROM truth t LEFT JOIN approx a
   ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1""",
@@ -5070,11 +5097,12 @@ ORDER BY r.label, r.rank""",
       ORDER BY cos_sim DESC, vec_id) AS rank FROM cand
   ) WHERE rank <= 10
 )
-SELECT t.query_id, sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+SELECT t.query_id,
+  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_hit,
   count(*) AS n_truth,
-  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-    / count(*), 6) AS recall_at_k
+  (CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS recall_ppm
 FROM truth t LEFT JOIN approx a
   ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1""",
@@ -5501,8 +5529,9 @@ FROM per GROUP BY 1 ORDER BY 1""",
 )
 SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
   round(ewma, 6) AS ewma_forecast,
-  round(list_reduce(errs, (a, x) -> a + x) / len(errs), 6)
-    AS backtest_mae
+  CASE WHEN n_days >= 2
+    THEN round(list_reduce(errs, (a, x) -> a + x) / len(errs), 6)
+  END AS backtest_mae
 FROM e ORDER BY 1""",
     ),
     _q(
@@ -5591,7 +5620,18 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
         if not isinstance(data, dict):
             continue
         for qname, row in data.items():
-            if isinstance(row, dict) and row.get("rows_match"):
+            if not isinstance(row, dict):
+                continue
+            # Green = an actual value verification: hash_match for
+            # oracle-backed queries; rows_match counts ONLY for queries
+            # with no registered oracle (the driver's sanctioned weaker
+            # rows-only check).  A bare rows_match on an oracle-backed
+            # query (hash red, or a rows-only artifact row) must NOT
+            # deprioritize it out of future gate rounds (ADVICE r5).
+            oracle_less = qname in _NO_ORACLE
+            green = (row.get("hash_match") is True
+                     or (oracle_less and row.get("rows_match") is True))
+            if green:
                 last_green[qname] = max(last_green.get(qname, -1), rnd)
     pos = {q.name: i for i, q in enumerate(specs)}
     # Among never-verified queries, the round-1 registry backlog (queries
@@ -5665,6 +5705,13 @@ _R34_GATE_BACKLOG = frozenset({
     "lookup_key", "streaming_dedup_bounded", "remove_duplicate_spans",
     "payload_chunk_near_dup", "perplexity_buckets", "streaming_attribution",
 })
+
+
+# Queries with no DuckDB oracle (driver runs the weaker rows-only
+# check): for these — and ONLY these — a rows_match row counts as a
+# green verification in the gate rotation.
+_NO_ORACLE = frozenset(
+    q.name for q in _REGISTRY_ORDER if q.oracle is None)
 
 
 ALL_QUERIES: list[QuerySpec] = _gate_priority_order(_REGISTRY_ORDER)

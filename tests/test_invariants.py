@@ -1036,7 +1036,10 @@ def test_minhash_recall_bounds(spark, sf_dir):
     docs = tables.load_table(spark, sf_dir, "documents")
     r = minhash_recall(docs).collect()[0]
     assert r.n_hit <= r.n_truth and r.n_hit <= r.n_cand
-    assert 0 <= r.recall <= 1 and 0 <= r.precision <= 1
+    assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
+    assert r.precision_ppm == (r.n_hit * 1_000_000) // r.n_cand
+    assert 0 <= r.recall_ppm <= 1_000_000
+    assert 0 <= r.precision_ppm <= 1_000_000
 
 
 def test_cluster_size_stats_accounts_every_member(spark, sf_dir):
@@ -1141,7 +1144,7 @@ def test_ivf_recall_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_truth == 10
         assert 0 <= r.n_hit <= r.n_truth
-        assert abs(r.recall_at_k - r.n_hit / r.n_truth) < 1e-9
+        assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
 
 
 def test_lsh_bucket_stats_partition_of_buckets(spark, sf_dir):
@@ -1437,6 +1440,46 @@ def test_ewma_forecast_recurrence(spark):
     assert r.backtest_mae == round(expected_mae, 6)
 
 
+def test_ewma_forecast_single_day_type(spark):
+    """A type with ONE active day must not crash the query (ADVICE r5:
+    unguarded F.sequence(2, 1) descends and slices negatively): its
+    forecast is that day's count and its MAE is null; multi-day types
+    in the same frame still backtest normally."""
+    from ozone_spark.operators.events import ewma_forecast
+    rows = [("new_type", "2024-02-01 00:00:00")]
+    rows += [("old_type", f"2024-02-{d:02d} 00:00:{i:02d}")
+             for d in (1, 2) for i in range(3)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.event_type: r for r in ewma_forecast(events).collect()}
+    assert out["new_type"].n_days == 1
+    assert out["new_type"].ewma_forecast == 1.0
+    assert out["new_type"].backtest_mae is None
+    assert out["old_type"].n_days == 2
+    assert out["old_type"].backtest_mae is not None
+
+
+def test_event_funnel_empty_step_rows(spark):
+    """A step no user reaches still emits a row with n_users=0 (ADVICE
+    r5: the empty aggregate must not vanish from the union), and
+    conversions divide-by-zero to null, not NaN."""
+    from ozone_spark.operators.events import event_funnel
+    events = spark.createDataFrame(
+        [(1, "view", "2024-02-01 00:00:00"),
+         (2, "view", "2024-02-01 00:00:01")],
+        "user_id long, event_type string, ts_s string"
+    ).select("user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = sorted(event_funnel(events).collect(), key=lambda r: r.step_idx)
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    assert [r.n_users for r in rows] == [2, 0, 0]
+    # step 2: 0/2 = 0.0; step 3: 0/0 -> null (never NaN)
+    assert rows[1].conv_from_prev == 0.0
+    assert rows[2].conv_from_prev is None
+    assert rows[2].conv_from_top == 0.0
+
+
 def test_approx_group_counts_ht_identity(spark, sf_dir):
     """HT estimate == sampled/rate exactly; sample is a subset of the
     group; at rate=1.0 the estimate IS the exact count."""
@@ -1501,18 +1544,22 @@ def test_simhash_recall_bounds_and_truth_consistency(spark, sf_dir):
     """Recall row is consistent: n_found <= n_truth, recall = ratio,
     and the truth count matches an independent computation of Hamming
     <= 8 pairs over the same deterministic sample."""
-    from ozone_spark.functions.dedup import (SIMRECALL_BP, SIMRECALL_SALT,
-                                             hash28, simhash_recall,
+    from ozone_spark.functions.dedup import (SIMRECALL_SALT,
+                                             SIMRECALL_SAMPLE_N, hash28,
+                                             simhash_recall,
                                              simhash_signatures)
     docs = tables.load_table(spark, sf_dir, "documents")
     r = simhash_recall(docs).collect()[0]
     assert 0 <= r.n_found <= r.n_truth
-    assert r.recall == round(r.n_found / r.n_truth, 6)
+    assert r.recall_ppm == (r.n_found * 1_000_000) // r.n_truth
     key = hash28(F.concat_ws(":", F.lit(SIMRECALL_SALT),
-                             F.col("doc_id").cast("string"))) % 10000
+                             F.col("doc_id").cast("string")))
     sigs = {row.doc_id: row.simhash
             for row in simhash_signatures(docs)
-            .where(key < SIMRECALL_BP).collect()}
+            .withColumn("_sk", key)
+            .orderBy(F.asc("_sk"), F.asc("doc_id"))
+            .limit(SIMRECALL_SAMPLE_N).collect()}
+    assert len(sigs) == SIMRECALL_SAMPLE_N
     ids = sorted(sigs)
     n_truth = sum(1 for i, a in enumerate(ids) for b in ids[i + 1:]
                   if bin(sigs[a] ^ sigs[b]).count("1") <= 8)

@@ -33,12 +33,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+STRICT = False  # --strict: floats compare by shortest-roundtrip repr
+
+
 def norm(v):
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else f"{v:.9g}"
+        if math.isnan(v):
+            return "nan"
+        return repr(v) if STRICT else f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
+
+
+def dtype_mismatch(sp, du):
+    """Columns whose pandas dtype KIND differs between the Spark result
+    and the DuckDB oracle result (e.g. int64 vs float64).  This is the
+    r5 driver-red class: an uncast DuckDB sum() returns HUGEINT, which
+    fetchdf() materializes as float64, so a driver that canonicalizes
+    with str() sees '14.0' vs Spark's '14' — while the local %.9g norm
+    formats both as '14' and hides it.  Kind 'O' (object: strings,
+    arrays, decimals) is compared as-is; i-vs-f and i/f-vs-O are
+    flagged."""
+    bad = []
+    for c in sorted(set(sp.columns) & set(du.columns)):
+        ks, kd = sp[c].dtype.kind, du[c].dtype.kind
+        if ks in "iu" and kd in "iu":
+            continue
+        if ks != kd:
+            bad.append(f"{c}:{sp[c].dtype}!={du[c].dtype}")
+    return bad
 
 
 def canon(pdf):
@@ -62,15 +86,28 @@ def main():
         i = argv.index("--out")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    global SF
+    global SF, STRICT
     if "--sf" in argv:
         i = argv.index("--sf")
         SF = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if "--strict" in argv:
+        STRICT = True
+        argv.remove("--strict")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
+    # _lsh_sig_adaptive_sql enumerates exactly the two shipped corpus
+    # sizes; a drifted embeddings fixture must fail loudly here, not
+    # silently gate-compare mismatched index geometries (ADVICE r5)
+    from ozone_spark import registry as _reg
+    n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    if n_emb not in (_reg._GATE_EMB_N, _reg._SF01_EMB_N):
+        sys.exit(f"FATAL: embeddings fixture at {SF} has {n_emb} vectors; "
+                 f"the adaptive ANN oracles enumerate only "
+                 f"{_reg._GATE_EMB_N} and {_reg._SF01_EMB_N} — update "
+                 f"_lsh_sig_adaptive_sql before gating")
     if "--all" in argv:
         names = list(qs)
     else:
@@ -96,8 +133,12 @@ def main():
             print(f"FAIL {name}: {str(ex)[:200]}")
             continue
         if name not in os_:
-            row.update(rows_match=len(sp) >= 0, schema_match=None,
-                       hash_match=None, err="rows-only (no oracle)")
+            # rows_match=None, not True: a rows-only run is NOT a green
+            # verification, and _gate_priority_order must not
+            # deprioritize never-value-verified queries (ADVICE r5)
+            row.update(rows_match=None, schema_match=None,
+                       hash_match=None, rows_only=True,
+                       err="rows-only (no oracle)")
             print(f"ROWS-ONLY {name}: {len(sp)} rows "
                   f"({time.time() - t0:.1f}s)")
             continue
@@ -113,11 +154,17 @@ def main():
         row["rows_match"] = len(sp) == len(du)
         row["hash_match"] = (row["schema_match"] and row["rows_match"]
                              and sp_c == canon(du))
+        dt = dtype_mismatch(sp, du)
+        if dt:
+            row["dtype_mismatch"] = dt
+            row["hash_match"] = False
         if not row["schema_match"]:
             fails.append((name, f"schema {sorted(sp.columns)} vs "
                                 f"{sorted(du.columns)}"))
         elif not row["rows_match"]:
             fails.append((name, f"rows {len(sp)} vs {len(du)}"))
+        elif dt:
+            fails.append((name, f"dtype mismatch: {dt}"))
         elif not row["hash_match"]:
             fails.append((name, "value hash mismatch"))
         ok = not fails or fails[-1][0] != name
