@@ -998,6 +998,51 @@ def minhash_recall(docs: DataFrame, truth_threshold: float = 0.5,
         F.expr("(n_hit * 1000000) div n_cand").alias("precision_ppm"),
     )
 
+def ngram_novelty_curve(docs: DataFrame, n: int = 3,
+                        n_buckets: int = 10) -> DataFrame:
+    """Shingle-level novelty curve: ingest docs in doc_id order split
+    into `n_buckets` equal id-range slices, and per slice count the
+    DISTINCT word n-grams appearing there vs those NEVER seen in an
+    earlier slice — the finer-grained companion to `growth_curve`
+    (whole-document fingerprints): a crawl can keep yielding "new"
+    documents whose n-grams are all recombinations of content already
+    held, and this is the curve that shows it.
+
+    All counts are exact integers; the novelty ratio is BIGINT floor
+    division to ppm.  Shingles travel as 60-bit md5-derived ints
+    (engine-portable, 8-byte shuffle keys).
+
+    Scale shape: shingles are the zero-shuffle per-row map
+    (word_shingles); the bucket id is exact integer math against one
+    broadcast max-id scalar (the sanctioned one-row crossJoin); then
+    one (bucket, h) dedup exchange, a per-h min-bucket aggregate, and
+    two n_buckets-row aggregates — never a corpus-wide window."""
+    sh = word_shingles(docs, n).select(
+        "doc_id", hash60(F.col("shingle")).alias("h"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    bucketed = (
+        sh.crossJoin(F.broadcast(mx))
+        .select(F.expr(f"CAST(doc_id * {n_buckets} DIV (m + 1) AS INT)")
+                .alias("bucket"), "h")
+        .distinct()
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_distinct"))
+    first_seen = bucketed.groupBy("h").agg(F.min("bucket").alias("bucket"))
+    new_per = first_seen.groupBy("bucket").agg(F.count("*").alias("n_new"))
+    cw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_bucket.join(new_per, "bucket", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_new", F.sum("n_new").over(cw))
+        .select("bucket", "n_distinct", "n_new", "cum_new",
+                F.expr("(n_new * 1000000) div n_distinct")
+                .alias("novelty_ppm"))
+        .orderBy("bucket")
+    )
+
+
 def cluster_size_stats(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Duplicate-cluster size distribution: for each cluster size, how
     many clusters and how many member documents — the dedup report a

@@ -381,3 +381,94 @@ def source_lang_matrix(docs: DataFrame) -> DataFrame:
                             for lg in LANGS], "n_docs")
         .orderBy("source")
     )
+
+
+def source_length_drift(docs: DataFrame) -> DataFrame:
+    """Length-distribution drift per source: total-variation distance
+    between each source's log2(n_chars+1)-bin histogram and the
+    corpus-wide histogram, in EXACT integer parts-per-million — the
+    shift detector a pipeline runs when a crawl source silently changes
+    its extraction (truncation, boilerplate bloat) and its documents
+    stop looking like the corpus they feed.
+
+    Exact integer math end to end: with o = per-(source, bin) count,
+    rt = source total, bt = bin total, g = grand total, the TV distance
+    is sum_b |o/rt - bt/g| / 2 = (sum_b |o*g - rt*bt|) / (2*rt*g) —
+    and the bins ABSENT from a source contribute rt*bt exactly, so
+    their sum folds to rt*(g - sum_present(bt)) without materializing a
+    source x bin grid.  Everything is BIGINT products of counts (far
+    inside 2^63 at any per-source volume that fits a BIGINT count) and
+    one floor division to ppm — no float anywhere, hash-robust by
+    construction.
+
+    Scale shape: one (source, bin) aggregate over the corpus (map-side
+    combined), then all arithmetic runs on the tiny histogram table;
+    bin and grand totals re-aggregate it, never the corpus."""
+    binned = docs.select(
+        "source",
+        F.floor(F.log2(F.col("n_chars") + 1)).cast("long").alias("bin"))
+    o = binned.groupBy("source", "bin").agg(F.count("*").alias("o"))
+    rt = o.groupBy("source").agg(F.sum("o").alias("rt"))
+    bt = o.groupBy("bin").agg(F.sum("o").alias("bt"))
+    g = o.agg(F.sum("o").alias("g"))
+    per = (
+        o.join(bt, "bin").join(rt, "source").crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(F.first("rt").alias("rt"), F.first("g").alias("g"),
+             F.sum(F.abs(F.col("o") * F.col("g")
+                         - F.col("rt") * F.col("bt"))).alias("s1"),
+             F.sum("bt").alias("s2"),
+             F.count("*").alias("n_bins_active"))
+    )
+    return (
+        per.select(
+            "source", F.col("rt").alias("n_docs"), "n_bins_active",
+            F.expr("(s1 + rt * (g - s2)) * 1000000 div (2 * rt * g)")
+            .alias("tv_ppm"))
+        .orderBy("source")
+    )
+
+
+SENTENCE_RE = r"[.!?]+"
+SYLLABLE_RE = r"[aeiou]+"
+
+
+def reading_ease(docs: DataFrame) -> DataFrame:
+    """Readability profile per language: exact integer counts of words,
+    sentence-ending runs and vowel-group "syllables", with
+    words-per-sentence and syllables-per-word in integer ppm — the
+    Flesch-style complexity signal (vowel-group syllable counting is
+    the standard cheap approximation) that separates listy/boilerplate
+    text from prose before quality filtering.
+
+    All counts are regexp-match counts (regexp_extract_all -> size),
+    identical semantics in Spark and DuckDB; ratios are BIGINT floor
+    divisions to ppm, null when the denominator is zero — no float
+    anywhere.
+
+    Scale shape: map-only per-document counting (codegen'd regex over
+    the text column), one lang-keyed aggregate with map-side combine."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    words = F.size(F.filter(F.split(norm, " "), lambda x: x != ""))
+    sents = F.size(F.regexp_extract_all("text", F.lit(SENTENCE_RE), F.lit(0)))
+    sylls = F.size(F.regexp_extract_all(norm, F.lit(SYLLABLE_RE), F.lit(0)))
+    per = docs.select(
+        "lang", words.cast("long").alias("w"),
+        sents.cast("long").alias("s"), sylls.cast("long").alias("y"))
+    return (
+        per.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("w").alias("total_words"),
+             F.sum("s").alias("total_sentences"),
+             F.sum("y").alias("total_syllables"))
+        .select(
+            "lang", "n_docs", "total_words", "total_sentences",
+            "total_syllables",
+            F.when(F.col("total_sentences") > 0,
+                   F.expr("(total_words * 1000000) div total_sentences"))
+            .alias("words_per_sentence_ppm"),
+            F.when(F.col("total_words") > 0,
+                   F.expr("(total_syllables * 1000000) div total_words"))
+            .alias("syllables_per_word_ppm"))
+        .orderBy("lang")
+    )

@@ -270,6 +270,99 @@ def event_funnel(events: DataFrame,
         .orderBy("step_idx")
     )
 
+def funnel_latency(events: DataFrame,
+                   steps: tuple[str, ...] = ("view", "click", "purchase")
+                   ) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for every
+    user who completes step k, the whole-second latency from their
+    step-(k-1) completion — n_users, min, max, and EXACT median / p90
+    order statistics.  This is the companion report to `event_funnel`
+    (how many convert) answering how long conversion takes, the number
+    that sizes retargeting windows and attribution horizons.
+
+    Determinism: percentiles are exact ORDER STATISTICS over integer
+    seconds — the value at 1-based rank ceil(n/2) (lower median) and
+    ceil(0.9n), tie-broken by user_id — never an interpolated float
+    quantile, whose cross-engine interpolation rules differ.  Latency
+    is floor-epoch-second arithmetic (Spark `cast long` == DuckDB
+    `date_diff('second')`), so every output column is a BIGINT.
+
+    Scale shape: the min-timestamp cascade is the funnel's user-keyed
+    join chain (one user_id-partitioned shuffle reused per step); the
+    rank windows partition by transition over USER-count-bounded delta
+    rows; output is len(steps)-1 rows."""
+    prev: DataFrame | None = None
+    deltas: DataFrame | None = None
+    for i, step in enumerate(steps):
+        hits = events.where(F.col("event_type") == step) \
+            .select("user_id", "ts")
+        if prev is not None:
+            hits = (hits.join(prev, "user_id")
+                    .where(F.col("ts") >= F.col("_t"))
+                    .select("user_id", "ts", "_t"))
+        cur = hits.groupBy("user_id").agg(F.min("ts").alias("_t2"))
+        if prev is not None:
+            d = (cur.join(prev, "user_id")
+                 .select(F.lit(i + 1).alias("step_idx"),
+                         F.lit(f"{steps[i - 1]}->{step}").alias("transition"),
+                         "user_id",
+                         (F.col("_t2").cast("long")
+                          - F.col("_t").cast("long")).alias("delta_s")))
+            deltas = d if deltas is None else deltas.unionByName(d)
+        prev = cur.select("user_id", F.col("_t2").alias("_t"))
+    w = Window.partitionBy("step_idx").orderBy("delta_s", "user_id")
+    ranked = deltas.withColumn("rn", F.row_number().over(w))
+    stats = deltas.groupBy("step_idx", "transition").agg(
+        F.count("*").alias("n_users"),
+        F.min("delta_s").alias("min_s"), F.max("delta_s").alias("max_s"))
+    med = F.expr("(n_users + 1) div 2")
+    p90 = F.expr("(9 * n_users + 9) div 10")
+    pick = (
+        stats.select("step_idx", med.alias("target"),
+                     F.lit("median_s").alias("which"))
+        .unionByName(stats.select("step_idx", p90.alias("target"),
+                                  F.lit("p90_s").alias("which")))
+    )
+    quant = (
+        ranked.join(pick, (ranked.step_idx == pick.step_idx)
+                    & (ranked.rn == pick.target))
+        .groupBy(ranked.step_idx).pivot("which", ["median_s", "p90_s"])
+        .agg(F.first("delta_s"))
+    )
+    return (
+        stats.join(quant, "step_idx")
+        .select("step_idx", "transition", "n_users", "min_s", "max_s",
+                "median_s", "p90_s")
+        .orderBy("step_idx")
+    )
+
+
+def power_users(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k users by event volume with their corpus share in exact
+    integer ppm, distinct active days and distinct event types — the
+    heavy-hitter report that decides whether per-user state (session
+    windows, rate limits, dedup horizons) needs skew handling.
+
+    Scale shape: one user-keyed aggregate (map-side combined), the
+    top-k via rank-window ordered (n_events DESC, user_id) — at scale
+    swap for orderBy+limit's TakeOrderedAndProject; the corpus total
+    is a broadcast one-row scalar (the sanctioned crossJoin)."""
+    per = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.countDistinct("event_type").alias("n_types"))
+    total = events.agg(F.count("*").alias("_total"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .crossJoin(broadcast(total))
+        .select("rank", "user_id", "n_events", "n_active_days", "n_types",
+                F.expr("(n_events * 1000000) div _total").alias("share_ppm"))
+        .orderBy("rank")
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users bucketed by the week of
     their FIRST event, then for each (cohort, week-offset) the count

@@ -5581,6 +5581,205 @@ FROM agg ORDER BY total_count DESC, pair LIMIT 50""",
 ]
 
 
+# Round-6 additions.  All outputs are exact integers (counts, ppm floor
+# divisions, order statistics) except where an existing verified float
+# pattern is reused — the r5 hash-robustness rule applied from birth.
+R6_QUERIES = [
+    _q(
+        "events_funnel_latency",
+        lambda spark, sf: eops.funnel_latency(views(spark, sf)["events"]),
+        # time-to-convert per funnel transition: exact integer-second
+        # deltas off the same min-timestamp cascade as event_funnel,
+        # percentiles as exact order statistics (rank = ceil(n/2) /
+        # ceil(0.9n), user_id tiebreak) — never interpolated quantiles
+        """WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1
+), d AS (
+  SELECT 2 AS step_idx, 'view->click' AS transition, s2.user_id,
+    date_diff('second', s1.t, s2.t) AS delta_s
+  FROM s2 JOIN s1 USING (user_id)
+  UNION ALL
+  SELECT 3, 'click->purchase', s3.user_id,
+    date_diff('second', s2.t, s3.t)
+  FROM s3 JOIN s2 USING (user_id)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY step_idx
+      ORDER BY delta_s, user_id) AS rn,
+    count(*) OVER (PARTITION BY step_idx) AS n
+  FROM d
+), stats AS (
+  SELECT step_idx, transition, count(*) AS n_users,
+    min(delta_s) AS min_s, max(delta_s) AS max_s
+  FROM d GROUP BY 1, 2
+), qs AS (
+  SELECT step_idx,
+    max(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS median_s,
+    max(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_s END) AS p90_s
+  FROM r GROUP BY 1
+)
+SELECT s.step_idx, transition, n_users, min_s, max_s, median_s, p90_s
+FROM stats s JOIN qs ON s.step_idx = qs.step_idx ORDER BY 1""",
+    ),
+    _q(
+        "events_power_users",
+        lambda spark, sf: eops.power_users(views(spark, sf)["events"]),
+        # heavy-hitter report: exact ordering (volume DESC, user_id),
+        # corpus share in integer ppm
+        """WITH per AS (
+  SELECT user_id, count(*) AS n_events,
+    count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+    count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1
+), t AS (SELECT count(*) AS total FROM events)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+      AS BIGINT) AS rank,
+    user_id, n_events, n_active_days, n_types,
+    (n_events * 1000000) // total AS share_ppm
+  FROM per, t
+) WHERE rank <= 20 ORDER BY rank""",
+    ),
+    _q(
+        "source_length_drift",
+        lambda spark, sf: text.source_length_drift(
+            views(spark, sf)["documents"]),
+        # total-variation drift of per-source log2-length histograms vs
+        # the corpus: pure BIGINT count products, absent bins folded in
+        # as rt*(g - sum_present(bt)) — no source x bin grid, no floats
+        """WITH o AS (
+  SELECT source, CAST(floor(log2(n_chars + 1)) AS BIGINT) AS bin,
+    count(*) AS o
+  FROM documents GROUP BY 1, 2
+), rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+bt AS (SELECT bin, CAST(sum(o) AS BIGINT) AS bt FROM o GROUP BY 1),
+g AS (SELECT CAST(sum(o) AS BIGINT) AS g FROM o),
+per AS (
+  SELECT source, any_value(rt) AS rt, any_value(g) AS g,
+    CAST(sum(abs(o * g - rt * bt)) AS BIGINT) AS s1,
+    CAST(sum(bt) AS BIGINT) AS s2,
+    count(*) AS n_bins_active
+  FROM o JOIN bt USING (bin) JOIN rt USING (source), g
+  GROUP BY source
+)
+SELECT source, rt AS n_docs, n_bins_active,
+  (s1 + rt * (g - s2)) * 1000000 // (2 * rt * g) AS tv_ppm
+FROM per ORDER BY source""",
+    ),
+    _q(
+        "reading_ease",
+        lambda spark, sf: text.reading_ease(views(spark, sf)["documents"]),
+        # Flesch-style complexity: regexp-match counts (identical
+        # semantics both engines), ratios as BIGINT ppm floor divisions
+        f"""WITH per AS (
+  SELECT lang,
+    len(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS w,
+    len(regexp_extract_all(text, '[.!?]+')) AS s,
+    len(regexp_extract_all({_NORM}, '[aeiou]+')) AS y
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS total_words,
+  CAST(sum(s) AS BIGINT) AS total_sentences,
+  CAST(sum(y) AS BIGINT) AS total_syllables,
+  CASE WHEN CAST(sum(s) AS BIGINT) > 0
+    THEN (CAST(sum(w) AS BIGINT) * 1000000) // CAST(sum(s) AS BIGINT)
+  END AS words_per_sentence_ppm,
+  CASE WHEN CAST(sum(w) AS BIGINT) > 0
+    THEN (CAST(sum(y) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
+  END AS syllables_per_word_ppm
+FROM per GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "ngram_novelty_curve",
+        lambda spark, sf: dedup.ngram_novelty_curve(
+            views(spark, sf)["documents"]),
+        # shingle-level novelty per ingest decile: distinct n-grams vs
+        # never-seen-before n-grams (first bucket = min over buckets),
+        # 60-bit md5 shingle ids replayed exactly
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), hs AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), mx AS (SELECT max(doc_id) AS m FROM documents),
+b AS (
+  SELECT DISTINCT CAST(doc_id * 10 // (m + 1) AS INT) AS bucket, h
+  FROM hs, mx
+), per AS (SELECT bucket, count(*) AS n_distinct FROM b GROUP BY 1),
+fs AS (SELECT h, min(bucket) AS bucket FROM b GROUP BY 1),
+np AS (SELECT bucket, count(*) AS n_new FROM fs GROUP BY 1)
+SELECT per.bucket, n_distinct, coalesce(n_new, 0) AS n_new,
+  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY per.bucket) AS BIGINT)
+    AS cum_new,
+  (coalesce(n_new, 0) * 1000000) // n_distinct AS novelty_ppm
+FROM per LEFT JOIN np ON per.bucket = np.bucket ORDER BY 1""",
+    ),
+    _q(
+        "embedding_dim_fidelity",
+        lambda spark, sf: similarity.dim_truncation_fidelity(
+            views(spark, sf)["embeddings"]),
+        # matryoshka truncation eval: exact top-10 over the first 32
+        # dims vs the full-dim exact top-10, recall in integer ppm
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (30, 31, 32)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6)
+      AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+  ) WHERE rank <= 10
+), tr AS (
+  SELECT vec_id, embedding[1:32] AS te FROM embeddings
+), qt AS (
+  SELECT vec_id AS query_id, te AS qe2 FROM tr
+  WHERE vec_id IN (30, 31, 32)
+), scored2 AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe2', b='te')}
+      / (sqrt({_DOT.format(a='qe2', b='qe2')})
+         * sqrt({_DOT.format(a='te', b='te')})), 6) AS cos_sim
+  FROM tr, qt WHERE vec_id <> query_id
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored2
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  count(*) AS n_truth,
+  (CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS recall_ppm,
+  CAST(32 AS BIGINT) AS keep_dims
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1""",
+    ),
+]
+
+
 _REGISTRY_ORDER: list[QuerySpec] = (
     MINING_QUERIES
     + LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
@@ -5589,7 +5788,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
-    + R5_QUERIES
+    + R5_QUERIES + R6_QUERIES
 )
 
 

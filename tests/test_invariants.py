@@ -1623,3 +1623,101 @@ def test_simhash_recall_bounds_and_truth_consistency(spark, sf_dir):
     n_truth = sum(1 for i, a in enumerate(ids) for b in ids[i + 1:]
                   if bin(sigs[a] ^ sigs[b]).count("1") <= 8)
     assert r.n_truth == n_truth
+
+
+def test_funnel_latency_consistency(spark, sf_dir):
+    """Latency rows agree with the funnel's user counts (same cascade),
+    deltas are non-negative, and the exact order statistics are ordered
+    min <= median <= p90 <= max."""
+    from ozone_spark.operators.events import event_funnel, funnel_latency
+    events = tables.load_table(spark, sf_dir, "events")
+    lat = {r.step_idx: r for r in funnel_latency(events).collect()}
+    fun = {r.step_idx: r for r in event_funnel(events).collect()}
+    assert set(lat) == {2, 3}
+    assert lat[2].transition == "view->click"
+    assert lat[3].transition == "click->purchase"
+    for i in (2, 3):
+        assert lat[i].n_users == fun[i].n_users
+        assert 0 <= lat[i].min_s <= lat[i].median_s
+        assert lat[i].median_s <= lat[i].p90_s <= lat[i].max_s
+
+
+def test_power_users_exact_ranking_and_share(spark, sf_dir):
+    """Top-20 heavy hitters: volume-descending with user_id tiebreak,
+    and each share_ppm is the exact integer formula vs the corpus
+    total."""
+    from ozone_spark.operators.events import power_users
+    events = tables.load_table(spark, sf_dir, "events")
+    total = events.count()
+    rows = power_users(events).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    key = [(-r.n_events, r.user_id) for r in rows]
+    assert key == sorted(key)
+    for r in rows:
+        assert r.share_ppm == (r.n_events * 1_000_000) // total
+        assert 1 <= r.n_active_days and 1 <= r.n_types
+
+
+def test_source_length_drift_bounds_and_totals(spark, sf_dir):
+    """TV distance is a [0, 1e6] ppm per source; per-source doc counts
+    partition the corpus; a source whose histogram IS the corpus
+    histogram scores 0 (checked on a single-source frame)."""
+    from ozone_spark.functions.text import source_length_drift
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = source_length_drift(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.tv_ppm <= 1_000_000 and r.n_bins_active >= 1
+    one = source_length_drift(
+        docs.withColumn("source", F.lit("only"))).collect()
+    assert len(one) == 1 and one[0].tv_ppm == 0
+
+
+def test_reading_ease_ppm_identities(spark, sf_dir):
+    """The ppm ratios are exactly the floor divisions of the emitted
+    integer totals, and syllables never exceed characters."""
+    from ozone_spark.functions.text import reading_ease
+    docs = tables.load_table(spark, sf_dir, "documents")
+    for r in reading_ease(docs).collect():
+        if r.total_sentences > 0:
+            assert r.words_per_sentence_ppm == \
+                (r.total_words * 1_000_000) // r.total_sentences
+        else:
+            assert r.words_per_sentence_ppm is None
+        if r.total_words > 0:
+            assert r.syllables_per_word_ppm == \
+                (r.total_syllables * 1_000_000) // r.total_words
+        else:
+            assert r.syllables_per_word_ppm is None
+        assert 0 <= r.total_syllables
+
+
+def test_ngram_novelty_first_bucket_all_new(spark, sf_dir):
+    """Bucket 0 is 100% novel by definition; cumulative novelty is
+    monotone; per-bucket new never exceeds per-bucket distinct."""
+    from ozone_spark.functions.dedup import ngram_novelty_curve
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = sorted(ngram_novelty_curve(docs).collect(),
+                  key=lambda r: r.bucket)
+    assert rows[0].novelty_ppm == 1_000_000
+    assert rows[0].n_new == rows[0].n_distinct
+    cums = [r.cum_new for r in rows]
+    assert cums == sorted(cums)
+    for r in rows:
+        assert 0 <= r.n_new <= r.n_distinct
+
+
+def test_dim_truncation_fidelity_bounds(spark, sf_dir):
+    """One row per query, n_truth == k, hits bounded, ppm identity
+    holds, and truncating to the FULL width gives perfect recall."""
+    from ozone_spark.functions.similarity import dim_truncation_fidelity
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    rows = dim_truncation_fidelity(emb).collect()
+    assert [r.query_id for r in rows] == [30, 31, 32]
+    for r in rows:
+        assert r.n_truth == 10 and 0 <= r.n_hit <= 10
+        assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
+        assert r.keep_dims == 32
+    full = dim_truncation_fidelity(emb, keep_dims=dim).collect()
+    assert all(r.recall_ppm == 1_000_000 for r in full)

@@ -30,6 +30,10 @@ BNLJ_OK = {
     "pq_reconstruction_report", "ivf_list_balance",
     # one-row broadcast merge-literal crossJoins per BPE round
     "bpe_train", "bpe_encode_stats",
+    # r6: one-row broadcast aggregates (corpus total / grand count /
+    # max doc_id) and the brute-force broadcast query set respectively
+    "events_power_users", "source_length_drift", "ngram_novelty_curve",
+    "embedding_dim_fidelity",
     "semantic_dedup", "shingle_cardinality_kmv", "weighted_sample",
     "bloom_membership", "cms_heavy_hitters", "safemode_status",
     "global_stats", "cluster_state", "key_insight_summary",
