@@ -998,6 +998,37 @@ def minhash_recall(docs: DataFrame, truth_threshold: float = 0.5,
         F.expr("(n_hit * 1000000) div n_cand").alias("precision_ppm"),
     )
 
+def dedup_savings(docs: DataFrame) -> DataFrame:
+    """Per-source exact-dedup savings forecast: how many documents and
+    how many characters each source would shed if every non-keeper
+    member of an exact-fingerprint family (keeper = lowest doc_id
+    CORPUS-WIDE, the exact_duplicates rule) were dropped — the
+    capacity/cost number that decides which crawl source pays for its
+    storage, in exact integer ppm.
+
+    Scale shape: one fingerprint-keyed aggregate for the keeper table
+    (narrow fp/doc_id rows — text never shuffles; n_chars rides the
+    existing column), one fp join back, one source-keyed aggregate."""
+    fp = F.md5(_norm_text(F.col("text")))
+    base = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    keepers = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    flagged = base.join(keepers, "fp").select(
+        "source", "n_chars",
+        (F.col("doc_id") != F.col("keeper")).cast("long").alias("red"))
+    return (
+        flagged.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("red").alias("n_redundant"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum(F.col("red") * F.col("n_chars")).alias("redundant_chars"))
+        .select("source", "n_docs", "n_redundant", "total_chars",
+                "redundant_chars",
+                F.expr("(redundant_chars * 1000000) div total_chars")
+                .alias("savings_ppm"))
+        .orderBy("source")
+    )
+
+
 def ngram_novelty_curve(docs: DataFrame, n: int = 3,
                         n_buckets: int = 10) -> DataFrame:
     """Shingle-level novelty curve: ingest docs in doc_id order split

@@ -543,6 +543,34 @@ def training_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
+def shard_balance(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Per-split shard-balance report over the training_shards
+    assignment: shard count, min/max/total token loads and the
+    max-vs-min imbalance in exact integer ppm — the number that decides
+    whether the md5 global shuffle spreads tokens evenly enough that no
+    data-parallel rank starves (a skewed shard IS a straggler epoch).
+
+    Scale shape: rides training_shards (one window exchange), then a
+    (split, shard) aggregate and a |splits|-row rollup."""
+    per_shard = (
+        training_shards(docs, n_shards)
+        .groupBy("split", "shard")
+        .agg(F.sum("n_tok").alias("tok"))
+    )
+    return (
+        per_shard.groupBy("split")
+        .agg(F.count("*").alias("n_shards"),
+             F.min("tok").alias("min_tokens"),
+             F.max("tok").alias("max_tokens"),
+             F.sum("tok").alias("total_tokens"))
+        .select("split", "n_shards", "min_tokens", "max_tokens",
+                "total_tokens",
+                F.expr("((max_tokens - min_tokens) * 1000000)"
+                       " div max_tokens").alias("imbalance_ppm"))
+        .orderBy("split")
+    )
+
+
 def approx_group_counts(docs: DataFrame, rate: float = 0.1,
                         stratum_col: str = "lang",
                         salt: str = "htsample-v1") -> DataFrame:

@@ -363,6 +363,55 @@ def power_users(events: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival profile: for each event type, the
+    distribution of whole-second gaps between a user's consecutive
+    events of that type — n_gaps, min, max, and EXACT median / p90
+    order statistics (the funnel_latency rule: rank = ceil(n/2) /
+    ceil(0.9n), (user_id, event_id) tiebreak) — the cadence signal
+    that sizes session gaps, rate limits and watermark horizons.
+
+    Scale shape: ONE lag window partitioned by (user_id, event_type) —
+    the same user-keyed exchange sessionize rides, never a global
+    sort; the rank windows then run over gap rows (bounded by event
+    volume) partitioned by the small type vocabulary."""
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("event_type", "user_id", "event_id",
+                (F.col("ts").cast("long")
+                 - F.col("prev").cast("long")).alias("delta_s"))
+    )
+    rw = Window.partitionBy("event_type") \
+        .orderBy("delta_s", "user_id", "event_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(rw))
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("delta_s").alias("min_s"), F.max("delta_s").alias("max_s"))
+    pick = (
+        stats.select("event_type", F.expr("(n_gaps + 1) div 2")
+                     .alias("target"), F.lit("median_s").alias("which"))
+        .unionByName(stats.select(
+            "event_type", F.expr("(9 * n_gaps + 9) div 10").alias("target"),
+            F.lit("p90_s").alias("which")))
+    )
+    quant = (
+        ranked.join(pick, (ranked.event_type == pick.event_type)
+                    & (ranked.rn == pick.target))
+        .groupBy(ranked.event_type).pivot("which", ["median_s", "p90_s"])
+        .agg(F.first("delta_s"))
+    )
+    return (
+        stats.join(quant, "event_type")
+        .select("event_type", "n_gaps", "min_s", "max_s",
+                "median_s", "p90_s")
+        .orderBy("event_type")
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users bucketed by the week of
     their FIRST event, then for each (cohort, week-offset) the count

@@ -4407,6 +4407,9 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1 ORDER BY 1""",
+        # benched since r6: the r5 driver-red row (HUGEINT oracle sum)
+        # — a tracked number makes any environment sensitivity visible
+        bench=True,
     ),
     _q(
         "forecast_revenue_change",
@@ -5776,6 +5779,89 @@ SELECT t.query_id,
 FROM truth t LEFT JOIN approx a
   ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "dedup_savings",
+        lambda spark, sf: dedup.dedup_savings(views(spark, sf)["documents"]),
+        # per-source exact-dedup savings: corpus-wide keeper rule (min
+        # doc_id per fingerprint), character savings in integer ppm
+        f"""WITH base AS (
+  SELECT doc_id, source, n_chars, md5({_NORM}) AS fp FROM documents
+), keep AS (
+  SELECT fp, min(doc_id) AS keeper FROM base GROUP BY 1
+), flagged AS (
+  SELECT source, n_chars,
+    (base.doc_id <> keeper)::BIGINT AS red
+  FROM base JOIN keep USING (fp)
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(red) AS BIGINT) AS n_redundant,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(red * n_chars) AS BIGINT) AS redundant_chars,
+  (CAST(sum(red * n_chars) AS BIGINT) * 1000000)
+    // CAST(sum(n_chars) AS BIGINT) AS savings_ppm
+FROM flagged GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "shard_balance",
+        lambda spark, sf: pipeline.shard_balance(
+            views(spark, sf)["documents"]),
+        # per-split shard token-load balance off the training_shards
+        # assignment; imbalance in integer ppm
+        f"""WITH k AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 AS split_key,
+    CAST('0x' || substr(md5('{pipeline.SHARD_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS skey,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), a AS (
+  SELECT CASE WHEN split_key < {pipeline.SPLIT_CUTS[0][1]} THEN 'train'
+         WHEN split_key < {pipeline.SPLIT_CUTS[1][1]} THEN 'val'
+         ELSE 'test' END AS split,
+    skey % {pipeline.N_SHARDS} AS shard, n_tok
+  FROM k
+), per AS (
+  SELECT split, shard, CAST(sum(n_tok) AS BIGINT) AS tok
+  FROM a GROUP BY 1, 2
+)
+SELECT split, count(*) AS n_shards,
+  min(tok) AS min_tokens, max(tok) AS max_tokens,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  ((max(tok) - min(tok)) * 1000000) // max(tok) AS imbalance_ppm
+FROM per GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "events_interarrival",
+        lambda spark, sf: eops.interarrival_stats(views(spark, sf)["events"]),
+        # per-type whole-second gap distribution between a user's
+        # consecutive same-type events; exact order-statistic
+        # percentiles with (user_id, event_id) tiebreak
+        """WITH g AS (
+  SELECT event_type, user_id, event_id,
+    date_diff('second',
+      lag(ts) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id), ts) AS delta_s
+  FROM events
+), gaps AS (SELECT * FROM g WHERE delta_s IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+      ORDER BY delta_s, user_id, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+), stats AS (
+  SELECT event_type, count(*) AS n_gaps,
+    min(delta_s) AS min_s, max(delta_s) AS max_s
+  FROM gaps GROUP BY 1
+), qs AS (
+  SELECT event_type,
+    max(CASE WHEN rn = (n + 1) // 2 THEN delta_s END) AS median_s,
+    max(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_s END) AS p90_s
+  FROM r GROUP BY 1
+)
+SELECT s.event_type, n_gaps, min_s, max_s, median_s, p90_s
+FROM stats s JOIN qs ON s.event_type = qs.event_type ORDER BY 1""",
     ),
 ]
 

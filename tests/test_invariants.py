@@ -1721,3 +1721,52 @@ def test_dim_truncation_fidelity_bounds(spark, sf_dir):
         assert r.keep_dims == 32
     full = dim_truncation_fidelity(emb, keep_dims=dim).collect()
     assert all(r.recall_ppm == 1_000_000 for r in full)
+
+
+def test_dedup_savings_accounts_all_duplicates(spark, sf_dir):
+    """Per-source savings partition the corpus and reconcile with the
+    exact_duplicates families: total redundant docs == sum over
+    families of (n_dups - 1); ppm identity holds."""
+    from ozone_spark.functions.dedup import dedup_savings, exact_duplicates
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = dedup_savings(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    fam = exact_duplicates(docs).collect()
+    assert sum(r.n_redundant for r in rows) == \
+        sum(f.n_dups - 1 for f in fam)
+    for r in rows:
+        assert 0 <= r.n_redundant < r.n_docs or r.n_docs == r.n_redundant
+        assert r.savings_ppm == \
+            (r.redundant_chars * 1_000_000) // r.total_chars
+
+
+def test_shard_balance_reconciles_with_shards(spark, sf_dir):
+    """Balance rollup reconciles with the raw training_shards frame:
+    per-split totals match, min <= max, imbalance ppm identity."""
+    from ozone_spark.functions.pipeline import shard_balance, training_shards
+    docs = tables.load_table(spark, sf_dir, "documents")
+    raw = training_shards(docs).groupBy("split").agg(
+        F.sum("n_tok").alias("tot"),
+        F.countDistinct("shard").alias("ns"))
+    raw = {r.split: r for r in raw.collect()}
+    for r in shard_balance(docs).collect():
+        assert r.total_tokens == raw[r.split].tot
+        assert r.n_shards == raw[r.split].ns
+        assert r.min_tokens <= r.max_tokens
+        assert r.imbalance_ppm == \
+            ((r.max_tokens - r.min_tokens) * 1_000_000) // r.max_tokens
+
+
+def test_interarrival_gap_count_identity(spark, sf_dir):
+    """Gap counts equal events minus distinct (user, type) streams
+    (each stream of k events yields k-1 gaps); order statistics are
+    ordered min <= median <= p90 <= max and non-negative."""
+    from ozone_spark.operators.events import interarrival_stats
+    events = tables.load_table(spark, sf_dir, "events")
+    per_type_expected = {
+        r.event_type: r.n - r.s for r in events.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("s")).collect()}
+    for r in interarrival_stats(events).collect():
+        assert r.n_gaps == per_type_expected[r.event_type]
+        assert 0 <= r.min_s <= r.median_s <= r.p90_s <= r.max_s
