@@ -97,6 +97,14 @@ STRESS_QUERIES = [
                                  # free here — replicas are copies)
     "table_profile",             # per-column profile: distinct exchange
                                  # + KMV rank at 10x lineitem
+    "simhash_recall",            # r6 count-bounded truth set: time must
+                                 # stay flat as the corpus grows
+    "ngram_novelty_curve",       # r6: shingle dedup exchange + per-h
+                                 # min-bucket agg at 10x shingle volume
+    "dedup_savings",             # r6: fp keeper join at 10-way-dup skew
+                                 # (every doc redundant but one)
+    "events_interarrival",       # r6: 10x denser per-(user,type) gap
+                                 # streams through the lag window
 ]
 
 

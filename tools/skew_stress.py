@@ -54,6 +54,11 @@ SKEW_QUERIES = [
     "events_type_cooccurrence",  # hot user holds every type: the max
                                  # per-user pair fan-out C(|types|, 2)
     "events_ewma_forecast",   # per-type day arrays unchanged by skew
+    "events_interarrival",    # r6: the hot user's per-type gap stream
+                              # is one giant lag-window partition
+    "events_power_users",     # r6: hot user is rank 1 with ~30% share
+    "events_funnel_latency",  # r6: hot user's min-ts cascade + the
+                              # order-statistic rank windows under skew
 ]
 
 
