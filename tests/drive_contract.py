@@ -30,10 +30,24 @@ for t in TABLES:
 
 def norm(v):
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else f"{v:.9g}"
+        # repr = shortest round-trip: strictER than any plausible driver
+        # canonicalization, so a pass here implies a pass there (the r6
+        # upgrade after %.9g hid the HUGEINT->float64 driver reds)
+        return "nan" if math.isnan(v) else repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
+
+def dtype_mismatch(sp, du):
+    """Columns whose pandas dtype KIND differs (int64 vs float64 —
+    e.g. an uncast DuckDB sum() coming back HUGEINT): the r5
+    driver-red class that value-normalized compares can hide."""
+    bad = []
+    for c in sorted(set(sp.columns) & set(du.columns)):
+        ks, kd = sp[c].dtype.kind, du[c].dtype.kind
+        if ks != kd and not (ks in "iu" and kd in "iu"):
+            bad.append(f"{c}:{sp[c].dtype}!={du[c].dtype}")
+    return bad
 
 def canon(pdf):
     pdf = pdf[sorted(pdf.columns)]
@@ -55,6 +69,8 @@ for name, fn in qs.items():
         fails.append((name, f"schema {sorted(sp.columns)} vs {sorted(du.columns)}"))
     elif len(sp) != len(du):
         fails.append((name, f"rows {len(sp)} vs {len(du)}"))
+    elif dtype_mismatch(sp, du):
+        fails.append((name, f"dtype mismatch: {dtype_mismatch(sp, du)}"))
     elif canon(sp) != canon(du):
         fails.append((name, "value hash mismatch"))
     status = "OK" if not fails or fails[-1][0] != name else "FAIL"

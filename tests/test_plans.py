@@ -683,3 +683,76 @@ def test_aqe_coalesces_small_shuffle_at_runtime(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in executed, executed[:500]
     assert "coalesced" in executed, executed[:500]
+
+
+def test_power_users_top_k_and_no_text_exchange(spark, sf_dir):
+    """The heavy-hitter report's only corpus exchange carries the
+    user-keyed partial aggregate; the corpus total folds in as a
+    broadcast one-row scalar, never a second full scan exchange."""
+    from ozone_spark.operators.events import power_users
+    events = tables.load_table(spark, sf_dir, "events")
+    plan = plan_of(power_users(events))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "partial_count" in plan  # map-side combine before the exchange
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "props#" not in line, line  # wide columns pruned
+
+
+def test_source_length_drift_histogram_sized_arithmetic(spark, sf_dir):
+    """All TV-distance arithmetic runs on the (source, bin) histogram:
+    the corpus is scanned once into a partial count aggregate, and no
+    exchange carries the text column."""
+    from ozone_spark.functions.text import source_length_drift
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(source_length_drift(docs))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "partial_count" in plan
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_interarrival_single_user_keyed_window(spark, sf_dir):
+    """The gap stage rides ONE (user, type)-keyed exchange (the lag
+    window); the rank windows then partition by the small type
+    vocabulary — no global (empty-key) window over raw events."""
+    from ozone_spark.operators.events import interarrival_stats
+    events = tables.load_table(spark, sf_dir, "events")
+    plan = plan_of(interarrival_stats(events))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "hashpartitioning(user_id" in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "props#" not in line, line
+
+
+def test_dedup_savings_text_never_shuffled(spark, sf_dir):
+    """The keeper join moves only (fp, doc_id, n_chars, source) rows:
+    no exchange carries the text column (fingerprints are computed
+    map-side)."""
+    from ozone_spark.functions.dedup import dedup_savings
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup_savings(docs))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_novelty_curve_no_corpus_window(spark, sf_dir):
+    """The novelty curve's windows run over the n_buckets-row aggregate
+    only: any single-partition (empty hashpartitioning) exchange in the
+    plan must sit above an aggregate, and no exchange carries text."""
+    from ozone_spark.functions.dedup import ngram_novelty_curve
+    docs = tables.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ngram_novelty_curve(docs))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "shingle#" not in line, line

@@ -28,8 +28,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # collapse -0.0 / fp-noise; queries round explicitly where needed
-        return f"{v:.9g}"
+        # repr = shortest round-trip (r6: strictER than any plausible
+        # driver canonicalization — %.9g hid the r5 HUGEINT float reds)
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(str(_norm_cell(x)) for x in v) + "]"
     if isinstance(v, dict):
