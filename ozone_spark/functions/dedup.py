@@ -1074,6 +1074,71 @@ def ngram_novelty_curve(docs: DataFrame, n: int = 3,
     )
 
 
+CENTRALITY_ITERS = 3
+CENTRALITY_DAMP_PPM = 850_000   # 0.85 damping, in ppm
+CENTRALITY_K = 20
+
+
+def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
+                         iters: int = CENTRALITY_ITERS,
+                         k: int = CENTRALITY_K) -> DataFrame:
+    """Template-hub detection: damped degree-normalized score
+    propagation (PageRank-shaped) over the near-duplicate pair graph,
+    surfacing the documents most CENTRAL to duplication structure —
+    boilerplate templates and license-header carriers sit at hub
+    positions that raw pair counts under-rank (a hub connected to
+    other hubs outranks one connected to leaves).  Top-k rows with
+    degree and final score.
+
+    Every step is EXACT integer arithmetic in ppm scale: scores start
+    at 1e6, each iteration sends score DIV degree along every edge and
+    applies damping as (150000 + 850000 * inflow DIV 1e6) — floor
+    division both engines, so three unrolled iterations replay
+    bit-identically in the DuckDB oracle with no float anywhere (the
+    same determinism scheme as kmeans_assign/BPE).  Score mass bounded
+    by nodes x 1e6: BIGINT products stay inside 2^63 up to ~1e7 graph
+    nodes; beyond that rescale to per-node thousandths.
+
+    Scale shape: the edge list is the capped-bucket pair generator
+    (never all-pairs); each iteration is one edge-keyed shuffle of
+    (node, int) rows; degree computes once; the top-k is a rank window
+    over the node-count-bounded score table."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    edges = _slot_cache(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst"))),
+        "centrality_edges")
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    scores = deg.select(F.col("src").alias("node"),
+                        F.lit(1_000_000).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(scores, edges.src == F.col("node"))
+            .select("dst", F.expr("score div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        scores = (
+            deg.select(F.col("src").alias("node"))
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select("node", F.expr(
+                f"{1_000_000 - CENTRALITY_DAMP_PPM} + "
+                f"({CENTRALITY_DAMP_PPM} * coalesce(inflow, 0))"
+                f" div 1000000").cast("long").alias("score"))
+        )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.join(deg, scores.node == deg.src)
+        .select(F.col("node").alias("doc_id"), "deg", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "deg", "score")
+        .orderBy("rank")
+    )
+
+
 def cluster_size_stats(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Duplicate-cluster size distribution: for each cluster size, how
     many clusters and how many member documents — the dedup report a

@@ -5584,10 +5584,78 @@ FROM agg ORDER BY total_count DESC, pair LIMIT 50""",
 ]
 
 
+def _centrality_sql(iters: int = dedup.CENTRALITY_ITERS,
+                    k: int = dedup.CENTRALITY_K) -> str:
+    """DuckDB twin of dup_graph_centrality: the raw doc-level capped-
+    bucket Jaccard pair graph at threshold 0.1, then `iters` unrolled
+    damped integer-ppm propagation steps (floor division throughout —
+    bit-identical to the Spark loop)."""
+    damp = dedup.CENTRALITY_DAMP_PPM
+    base = 1_000_000 - damp
+    sql = f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY 1
+), s0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg
+)"""
+    for t in range(1, iters + 1):
+        sql += f""", s{t} AS (
+  SELECT d.src AS node,
+    CAST({base} + ({damp} * coalesce(i.infl, 0)) // 1000000 AS BIGINT)
+      AS score
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, CAST(sum(s.score // dg.deg) AS BIGINT) AS infl
+    FROM edges e JOIN deg dg ON e.src = dg.src
+    JOIN s{t - 1} s ON s.node = e.src
+    GROUP BY 1) i ON i.dst = d.src
+)"""
+    sql += f"""
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS BIGINT)
+      AS rank,
+    node AS doc_id, deg, score
+  FROM s{iters} JOIN deg ON node = src
+) WHERE rank <= {k} ORDER BY rank"""
+    return sql
+
+
 # Round-6 additions.  All outputs are exact integers (counts, ppm floor
 # divisions, order statistics) except where an existing verified float
 # pattern is reused — the r5 hash-robustness rule applied from birth.
 R6_QUERIES = [
+    _q(
+        "dup_graph_centrality",
+        lambda spark, sf: dedup.dup_graph_centrality(
+            views(spark, sf)["documents"]),
+        # damped integer-ppm propagation over the near-dup pair graph,
+        # 3 unrolled iterations, floor division both engines
+        _centrality_sql(),
+    ),
     _q(
         "events_funnel_latency",
         lambda spark, sf: eops.funnel_latency(views(spark, sf)["events"]),

@@ -1770,3 +1770,35 @@ def test_interarrival_gap_count_identity(spark, sf_dir):
     for r in interarrival_stats(events).collect():
         assert r.n_gaps == per_type_expected[r.event_type]
         assert 0 <= r.min_s <= r.median_s <= r.p90_s <= r.max_s
+
+
+def test_dup_graph_centrality_exact_python_replay(spark, sf_dir):
+    """The damped integer propagation replays exactly in plain Python
+    over the collected edge list (floor division at every step), and
+    hub ordering is (score DESC, doc_id)."""
+    from ozone_spark.functions.dedup import (CENTRALITY_DAMP_PPM,
+                                             CENTRALITY_ITERS,
+                                             dup_graph_centrality,
+                                             ngram_jaccard_pairs)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = [(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(docs, threshold=0.1)
+             .select("doc_a", "doc_b").collect()]
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    score = {n: 1_000_000 for n in deg}
+    for _ in range(CENTRALITY_ITERS):
+        infl: dict[int, int] = {}
+        for s, d in edges:
+            infl[d] = infl.get(d, 0) + score[s] // deg[s]
+        score = {n: (1_000_000 - CENTRALITY_DAMP_PPM)
+                 + (CENTRALITY_DAMP_PPM * infl.get(n, 0)) // 1_000_000
+                 for n in deg}
+    expect = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = dup_graph_centrality(docs).collect()
+    assert [(r.doc_id, r.score) for r in rows] == expect
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.deg == deg[r.doc_id] and r.score >= 150_000

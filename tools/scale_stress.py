@@ -105,6 +105,8 @@ STRESS_QUERIES = [
                                  # (every doc redundant but one)
     "events_interarrival",       # r6: 10x denser per-(user,type) gap
                                  # streams through the lag window
+    "dup_graph_centrality",      # r6: 3 propagation joins over the
+                                 # 10x-denser capped pair graph
 ]
 
 
