@@ -1100,9 +1100,18 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
     nodes; beyond that rescale to per-node thousandths.
 
     Scale shape: the edge list is the capped-bucket pair generator
-    (never all-pairs); each iteration is one edge-keyed shuffle of
-    (node, int) rows; degree computes once; the top-k is a rank window
-    over the node-count-bounded score table."""
+    (never all-pairs) built ONCE and persisted; each iteration is one
+    edge-keyed shuffle of (node, int) rows; degree computes once; the
+    top-k is a rank window over the node-count-bounded score table.
+    Cost is dominated by the MEMBER-level pair list: on the 10x
+    90%-copies stress corpus (every doc in a 10-clique at threshold
+    0.1 — ngram_jaccard_pairs' documented quadratic worst case) the
+    full query measures 70 s, ~3x the bare pair pass, for the three
+    propagation rounds.  Copy-heavy corpora should run the exact pass
+    first and compute centrality over representatives (the
+    duplicate_clusters contraction route); the member-level default is
+    the right semantics when verbatim copies themselves ARE the hubs
+    being hunted."""
     pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
         .select("doc_a", "doc_b")
     edges = _slot_cache(
