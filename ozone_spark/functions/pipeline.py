@@ -95,6 +95,37 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     )
 
 
+def contamination_by_source(docs: DataFrame, eval_docs: DataFrame,
+                            n: int = DECONTAM_NGRAM,
+                            min_overlap: float = DECONTAM_MIN_OVERLAP
+                            ) -> DataFrame:
+    """Benchmark-contamination accounting per crawl source: aggregate
+    the per-doc n-gram-collision flags (`decontaminate`) to the source
+    grain — n_docs, contaminated count and rate in exact integer ppm,
+    plus total overlapping-shingle volume — the table that tells a
+    corpus team WHICH upstream is leaking eval data, not just that
+    some documents are.
+
+    Scale shape: rides decontaminate's broadcast-probe plan (corpus
+    never shuffled for the eval join), one extra doc_id-keyed join of
+    the narrow per-doc flags against (doc_id, source), one source
+    aggregate."""
+    flags = decontaminate(docs, eval_docs, n=n, min_overlap=min_overlap) \
+        .select("doc_id", "n_overlapping",
+                F.col("contaminated").cast("long").alias("c"))
+    return (
+        docs.select("doc_id", "source").join(flags, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("c").alias("n_contaminated"),
+             F.sum("n_overlapping").alias("overlap_shingles"))
+        .select("source", "n_docs", "n_contaminated", "overlap_shingles",
+                F.expr("(n_contaminated * 1000000) div n_docs")
+                .alias("contamination_ppm"))
+        .orderBy("source")
+    )
+
+
 # Bloom-filter decontamination: `decontaminate` broadcasts the eval set's
 # raw shingles — fine for benchmark suites, impossible when the "eval"
 # side is itself a large held-out corpus.  The scale path is a Bloom

@@ -472,3 +472,84 @@ def reading_ease(docs: DataFrame) -> DataFrame:
             .alias("syllables_per_word_ppm"))
         .orderBy("lang")
     )
+
+
+CURATION_KEEP_PPM = 600_000      # >= 60% gopher pass: keep as-is
+CURATION_DOWNSAMPLE_PPM = 300_000  # 30-60%: downsample; below: drop
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """Per-source curation decision table: corpus share, Gopher-filter
+    pass counts and the keep/downsample/drop verdict thresholded on
+    the pass rate — the one-page report a corpus team reads to decide
+    which crawl sources enter the mixture at full weight.
+
+    All metrics are exact integers (counts and BIGINT ppm floor
+    divisions); the verdict is a deterministic threshold on the integer
+    pass ppm, so the whole table replays bit-identically in SQL.
+
+    Scale shape: rides the map-only gopher_quality_filters scan, one
+    source-keyed aggregate (map-side combined), the corpus total as a
+    broadcast one-row scalar."""
+    from pyspark.sql.functions import broadcast
+    g = gopher_quality_filters(docs).select(
+        "source", F.col("passes_gopher").cast("long").alias("p"))
+    total = g.agg(F.count("*").alias("_total"))
+    per = (
+        g.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("p").alias("n_pass"))
+        .crossJoin(broadcast(total))
+    )
+    pass_ppm = F.expr("(n_pass * 1000000) div n_docs")
+    verdict = (
+        F.when(pass_ppm >= CURATION_KEEP_PPM, "keep")
+        .when(pass_ppm >= CURATION_DOWNSAMPLE_PPM, "downsample")
+        .otherwise("drop"))
+    return (
+        per.select(
+            "source", "n_docs",
+            F.expr("(n_docs * 1000000) div _total").alias("share_ppm"),
+            "n_pass", pass_ppm.alias("pass_ppm"),
+            verdict.alias("verdict"))
+        .orderBy("source")
+    )
+
+
+def length_percentiles_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source document-length profile: exact p50/p90/p99 order
+    statistics of n_chars (rank = ceil(q*n), doc_id tiebreak — never an
+    interpolated quantile) plus min/max — the companion detail view to
+    source_length_drift's one-number distance.
+
+    Scale shape: one rank window partitioned by source over (source,
+    n_chars, doc_id) triples — never the text — and a |sources|-row
+    pivot of the three picked ranks."""
+    from pyspark.sql import Window
+    base = docs.select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    stats = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"))
+    picks = None
+    for col, num in (("p50_chars", 1), ("p90_chars", 9), ("p99_chars", 99)):
+        den = {1: 2, 9: 10, 99: 100}[num]
+        p = stats.select(
+            "source",
+            F.expr(f"({num} * n_docs + {den - 1}) div {den}")
+            .alias("target"), F.lit(col).alias("which"))
+        picks = p if picks is None else picks.unionByName(p)
+    quant = (
+        ranked.join(picks, (ranked.source == picks.source)
+                    & (ranked.rn == picks.target))
+        .groupBy(ranked.source)
+        .pivot("which", ["p50_chars", "p90_chars", "p99_chars"])
+        .agg(F.first("n_chars"))
+    )
+    return (
+        stats.join(quant, "source")
+        .select("source", "n_docs", "min_chars", "p50_chars",
+                "p90_chars", "p99_chars", "max_chars")
+        .orderBy("source")
+    )

@@ -5849,6 +5849,105 @@ FROM truth t LEFT JOIN approx a
 GROUP BY 1 ORDER BY 1""",
     ),
     _q(
+        "contamination_by_source",
+        lambda spark, sf: pipeline.contamination_by_source(
+            views(spark, sf)["documents"].where("doc_id % 25 <> 0"),
+            views(spark, sf)["documents"].where("doc_id % 25 = 0")),
+        # decontaminate's per-doc flags rolled up to the source grain
+        # (same eval split as decontaminate_overlap); rates in ppm
+        f"""WITH shl AS (
+  SELECT doc_id, {_SH5} AS shs
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+), ev AS (
+  SELECT DISTINCT unnest(shs) AS s FROM shl WHERE doc_id % 25 = 0
+), tr AS (
+  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM shl
+  WHERE doc_id % 25 <> 0
+), agg AS (
+  SELECT tr.doc_id, any_value(tr.n_sh) AS n_sh, count(ev.s) AS n_hit
+  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1
+), flagged AS (
+  SELECT d.source, a.n_hit,
+    (a.n_hit / a.n_sh >= {pipeline.DECONTAM_MIN_OVERLAP})::BIGINT AS c
+  FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(c) AS BIGINT) AS n_contaminated,
+  CAST(sum(n_hit) AS BIGINT) AS overlap_shingles,
+  (CAST(sum(c) AS BIGINT) * 1000000) // count(*) AS contamination_ppm
+FROM flagged GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "curation_report",
+        lambda spark, sf: text.curation_report(views(spark, sf)["documents"]),
+        # per-source Gopher pass rate in integer ppm + threshold verdict
+        f"""WITH m AS (
+  SELECT source,
+    len(string_split(text, ' ')) AS n_words,
+    (length(text) - len(string_split(text, ' ')) + 1)
+      / len(string_split(text, ' ')) AS mean_wl,
+    (length(text)
+      - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+      / greatest(len(string_split(text, ' ')), 1) AS sym_ratio,
+    len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the', 'a', 'of', 'and', 'to', 'in'])) AS n_sw,
+    len(list_filter(string_split(text, ' '),
+        w -> regexp_matches(w, '[a-zA-Z]')))
+      / greatest(len(string_split(text, ' ')), 1) AS alpha_ratio
+  FROM documents
+), p AS (
+  SELECT source,
+    ((n_words >= {text.GOPHER_MIN_WORDS}
+      AND n_words <= {text.GOPHER_MAX_WORDS})
+     AND (mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+       AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN})
+     AND sym_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+     AND n_sw >= {text.GOPHER_MIN_DISTINCT_STOPWORDS}
+     AND alpha_ratio >= {text.GOPHER_MIN_ALPHA_WORD_RATIO})::BIGINT AS p
+  FROM m
+), t AS (SELECT count(*) AS total FROM p),
+per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(p) AS BIGINT) AS n_pass
+  FROM p GROUP BY 1
+)
+SELECT source, n_docs,
+  (n_docs * 1000000) // total AS share_ppm, n_pass,
+  (n_pass * 1000000) // n_docs AS pass_ppm,
+  CASE WHEN (n_pass * 1000000) // n_docs >= {text.CURATION_KEEP_PPM}
+    THEN 'keep'
+    WHEN (n_pass * 1000000) // n_docs >= {text.CURATION_DOWNSAMPLE_PPM}
+    THEN 'downsample' ELSE 'drop' END AS verdict
+FROM per, t ORDER BY source""",
+    ),
+    _q(
+        "length_percentiles_by_source",
+        lambda spark, sf: text.length_percentiles_by_source(
+            views(spark, sf)["documents"]),
+        # exact order-statistic p50/p90/p99 of n_chars per source
+        # (rank = ceil(q*n), doc_id tiebreak)
+        """WITH r AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source
+      ORDER BY n_chars, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), stats AS (
+  SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+    max(n_chars) AS max_chars
+  FROM documents GROUP BY 1
+), qs AS (
+  SELECT source,
+    max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+    max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars,
+    max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99_chars
+  FROM r GROUP BY 1
+)
+SELECT s.source, n_docs, min_chars, p50_chars, p90_chars, p99_chars,
+  max_chars
+FROM stats s JOIN qs ON s.source = qs.source ORDER BY 1""",
+    ),
+    _q(
         "dedup_savings",
         lambda spark, sf: dedup.dedup_savings(views(spark, sf)["documents"]),
         # per-source exact-dedup savings: corpus-wide keeper rule (min

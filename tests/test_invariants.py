@@ -1802,3 +1802,56 @@ def test_dup_graph_centrality_exact_python_replay(spark, sf_dir):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert r.deg == deg[r.doc_id] and r.score >= 150_000
+
+
+def test_contamination_by_source_reconciles(spark, sf_dir):
+    """The source rollup reconciles exactly with the per-doc
+    decontaminate flags, and the ppm identity holds."""
+    from ozone_spark.functions.pipeline import (contamination_by_source,
+                                                decontaminate)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 25 <> 0")
+    ev = docs.where("doc_id % 25 = 0")
+    per_doc = decontaminate(train, ev).collect()
+    total_contam = sum(1 for r in per_doc if r.contaminated)
+    rows = contamination_by_source(train, ev).collect()
+    assert sum(r.n_contaminated for r in rows) == total_contam
+    assert sum(r.n_docs for r in rows) == len(per_doc)
+    for r in rows:
+        assert r.contamination_ppm == \
+            (r.n_contaminated * 1_000_000) // r.n_docs
+
+
+def test_curation_report_verdict_thresholds(spark, sf_dir):
+    """Verdicts follow the integer ppm thresholds exactly; shares
+    partition the corpus."""
+    from ozone_spark.functions.text import (CURATION_DOWNSAMPLE_PPM,
+                                            CURATION_KEEP_PPM,
+                                            curation_report)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = curation_report(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.pass_ppm == (r.n_pass * 1_000_000) // r.n_docs
+        expect = ("keep" if r.pass_ppm >= CURATION_KEEP_PPM
+                  else "downsample" if r.pass_ppm >= CURATION_DOWNSAMPLE_PPM
+                  else "drop")
+        assert r.verdict == expect
+
+
+def test_length_percentiles_exact_order_stats(spark, sf_dir):
+    """The picked percentiles equal a Python recomputation of the
+    ceil-rank order statistics over the collected per-source lengths."""
+    from ozone_spark.functions.text import length_percentiles_by_source
+    docs = tables.load_table(spark, sf_dir, "documents")
+    by_src: dict[str, list] = {}
+    for r in docs.select("source", "n_chars", "doc_id").collect():
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    for r in length_percentiles_by_source(docs).collect():
+        vals = [c for c, _ in sorted(by_src[r.source])]
+        n = len(vals)
+        assert r.n_docs == n
+        assert r.min_chars == vals[0] and r.max_chars == vals[-1]
+        assert r.p50_chars == vals[(n + 1) // 2 - 1]
+        assert r.p90_chars == vals[(9 * n + 9) // 10 - 1]
+        assert r.p99_chars == vals[(99 * n + 99) // 100 - 1]

@@ -33,7 +33,7 @@ BNLJ_OK = {
     # r6: one-row broadcast aggregates (corpus total / grand count /
     # max doc_id) and the brute-force broadcast query set respectively
     "events_power_users", "source_length_drift", "ngram_novelty_curve",
-    "embedding_dim_fidelity",
+    "embedding_dim_fidelity", "curation_report",
     "semantic_dedup", "shingle_cardinality_kmv", "weighted_sample",
     "bloom_membership", "cms_heavy_hitters", "safemode_status",
     "global_stats", "cluster_state", "key_insight_summary",
