@@ -14,6 +14,24 @@ import sys
 import time
 
 
+def _calibrate(spark, reps: int = 3) -> float:
+    """Fixed-size pure-CPU JVM probe (no IO, no shuffle): median seconds
+    to fold 64M ids through a multiply/mod.  Reported at bench start AND
+    end so round-over-round query deltas can be normalized for machine
+    speed — the r6→r7 investigation (BENCH_NOTES.md) showed the host
+    itself drifts 15-25% between rounds, which previously read as
+    phantom per-query regressions."""
+    import time as _t
+    runs = []
+    for _ in range(reps + 1):  # first iteration untimed (codegen warm-up)
+        t0 = _t.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s").collect()
+        runs.append(_t.perf_counter() - t0)
+    runs = sorted(runs[1:])
+    return round(runs[len(runs) // 2], 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -44,6 +62,9 @@ def main() -> int:
     for df in views(spark, sf_dir).values():
         df.count()
 
+    calib_start = _calibrate(spark)
+    print(f"# calibration probe (start): {calib_start}s", file=sys.stderr)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -66,6 +87,9 @@ def main() -> int:
         spreads[name] = [round(t, 3) for t in runs]
         print(f"# {name}: median {timings[name]}s over {runs} ({n} rows)",
               file=sys.stderr)
+
+    calib_end = _calibrate(spark)
+    print(f"# calibration probe (end): {calib_end}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # the round-1 baseline query set (BENCH_r01.json, total 9.243s at
@@ -90,7 +114,8 @@ def main() -> int:
     try:
         with open(detail_path, "w") as fh:
             json.dump({"runs": spreads, "reps": reps, "sf": sf,
-                       "cpus": cpus, "medians": timings}, fh, indent=1)
+                       "cpus": cpus, "medians": timings,
+                       "calib": [calib_start, calib_end]}, fh, indent=1)
         print(f"# per-rep spreads written to {detail_path}", file=sys.stderr)
     except OSError as ex:
         print(f"# could not write {detail_path}: {ex}", file=sys.stderr)
@@ -104,6 +129,7 @@ def main() -> int:
         "reps": reps,
         "sf": sf,
         "cpus": cpus,
+        "calib": [calib_start, calib_end],
     }, separators=(",", ":")))
     spark.stop()
     return 0
