@@ -514,9 +514,16 @@ def duplicated_spans(docs: DataFrame, n: int = DUP_SPAN_NGRAM,
     join back, one groupBy(doc_id).  Linear in corpus size; no
     quadratic bucket explosion, so no hot-span cap is needed (a span
     shared by a million docs is one counter, not 10^12 pairs).  The
-    span key is the md5-derived 28-bit hash -> 8-byte shuffle rows."""
+    span key is the md5-derived 60-bit hash (same width as its
+    destructive sibling remove_duplicate_spans): with ~2^28 bits the
+    repo's own birthday math (see the hash60 note below at
+    remove_duplicate_spans) makes collisions CERTAIN at production span
+    counts, and a collision here silently inflates dup_fraction —
+    metric corruption the gate cannot see because the oracle replays
+    the same hash.  60 bits keeps the expected collision count < 1 up
+    to ~10^9 distinct spans."""
     sh = word_shingles(docs, n=n).select(
-        "doc_id", hash28(F.col("shingle")).alias("h"))
+        "doc_id", hash60(F.col("shingle")).alias("h"))
     df_counts = sh.groupBy("h").agg(F.count("*").alias("span_df"))
     dup_frac = F.col("n_dup_spans").cast("double") / F.col("n_spans")
     return (

@@ -1875,7 +1875,7 @@ FROM agg ORDER BY domain""",
   FROM words
 ), h AS (
   SELECT doc_id,
-    CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h FROM sh
+    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh
 ), dfc AS (
   SELECT h, count(*) AS span_df FROM h GROUP BY 1
 ), per AS (
@@ -6045,13 +6045,68 @@ _REGISTRY_ORDER: list[QuerySpec] = (
 )
 
 
+def _code_module_names(fn) -> set[str]:
+    """Global names referenced by a callable's code object, recursively
+    through nested lambdas/comprehensions — used to map a QuerySpec's
+    lambda to the operator modules it calls."""
+    import types as _types
+
+    def walk(code) -> set[str]:
+        names = set(code.co_names)
+        for c in code.co_consts:
+            if isinstance(c, _types.CodeType):
+                names |= walk(c)
+        return names
+
+    code = getattr(fn, "__code__", None)
+    return walk(code) if code is not None else set()
+
+
+def _spec_source_files(spec: QuerySpec) -> set[str]:
+    """Package source files implementing a query: the ozone_spark modules
+    the spec's lambda references, closed transitively over package-module
+    imports (pipeline imports dedup, so a dedup.py edit marks pipeline
+    queries stale too).  registry.py itself is deliberately EXCLUDED —
+    it changes every round (each new registration edits it) and would
+    mark the whole registry stale."""
+    import os as _os
+    import types as _types
+
+    pkg_root = _os.path.dirname(_os.path.abspath(__file__))
+    g = globals()
+    seen: set[_types.ModuleType] = set()
+    work = [g[n] for n in _code_module_names(spec.fn)
+            if isinstance(g.get(n), _types.ModuleType)]
+    while work:
+        mod = work.pop()
+        f = getattr(mod, "__file__", "") or ""
+        if mod in seen or not f.startswith(pkg_root):
+            continue
+        seen.add(mod)
+        for v in vars(mod).values():
+            if isinstance(v, _types.ModuleType):
+                work.append(v)
+            elif callable(v) and getattr(v, "__module__", "").startswith(
+                    "ozone_spark"):
+                m = __import__("sys").modules.get(v.__module__)
+                if m is not None:
+                    work.append(m)
+    here = _os.path.abspath(__file__)
+    return {_os.path.abspath(m.__file__) for m in seen
+            if _os.path.abspath(m.__file__) != here}
+
+
 def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
     """Rotate the registry so the driver's capped correctness gate (it
     records the first ~50 queries in registry order per round) always
     verifies the least-recently-verified queries first: never-verified
-    queries lead, then queries whose last green CORRECTNESS_r*.json row
-    is oldest.  Purely a presentation order — every query stays
-    registered; ties keep the hand-written registry order."""
+    queries lead, then queries whose implementing module was EDITED
+    after their last green row was recorded (stale greens — VERDICT r6
+    item 6: a query rewritten this round must not wait a full rotation
+    behind its own aging green row), then queries whose last green
+    CORRECTNESS_r*.json row is oldest.  Purely a presentation order —
+    every query stays registered; ties keep the hand-written registry
+    order."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -6059,12 +6114,19 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
-    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
-        m = _re.search(r"r(\d+)", _os.path.basename(path))
-        if not m:
-            continue
-        rnd = int(m.group(1))
+    # newest artifact (driver OR self-recorded sweep) with a green row
+    # per query — the staleness reference time.  Self sweeps count here
+    # (they re-verify the whole registry at each round's tip) even
+    # though only driver rows drive the last_green ROUND ordering.
+    green_mtime: dict[str, float] = {}
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_*r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", _os.path.basename(path))
+        # driver artifacts are exactly CORRECTNESS_r{N}.json; SELF/SF01
+        # sweeps count toward green_mtime only, not the round ordering
+        is_driver = _os.path.basename(path).startswith("CORRECTNESS_r")
+        rnd = int(m.group(1)) if m else -1
         try:
+            art_t = _os.path.getmtime(path)
             with open(path) as fh:
                 data = _json.load(fh)
         except (OSError, ValueError):
@@ -6084,7 +6146,9 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
             green = (row.get("hash_match") is True
                      or (oracle_less and row.get("rows_match") is True))
             if green:
-                last_green[qname] = max(last_green.get(qname, -1), rnd)
+                green_mtime[qname] = max(green_mtime.get(qname, 0.0), art_t)
+                if is_driver and rnd >= 0:
+                    last_green[qname] = max(last_green.get(qname, -1), rnd)
     pos = {q.name: i for i, q in enumerate(specs)}
     # Among never-verified queries, the round-1 registry backlog (queries
     # that existed when CORRECTNESS_r01 was recorded but fell past the
@@ -6099,10 +6163,33 @@ def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:
             return 2
         return 3
 
-    return sorted(specs, key=lambda q: (
-        last_green.get(q.name, -1),
-        tier(q.name),
-        pos[q.name]))
+    def _mtime(path: str) -> float:
+        try:
+            return _os.path.getmtime(path)
+        except OSError:
+            return 0.0
+
+    def stale(q: QuerySpec) -> bool:
+        """True when any implementing module file is newer than the
+        NEWEST artifact (driver or self sweep) with a green row for this
+        query (+2 s slack for same-checkout writes).  After a fresh
+        clone all mtimes are checkout-time, so nothing reads as stale —
+        only genuine post-verification edits trigger a re-gate."""
+        t = green_mtime.get(q.name)
+        if t is None:
+            return False
+        return any(_mtime(f) > t + 2.0 for f in _spec_source_files(q))
+
+    def key(q: QuerySpec):
+        g = last_green.get(q.name, -1)
+        if g >= 0 and stale(q):
+            # edited since its green row: re-verify ahead of everything
+            # except genuinely never-gated queries (tier 4 > backlog
+            # tiers 0-3, so never-gated still lead)
+            return (-1, 4, pos[q.name])
+        return (g, tier(q.name), pos[q.name])
+
+    return sorted(specs, key=key)
 
 
 # Registered in round 1 but never gate-verified (VERDICT.md round 1,
