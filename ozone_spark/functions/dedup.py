@@ -116,7 +116,16 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     re-persisting it — the r5 bench measured that rebuild as a +20%
     regression on dedup_minhash_lsh once the new consumers joined.  A
     different plan (new input, new session) still evicts the previous
-    frame, so resident cache stays bounded at one table per slot."""
+    frame, so resident cache stays bounded at one table per slot.
+
+    Staleness hazard (ADVICE r6): sameSemantics compares ANALYZED PLANS,
+    not data — if a source file is overwritten IN PLACE mid-session, a
+    matching slot keeps serving the previously persisted blocks.  That
+    is Spark's own persist() contract (any cached frame goes stale when
+    its input mutates underneath it), and this harness's fixtures are
+    immutable; sessions with mutable inputs should key the slot on a
+    data fingerprint (e.g. max(mtime) of input files) or unpersist
+    between loads."""
     old = _CACHE_SLOTS.get(slot)
     if old is not None:
         try:
@@ -302,7 +311,8 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
-                        max_bucket: int = 200) -> DataFrame:
+                        max_bucket: int = 200,
+                        slot: str = "ngram_sh") -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard similarity.
 
     Shape: build the shingle->docs inverted index (one shuffle), explode
@@ -326,7 +336,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     sh = _slot_cache(
         word_shingles(docs, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle")),
-        "ngram_sh")
+        slot)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     buckets = (
         sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ds"))
@@ -1119,6 +1129,26 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst"))),
         "centrality_edges")
+    deg, scores = _centrality_propagate(edges, iters)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.join(deg, scores.node == deg.src)
+        .select(F.col("node").alias("doc_id"), "deg", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "deg", "score")
+        .orderBy("rank")
+    )
+
+
+def _centrality_propagate(edges: DataFrame,
+                          iters: int) -> tuple[DataFrame, DataFrame]:
+    """The shared damped integer-ppm propagation loop of the two
+    centrality variants: returns (deg, scores) over the given directed
+    edge list.  Scores start at 1e6 per node; each iteration sends
+    score DIV degree along every edge, then applies damping as
+    base + damp * inflow DIV 1e6 — floor division throughout, so the
+    loop replays bit-identically in the DuckDB oracle."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     scores = deg.select(F.col("src").alias("node"),
                         F.lit(1_000_000).cast("long").alias("score"))
@@ -1137,13 +1167,69 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
                 f"({CENTRALITY_DAMP_PPM} * coalesce(inflow, 0))"
                 f" div 1000000").cast("long").alias("score"))
         )
+    return deg, scores
+
+
+def dup_graph_centrality_reps(docs: DataFrame, threshold: float = 0.1,
+                              iters: int = CENTRALITY_ITERS,
+                              k: int = CENTRALITY_K) -> DataFrame:
+    """Representative-level centrality — the scale-safe route the
+    member-level docstring prescribes for copy-heavy corpora (VERDICT
+    r6 item 4): contract exact duplicates FIRST (normalized-text md5
+    fingerprint, representative = min doc_id per group), run the pair
+    graph and the damped integer-ppm propagation over REPRESENTATIVES
+    only, then fan scores back to every member of each representative's
+    fingerprint group.  On a 90%-copies corpus the member-level pair
+    list is quadratic in copy count (10-cliques per template — 70 s at
+    10x, SCALE_r06); contraction collapses each clique to one node
+    before any quadratic stage, so the pair pass sees only DISTINCT
+    texts.
+
+    Semantics note: exact-copy multiplicity is reported (n_members),
+    not folded into the score — representative-level centrality ranks
+    CROSS-TEXT duplication structure.  Verbatim-copy cliques carry no
+    edges here (they are one node); when copies themselves are the
+    hubs being hunted, use the member-level default.
+
+    Scale shape: one fingerprint groupBy (text never shuffled — the
+    md5 projects first), the capped-bucket pair generator over the
+    contracted corpus, `iters` edge-keyed integer shuffles, and a
+    members-sized broadcast-joinable fan-out; the top-k rank window
+    runs over the member table bounded by the rep score table."""
+    fp = F.md5(_norm_text(F.col("text")))
+    # distinct column names end-to-end: members/groups/rep_docs all
+    # derive from `docs`, and same-name joins across shared lineage are
+    # ambiguous to the analyzer
+    members = docs.select(F.col("doc_id").alias("m_doc"), fp.alias("fp"))
+    groups = members.groupBy("fp").agg(
+        F.min("m_doc").alias("rep"), F.count("*").alias("n_members"))
+    rep_docs = docs.select("doc_id", "text").join(
+        groups.select(F.col("rep").alias("r_doc")),
+        F.col("doc_id") == F.col("r_doc")).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(rep_docs, threshold=threshold,
+                                slot="ngram_sh_reps") \
+        .select("doc_a", "doc_b")
+    edges = _slot_cache(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst"))),
+        "centrality_edges_reps")
+    deg, scores = _centrality_propagate(edges, iters)
+    rep_scores = (
+        scores.join(deg, scores.node == deg.src)
+        .select(F.col("node").alias("rep_id"), "deg", "score")
+    )
+    fanned = (
+        groups.join(rep_scores, F.col("rep") == F.col("rep_id"))
+        .join(members, "fp")
+        .select(F.col("m_doc").alias("doc_id"), "rep_id", "deg",
+                "score", "n_members")
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scores.join(deg, scores.node == deg.src)
-        .select(F.col("node").alias("doc_id"), "deg", "score")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        fanned.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .select("rank", "doc_id", "deg", "score")
+        .select("rank", "doc_id", "rep_id", "deg", "score", "n_members")
         .orderBy("rank")
     )
 

@@ -404,9 +404,14 @@ def source_length_drift(docs: DataFrame) -> DataFrame:
     Scale shape: one (source, bin) aggregate over the corpus (map-side
     combined), then all arithmetic runs on the tiny histogram table;
     bin and grand totals re-aggregate it, never the corpus."""
+    # floor(log2(x)) computed as length(bin(x)) - 1: a pure INTEGER bit
+    # length on both engines (ADVICE r6 — the double log2 matched at
+    # every probed power-of-2 boundary, but bit length makes the
+    # "no float anywhere" claim literally true)
     binned = docs.select(
         "source",
-        F.floor(F.log2(F.col("n_chars") + 1)).cast("long").alias("bin"))
+        (F.length(F.bin(F.col("n_chars") + 1)) - 1)
+        .cast("long").alias("bin"))
     o = binned.groupBy("source", "bin").agg(F.count("*").alias("o"))
     rt = o.groupBy("source").agg(F.sum("o").alias("rt"))
     bt = o.groupBy("bin").agg(F.sum("o").alias("bt"))

@@ -291,6 +291,10 @@ def funnel_latency(events: DataFrame,
     join chain (one user_id-partitioned shuffle reused per step); the
     rank windows partition by transition over USER-count-bounded delta
     rows; output is len(steps)-1 rows."""
+    if len(steps) < 2:
+        raise ValueError(
+            f"funnel_latency needs >= 2 steps (got {list(steps)}): "
+            "latency is defined per TRANSITION between steps")
     prev: DataFrame | None = None
     deltas: DataFrame | None = None
     for i, step in enumerate(steps):

@@ -5585,17 +5585,34 @@ FROM agg ORDER BY total_count DESC, pair LIMIT 50""",
 
 
 def _centrality_sql(iters: int = dedup.CENTRALITY_ITERS,
-                    k: int = dedup.CENTRALITY_K) -> str:
-    """DuckDB twin of dup_graph_centrality: the raw doc-level capped-
-    bucket Jaccard pair graph at threshold 0.1, then `iters` unrolled
-    damped integer-ppm propagation steps (floor division throughout —
-    bit-identical to the Spark loop)."""
+                    k: int = dedup.CENTRALITY_K,
+                    reps: bool = False) -> str:
+    """DuckDB twin of dup_graph_centrality (and, with reps=True, of
+    dup_graph_centrality_reps): the capped-bucket Jaccard pair graph at
+    threshold 0.1 — over raw docs, or over exact-duplicate
+    representatives (md5-fingerprint contraction, rep = min doc_id) —
+    then `iters` unrolled damped integer-ppm propagation steps (floor
+    division throughout — bit-identical to the Spark loop); the reps
+    variant fans final scores back to every member of each
+    representative's fingerprint group."""
     damp = dedup.CENTRALITY_DAMP_PPM
     base = 1_000_000 - damp
-    sql = f"""WITH words AS (
+    if reps:
+        head = f"""WITH fpt AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, min(doc_id) AS rep, count(*) AS n_members FROM fpt GROUP BY 1
+), words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w
+  FROM documents JOIN grp ON doc_id = grp.rep
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+)"""
+    else:
+        head = f"""WITH words AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
   WHERE len(string_split({_NORM}, ' ')) >= 3
-), sh AS (
+)"""
+    sql = head + f""", sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(len(w) - 2, 0) + 1),
     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
@@ -5634,7 +5651,19 @@ def _centrality_sql(iters: int = dedup.CENTRALITY_ITERS,
     JOIN s{t - 1} s ON s.node = e.src
     GROUP BY 1) i ON i.dst = d.src
 )"""
-    sql += f"""
+    if reps:
+        sql += f"""
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, m.doc_id) AS BIGINT)
+      AS rank,
+    m.doc_id, g.rep AS rep_id, deg, score,
+    CAST(g.n_members AS BIGINT) AS n_members
+  FROM s{iters} s JOIN deg ON s.node = deg.src
+  JOIN grp g ON g.rep = s.node
+  JOIN fpt m ON m.fp = g.fp
+) WHERE rank <= {k} ORDER BY rank"""
+    else:
+        sql += f"""
 SELECT * FROM (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS BIGINT)
       AS rank,
@@ -5725,7 +5754,7 @@ SELECT * FROM (
         # the corpus: pure BIGINT count products, absent bins folded in
         # as rt*(g - sum_present(bt)) — no source x bin grid, no floats
         """WITH o AS (
-  SELECT source, CAST(floor(log2(n_chars + 1)) AS BIGINT) AS bin,
+  SELECT source, CAST(length(bin(n_chars + 1)) - 1 AS BIGINT) AS bin,
     count(*) AS o
   FROM documents GROUP BY 1, 2
 ), rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
@@ -6033,6 +6062,21 @@ FROM stats s JOIN qs ON s.event_type = qs.event_type ORDER BY 1""",
 ]
 
 
+# Round-7 additions (registered with oracles in the same commit, per the
+# r6 zero-debt gate discipline).
+R7_QUERIES = [
+    _q(
+        "dup_graph_centrality_reps",
+        lambda spark, sf: dedup.dup_graph_centrality_reps(
+            views(spark, sf)["documents"]),
+        # exact-contraction first, propagation over representatives,
+        # scores fanned back to members (VERDICT r6 item 4) — same
+        # integer-ppm loop as the member-level twin
+        _centrality_sql(reps=True),
+    ),
+]
+
+
 _REGISTRY_ORDER: list[QuerySpec] = (
     MINING_QUERIES
     + LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
@@ -6041,7 +6085,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
-    + R5_QUERIES + R6_QUERIES
+    + R5_QUERIES + R6_QUERIES + R7_QUERIES
 )
 
 

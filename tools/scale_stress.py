@@ -107,6 +107,10 @@ STRESS_QUERIES = [
                                  # streams through the lag window
     "dup_graph_centrality",      # r6: 3 propagation joins over the
                                  # 10x-denser capped pair graph
+    "dup_graph_centrality_reps",  # r7: the contraction route — every
+                                 # 10-clique collapses to one node
+                                 # BEFORE the pair pass; must beat the
+                                 # member-level worst case above
 ]
 
 
