@@ -1883,6 +1883,57 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_ppm_codec_round_trip_and_real_decode(spark, sf_dir):
+    """The P6 codec is REAL: encode -> decode round-trips pixels
+    exactly; the header grammar accepts comments and arbitrary
+    whitespace; malformed input raises; decode_media dispatches P6
+    payloads to the real decoder with NO fake flag; and ppm_features'
+    worker-side parser agrees with decode_ppm on the same payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ozone_spark.functions.multimodal import (decode_media, decode_ppm,
+                                                  encode_ppm,
+                                                  ppm_features,
+                                                  ppm_media_table)
+
+    rng_flat = (np.arange(5 * 4 * 3, dtype=np.int64) * 37 + 11) % 256
+    payload = encode_ppm(5, 4, rng_flat)
+    w, h, arr = decode_ppm(payload)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(arr.reshape(-1), rng_flat.astype(np.uint8))
+    # real decode through the front door — no fake flag
+    assert np.array_equal(decode_media(payload, "image"), arr)
+    # header grammar: comments + extra whitespace
+    commented = (b"P6\n# a comment\n  5\t4 # trailing\n255\n"
+                 + rng_flat.astype(np.uint8).tobytes())
+    w2, h2, arr2 = decode_ppm(commented)
+    assert (w2, h2) == (5, 4) and np.array_equal(arr2, arr)
+    with _pytest.raises(ValueError, match="P6 magic"):
+        decode_ppm(b"P5\n5 4\n255\n" + bytes(60))
+    with _pytest.raises(ValueError, match="truncated raster"):
+        decode_ppm(b"P6\n5 4\n255\n" + bytes(10))
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n5 4\n65535\n" + bytes(5 * 4 * 6))
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG....", "image")
+
+    # Spark path: real payloads through the real parser, channel sums
+    # match a local numpy replay of the encoder pattern
+    docs = tables.load_table(spark, sf_dir, "documents").limit(20)
+    feats = {r.doc_id: r for r in
+             ppm_features(ppm_media_table(docs)).collect()}
+    for row in docs.select("doc_id", "n_chars").collect():
+        hh = max(1, (row.n_chars + 47) // 48)
+        n = 16 * hh * 3
+        flat = (np.arange(n, dtype=np.int64) + row.doc_id) % 256
+        r = feats[row.doc_id]
+        assert (r.width, r.height, r.n_pixels) == (16, hh, 16 * hh)
+        assert r.sum_r == int(flat[0::3].sum())
+        assert r.sum_g == int(flat[1::3].sum())
+        assert r.sum_b == int(flat[2::3].sum())
+
+
 def test_contamination_by_source_reconciles(spark, sf_dir):
     """The source rollup reconciles exactly with the per-doc
     decontaminate flags, and the ppm identity holds."""
