@@ -614,6 +614,60 @@ def lsh_bucket_stats(docs: DataFrame, n: int = 3,
     )
 
 
+def lsh_band_yield(docs: DataFrame, n: int = 3,
+                   max_bucket: int = 200) -> DataFrame:
+    """Band-count tuning curve for the MinHash-LSH join: per band, how
+    many candidate pairs are FIRST discovered at that band (min band
+    index over the pair's matching bands), cumulative pairs, and the
+    cumulative share of all candidates in exact integer ppm — the curve
+    that says how many of the N_BANDS bands actually pay for their
+    shuffle (a flat tail means fewer bands catch the same candidates at
+    a fraction of the banding cost; a rising tail says the banding is
+    load-bearing).  Completes the LSH sizing family next to
+    lsh_bucket_stats (bucket skew) and minhash_recall (quality).
+
+    Scale shape: same shared signature slot and capped in-bucket pair
+    explode as the pair pass (id-only rows, saturated buckets dropped),
+    then one (pair)-keyed min aggregation and an N_BANDS-row report —
+    the cumulative window runs over at most N_BANDS rows."""
+    sig = _slot_cache(minhash_signatures(docs, n), "minhash_sig")
+    bands = _minhash_bands(sig)
+    buckets = (
+        bands.groupBy("band", "bucket").agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select("band", F.array_sort("ds").alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    first = (
+        buckets.select("band", F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.min("band").alias("band"))
+    )
+    per = first.groupBy("band").agg(F.count("*").alias("n_new_pairs"))
+    spine = (
+        docs.sparkSession.range(N_BANDS)
+        .select(F.col("id").cast("int").alias("band"))
+    )
+    cw = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tw = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spine.join(per, "band", "left")
+        .withColumn("n_new_pairs",
+                    F.coalesce("n_new_pairs", F.lit(0)).cast("long"))
+        .withColumn("cum_pairs", F.sum("n_new_pairs").over(cw))
+        .withColumn("_total", F.sum("n_new_pairs").over(tw))
+        .select("band", "n_new_pairs", "cum_pairs",
+                F.expr("(cum_pairs * 1000000) div greatest(_total, 1)")
+                .alias("cum_share_ppm"))
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = 0.5,
                       max_bucket: int = 200) -> DataFrame:

@@ -6099,6 +6099,155 @@ SELECT d.doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(16 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
 FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
     ),
+    _q(
+        "ivf_probe_sweep",
+        lambda spark, sf: similarity.ivf_probe_sweep(
+            views(spark, sf)["embeddings"]),
+        # recall@10 as a function of n_probe (1..8): a true neighbor is
+        # retrieved at level p iff its centroid's probe rank <= p, so
+        # the whole curve is one truth pass + one assignment pass +
+        # a centroid-rank join — integer ppm throughout
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (40, 41, 42)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6) AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+  ) WHERE rank <= 10
+), ncent AS (
+  SELECT greatest(4, least(65536, CAST(power(2,
+    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
+  WHERE vec_id < nc
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_DOT.format(a='e.embedding', b='c.c')} DESC,
+                 c.centroid_id DESC) AS rn
+    FROM embeddings e, cents c
+  ) WHERE rn = 1
+), prank AS (
+  SELECT q.query_id, c.centroid_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_DOT.format(a='q.qe', b='c.c')} DESC,
+               c.centroid_id ASC) AS r
+  FROM q, cents c
+), tr AS (
+  SELECT t.query_id, p.r
+  FROM truth t JOIN assigned a ON t.vec_id = a.vec_id
+  JOIN prank p ON p.query_id = t.query_id AND p.centroid_id = a.centroid_id
+), ntr AS (
+  SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1
+), spine AS (
+  SELECT query_id, unnest(range(1, {similarity.IVF_SWEEP_MAX_PROBE + 1}))
+    AS n_probe
+  FROM q
+)
+SELECT s.query_id, CAST(s.n_probe AS BIGINT) AS n_probe,
+  CAST(count(tr.r) AS BIGINT) AS n_hit,
+  any_value(ntr.n_truth) AS n_truth,
+  (CAST(count(tr.r) AS BIGINT) * 1000000) // any_value(ntr.n_truth)
+    AS recall_ppm
+FROM spine s JOIN ntr USING (query_id)
+LEFT JOIN tr ON tr.query_id = s.query_id AND tr.r <= s.n_probe
+GROUP BY s.query_id, s.n_probe ORDER BY 1, 2""",
+    ),
+    _q(
+        "embedding_sq_fidelity",
+        lambda spark, sf: similarity.sq_quantize_fidelity(
+            views(spark, sf)["embeddings"]),
+        # int8-style scalar-quantization gate: exact top-10 over
+        # floor(x*127)/127-snapped vectors vs the full-precision exact
+        # top-10 (double-cast before the multiply on both engines)
+        f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (50, 51, 52)
+), scored AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe', b='embedding')}
+      / (sqrt({_DOT.format(a='qe', b='qe')})
+         * sqrt({_DOT.format(a='embedding', b='embedding')})), 6)
+      AS cos_sim
+  FROM embeddings, q WHERE vec_id <> query_id
+), truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
+  ) WHERE rank <= 10
+), tr AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> floor(CAST(x AS DOUBLE) * 127.0) / 127.0) AS te
+  FROM embeddings
+), qt AS (
+  SELECT vec_id AS query_id, te AS qe2 FROM tr
+  WHERE vec_id IN (50, 51, 52)
+), scored2 AS (
+  SELECT query_id, vec_id,
+    round({_DOT.format(a='qe2', b='te')}
+      / (sqrt({_DOT.format(a='qe2', b='qe2')})
+         * sqrt({_DOT.format(a='te', b='te')})), 6) AS cos_sim
+  FROM tr, qt WHERE vec_id <> query_id
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rank FROM scored2
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit,
+  count(*) AS n_truth,
+  (CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // count(*) AS recall_ppm,
+  CAST({similarity.SQ_LEVELS} AS BIGINT) AS sq_levels
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "lsh_band_yield",
+        lambda spark, sf: dedup.lsh_band_yield(
+            views(spark, sf)["documents"]),
+        # band-count tuning curve: first-discovery band per candidate
+        # pair over the same capped banding as the pair pass, then an
+        # N_BANDS-row cumulative report in integer ppm
+        _MINHASH_BANDS_CTES.format(norm=_NORM, sig_body=_minhash_sig_sql())
+        + """, bsz AS (
+  SELECT band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2
+), ok AS (
+  SELECT band, bucket FROM bsz WHERE sz BETWEEN 2 AND 200
+), bp AS (
+  SELECT x.band, x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+    AND x.doc_id < y.doc_id
+  JOIN ok ON ok.band = x.band AND ok.bucket = x.bucket
+), fb AS (
+  SELECT a, b, min(band) AS band FROM bp GROUP BY 1, 2
+), per AS (
+  SELECT band, count(*) AS n_new_pairs FROM fb GROUP BY 1
+), spine AS (
+  SELECT unnest(range(8)) AS band
+), tot AS (SELECT count(*) AS total FROM fb)
+SELECT CAST(s.band AS INT) AS band,
+  CAST(coalesce(per.n_new_pairs, 0) AS BIGINT) AS n_new_pairs,
+  CAST(sum(coalesce(per.n_new_pairs, 0)) OVER (ORDER BY s.band) AS BIGINT)
+    AS cum_pairs,
+  (CAST(sum(coalesce(per.n_new_pairs, 0)) OVER (ORDER BY s.band) AS BIGINT)
+    * 1000000) // greatest(tot.total, 1) AS cum_share_ppm
+FROM spine s LEFT JOIN per ON per.band = s.band, tot
+ORDER BY band""",
+    ),
 ]
 
 

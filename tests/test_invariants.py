@@ -1883,6 +1883,85 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_ivf_probe_sweep_matches_ivf_recall(spark, sf_dir):
+    """The sweep's single-pass rank trick agrees with the REAL probed
+    index: at n_probe = N_PROBE the sweep's recall equals ivf_recall's
+    (which re-ranks actual candidates), for the same query set; recall
+    is monotone non-decreasing in n_probe; and at n_probe = n_centroids
+    every list is probed so recall is exactly 1e6 ppm."""
+    from ozone_spark.functions.similarity import (N_PROBE,
+                                                  ivf_probe_sweep,
+                                                  ivf_recall,
+                                                  suggest_n_centroids)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    qids = [20, 21, 22]
+    nc = suggest_n_centroids(emb.count())
+    sweep = ivf_probe_sweep(emb, qids, max_probe=nc).collect()
+    by_q: dict[int, list] = {}
+    for r in sweep:
+        by_q.setdefault(r.query_id, []).append(r)
+    real = {r.query_id: r.recall_ppm for r in ivf_recall(emb, qids).collect()}
+    assert set(by_q) == set(qids)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.n_probe)
+        assert [r.n_probe for r in rows] == list(range(1, nc + 1))
+        rec = [r.recall_ppm for r in rows]
+        assert rec == sorted(rec), f"recall not monotone for query {q}"
+        assert rec[-1] == 1_000_000, "full probe must reach recall 1.0"
+        assert rows[N_PROBE - 1].recall_ppm == real[q], (
+            f"sweep@{N_PROBE} disagrees with ivf_recall for query {q}")
+        for r in rows:
+            assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
+
+
+def test_sq_fidelity_bounds_and_fine_grid_identity(spark, sf_dir):
+    """SQ recall rows are well-formed, and an effectively-lossless grid
+    (2^40 levels — finer than float32's 24-bit mantissa, so quantization
+    is the identity on float-derived doubles) retrieves the exact top-k
+    in full."""
+    from ozone_spark.functions.similarity import sq_quantize_fidelity
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    for r in sq_quantize_fidelity(emb).collect():
+        assert 0 <= r.n_hit <= r.n_truth == 10
+        assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_truth
+        assert r.sq_levels == 127
+    fine = sq_quantize_fidelity(emb, levels=1 << 40).collect()
+    assert all(r.recall_ppm == 1_000_000 for r in fine)
+
+
+def test_lsh_band_yield_reconciles_with_candidates(spark, sf_dir):
+    """Band-yield rows: cumulative is monotone and ends at the distinct
+    candidate-pair total of the SAME capped banding (recomputed
+    independently), final share is exactly 1e6, and every band's new
+    pairs are first-discoveries (no pair counted twice)."""
+    from ozone_spark.functions.dedup import (_minhash_bands,
+                                             lsh_band_yield,
+                                             minhash_signatures)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = lsh_band_yield(docs).collect()
+    assert [r.band for r in rows] == list(range(8))
+    cum = 0
+    for r in rows:
+        cum += r.n_new_pairs
+        assert r.cum_pairs == cum
+    # independent recount of distinct capped-bucket candidate pairs
+    bands = _minhash_bands(minhash_signatures(docs)).collect()
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in bands:
+        by_bucket[(r.band, r.bucket)].append(r.doc_id)
+    pairs = set()
+    for (_band, _bucket), ds in by_bucket.items():
+        if 2 <= len(ds) <= 200:
+            ds = sorted(ds)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1:]:
+                    pairs.add((a, b))
+    assert rows[-1].cum_pairs == len(pairs)
+    if pairs:
+        assert rows[-1].cum_share_ppm == 1_000_000
+
+
 def test_ppm_codec_round_trip_and_real_decode(spark, sf_dir):
     """The P6 codec is REAL: encode -> decode round-trips pixels
     exactly; the header grammar accepts comments and arbitrary

@@ -58,6 +58,10 @@ BNLJ_OK = {
     # composes knn_bruteforce (sanctioned exact baseline) + knn_lsh /
     # knn_ivf respectively
     "ann_recall", "ivf_recall",
+    # r7: broadcast query-set x centroid-row rank join (|q| x n_cent
+    # rows) + the sanctioned brute-force baseline; and two brute-force
+    # passes (full-precision + quantized) respectively
+    "ivf_probe_sweep", "embedding_sq_fidelity",
     # bounded-sample all-pairs truth set by design (eval-on-a-sample)
     "simhash_recall",
     # one-row broadcast max-id scalar for the bucket split
