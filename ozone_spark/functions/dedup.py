@@ -614,6 +614,48 @@ def lsh_bucket_stats(docs: DataFrame, n: int = 3,
     )
 
 
+def dedup_source_affinity(docs: DataFrame,
+                          threshold: float = 0.1) -> DataFrame:
+    """Cross-source duplication affinity matrix: near-dup pairs (exact
+    n-gram Jaccard over the capped inverted index) rolled up to the
+    UNORDERED (source, source) grain with each cell's share of all
+    pairs in exact integer ppm — the curation report that says which
+    crawls copy from which (news mirrors syndicating wire text, a crawl
+    re-ingesting wikipedia), i.e. where cross-corpus dedup budget
+    actually goes.  Within-source cells (the diagonal) measure internal
+    redundancy; off-diagonal cells are flagged is_cross_source.
+
+    Scale shape: rides the standard two-shuffle pair pipeline (shared
+    signature slot, saturated buckets dropped), then one |pairs|-sized
+    join to the (doc_id, source) projection and a source-vocabulary-
+    bounded aggregate; the share window runs over the tiny matrix."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("sb")), "doc_b")
+    )
+    agg = (
+        joined.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    tw = Window.partitionBy()  # over the |sources|^2-bounded matrix only
+    return (
+        agg.withColumn("_t", F.sum("n_pairs").over(tw))
+        .select("source_a", "source_b", "n_pairs",
+                F.expr("(n_pairs * 1000000) div greatest(_t, 1)")
+                .alias("share_ppm"),
+                (F.col("source_a") != F.col("source_b"))
+                .alias("is_cross_source"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def lsh_band_yield(docs: DataFrame, n: int = 3,
                    max_bucket: int = 200) -> DataFrame:
     """Band-count tuning curve for the MinHash-LSH join: per band, how

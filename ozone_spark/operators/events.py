@@ -416,6 +416,68 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def disorder_stats(events: DataFrame) -> DataFrame:
+    """Out-of-order depth report — the number that SIZES the watermark
+    (`withWatermark` horizon) for every streaming query over this
+    stream: per event type, how many events arrive with an event-time
+    EARLIER than the max event-time already seen (event_id is the
+    arrival order), how deep the disorder runs (whole-second lateness
+    vs the running max), and exact median/p90/max lateness among late
+    events.  A watermark shorter than late_p90_s drops real data; one
+    much longer than late_max_s holds state for nothing.
+
+    Determinism: arrival order is the deterministic event_id, lateness
+    is whole-second integer arithmetic (Spark `cast long` == DuckDB
+    `date_diff('second')`), percentiles are exact order statistics
+    (rank = ceil(n/2)/ceil(0.9n), event_id tiebreak).
+
+    Scale shape: one running-max window partitioned by the small type
+    vocabulary (production computes this per ingest partition — arrival
+    order is only meaningful within a partition, exactly as Kafka
+    offsets are per-partition); the rank windows run over the LATE
+    subset only."""
+    w = Window.partitionBy("event_type").orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    d = (
+        events.select("event_type", "event_id", "ts")
+        .withColumn("mx", F.max("ts").over(w))
+        .where(F.col("mx").isNotNull())
+        .select("event_type", "event_id",
+                F.greatest(F.lit(0), F.col("mx").cast("long")
+                           - F.col("ts").cast("long")).alias("dis"))
+    )
+    late = d.where(F.col("dis") > 0)
+    rw = Window.partitionBy("event_type").orderBy("dis", "event_id")
+    ranked = late.withColumn("rn", F.row_number().over(rw))
+    stats = d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("dis") > 0).cast("long")).alias("n_late"),
+        F.max("dis").alias("late_max_s"))
+    pick = (
+        stats.select("event_type", F.expr("(n_late + 1) div 2")
+                     .alias("target"), F.lit("late_p50_s").alias("which"))
+        .unionByName(stats.select(
+            "event_type", F.expr("(9 * n_late + 9) div 10").alias("target"),
+            F.lit("late_p90_s").alias("which")))
+    )
+    quant = (
+        ranked.join(pick, (ranked.event_type == pick.event_type)
+                    & (ranked.rn == pick.target))
+        .groupBy(ranked.event_type).pivot("which",
+                                          ["late_p50_s", "late_p90_s"])
+        .agg(F.first("dis"))
+    )
+    return (
+        stats.join(quant, "event_type", "left")
+        .select("event_type", "n_events", "n_late",
+                F.expr("(n_late * 1000000) div n_events").alias("late_ppm"),
+                F.coalesce("late_p50_s", F.lit(0)).alias("late_p50_s"),
+                F.coalesce("late_p90_s", F.lit(0)).alias("late_p90_s"),
+                F.coalesce("late_max_s", F.lit(0)).alias("late_max_s"))
+        .orderBy("event_type")
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users bucketed by the week of
     their FIRST event, then for each (cohort, week-offset) the count

@@ -6248,6 +6248,89 @@ SELECT CAST(s.band AS INT) AS band,
 FROM spine s LEFT JOIN per ON per.band = s.band, tot
 ORDER BY band""",
     ),
+    _q(
+        "events_disorder",
+        lambda spark, sf: eops.disorder_stats(views(spark, sf)["events"]),
+        # out-of-order depth vs the running event-time max in arrival
+        # (event_id) order — the watermark-sizing report; whole-second
+        # integer lateness, exact order-statistic percentiles
+        """WITH o AS (
+  SELECT event_type, event_id, ts,
+    max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events
+), d AS (
+  SELECT event_type, event_id,
+    greatest(0, date_diff('second', ts, mx)) AS dis
+  FROM o WHERE mx IS NOT NULL
+), late AS (SELECT * FROM d WHERE dis > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+      ORDER BY dis, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM late
+), agg AS (
+  SELECT event_type, count(*) AS n_events,
+    CAST(sum((dis > 0)::INT) AS BIGINT) AS n_late,
+    CAST(max(dis) AS BIGINT) AS late_max_s
+  FROM d GROUP BY 1
+), qs AS (
+  SELECT event_type,
+    max(CASE WHEN rn = (n + 1) // 2 THEN dis END) AS late_p50_s,
+    max(CASE WHEN rn = (9 * n + 9) // 10 THEN dis END) AS late_p90_s
+  FROM r GROUP BY 1
+)
+SELECT a.event_type, n_events, n_late,
+  (n_late * 1000000) // n_events AS late_ppm,
+  CAST(coalesce(late_p50_s, 0) AS BIGINT) AS late_p50_s,
+  CAST(coalesce(late_p90_s, 0) AS BIGINT) AS late_p90_s,
+  late_max_s
+FROM agg a LEFT JOIN qs ON a.event_type = qs.event_type
+ORDER BY 1""",
+    ),
+    _q(
+        "dedup_source_affinity",
+        lambda spark, sf: dedup.dedup_source_affinity(
+            views(spark, sf)["documents"]),
+        # near-dup pairs rolled up to the unordered (source, source)
+        # grain with integer-ppm shares — which crawls copy from which
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), sp AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+), agg AS (
+  SELECT source_a, source_b, count(*) AS n_pairs FROM sp GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM agg)
+SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+  (CAST(n_pairs AS BIGINT) * 1000000) // greatest(t, 1) AS share_ppm,
+  source_a <> source_b AS is_cross_source
+FROM agg, tot ORDER BY source_a, source_b""",
+    ),
 ]
 
 

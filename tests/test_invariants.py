@@ -1962,6 +1962,65 @@ def test_lsh_band_yield_reconciles_with_candidates(spark, sf_dir):
         assert rows[-1].cum_share_ppm == 1_000_000
 
 
+def test_events_disorder_python_replay(spark, sf_dir):
+    """The watermark-sizing report replays exactly in plain Python:
+    running event-time max in event_id order per type, whole-second
+    lateness, exact order-statistic percentiles over the late subset."""
+    from ozone_spark.operators.events import disorder_stats
+    events = tables.load_table(spark, sf_dir, "events")
+    rows = {r.event_type: r for r in disorder_stats(events).collect()}
+    raw = events.select("event_type", "event_id", "ts").collect()
+    by_type: dict[str, list] = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append((r.event_id, r.ts))
+    for et, evs in by_type.items():
+        evs.sort()
+        late, n_events, mx = [], 0, None
+        max_dis = 0
+        for _eid, ts in evs:
+            if mx is not None:
+                n_events += 1
+                dis = max(0, int(mx.timestamp()) - int(ts.timestamp()))
+                max_dis = max(max_dis, dis)
+                if dis > 0:
+                    late.append(dis)
+            mx = ts if mx is None or ts > mx else mx
+        r = rows[et]
+        assert r.n_events == n_events and r.n_late == len(late)
+        assert r.late_ppm == (len(late) * 1_000_000) // n_events
+        assert r.late_max_s == max_dis
+        if late:
+            late.sort()
+            assert r.late_p50_s == late[(len(late) + 1) // 2 - 1]
+            assert r.late_p90_s == late[(9 * len(late) + 9) // 10 - 1]
+        else:
+            assert r.late_p50_s == r.late_p90_s == 0
+
+
+def test_dedup_source_affinity_reconciles_with_pairs(spark, sf_dir):
+    """Affinity cells sum to the pair total, shares are the exact ppm
+    formula, and every cell reconciles with a per-pair source lookup
+    over the same threshold's pair list."""
+    from ozone_spark.functions.dedup import (dedup_source_affinity,
+                                             ngram_jaccard_pairs)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    cells = dedup_source_affinity(docs).collect()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1) \
+        .select("doc_a", "doc_b").collect()
+    src = {r.doc_id: r.source
+           for r in docs.select("doc_id", "source").collect()}
+    from collections import Counter
+    expect = Counter()
+    for p in pairs:
+        a, b = sorted((src[p.doc_a], src[p.doc_b]))
+        expect[(a, b)] += 1
+    total = sum(expect.values())
+    assert {(c.source_a, c.source_b): c.n_pairs for c in cells} == dict(expect)
+    for c in cells:
+        assert c.share_ppm == (c.n_pairs * 1_000_000) // max(total, 1)
+        assert c.is_cross_source == (c.source_a != c.source_b)
+
+
 def test_ppm_codec_round_trip_and_real_decode(spark, sf_dir):
     """The P6 codec is REAL: encode -> decode round-trips pixels
     exactly; the header grammar accepts comments and arbitrary
