@@ -761,9 +761,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+LOCAL_CC_MAX_EDGES = 1_000_000
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         local_max_edges: int = LOCAL_CC_MAX_EDGES
+                         ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components of the pair graph, labeling every member with the
     component's minimum doc_id (`cluster_id`).
@@ -772,27 +777,46 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     generation — pairs (a,b),(b,c) are ONE duplicate group {a,b,c}, and
     the keeper is chosen per group, not per pair.
 
-    Scale shape: iterative min-label propagation over the edge list —
-    each round takes the min label across neighbors (join + groupBy),
-    then pointer-jumps (label := label's label) so long chains collapse
-    in O(log diameter) rounds rather than O(diameter).  Each round is a
-    bounded number of hash-partition shuffles of (id, label) pairs and
-    the result is `localCheckpoint`ed to truncate lineage — without
-    that, round k re-executes rounds 1..k-1 and the plan grows without
-    bound.  LSH pair graphs are sparse (bucket-capped upstream), so the
-    edge list is O(pairs), never O(n^2)."""
+    ADAPTIVE algorithm choice (same spirit as AQE's single-partition
+    re-plans): the edge list of a bucket-capped, exact-contracted pair
+    graph is usually TINY relative to the corpus — when it fits one
+    partition (<= local_max_edges after symmetrization), the components
+    are computed in ONE executor-side pass (union-find over
+    mapInPandas, `_cc_single_pass`) instead of ~6 shuffle rounds whose
+    cost at toy scale is pure scheduler latency (the r7 profile
+    measured 43 jobs ≈ 5 s at sf0.1 with the loop, BENCH_NOTES.md).
+    No driver collect: the fold runs where the data is.
+
+    Scale path (edge lists beyond the single-partition bound):
+    iterative min-label propagation — each round takes the min label
+    across neighbors (join + groupBy), then pointer-jumps (label :=
+    label's label) so long chains collapse in O(log diameter) rounds
+    rather than O(diameter).  Each round is a bounded number of
+    hash-partition shuffles of (id, label) pairs and the result is
+    `localCheckpoint`ed to truncate lineage — without that, round k
+    re-executes rounds 1..k-1 and the plan grows without bound.  LSH
+    pair graphs are sparse (bucket-capped upstream), so the edge list
+    is O(pairs), never O(n^2).  Both paths produce identical labels
+    (pytest asserts equality on the same graph)."""
     spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct().persist()
     )
+    n_edges = edges.count()
+    if n_edges <= local_max_edges:
+        labels = _cc_single_pass(edges.coalesce(1))
+        # labels is lazy — localCheckpoint(eager) materializes it so the
+        # edge cache can be dropped now instead of leaking
+        labels = labels.localCheckpoint()
+        edges.unpersist()
+        return labels
     # Size the loop's parallelism to the GRAPH, not the session default:
-    # each round is a couple of shuffles over (id, label) rows, which is
+    # each round is a couple of shuffles over (id, label) pairs, which is
     # latency-bound (per-task overhead) when the pair graph is sparse
     # and throughput-bound when it is huge.  ~200k edges per partition
     # serves both; the session conf is restored afterwards.
-    n_edges = edges.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     loop_parts = max(1, min(int(old_parts), n_edges // 200_000 + 1))
     # Keep the handle on the PERSISTED plan: unpersist on the coalesced
@@ -806,6 +830,55 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     cached_edges.unpersist()
     return labels
+
+
+def _cc_single_pass(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a single-partition edge list in one
+    executor-side pass: path-halving union-find over the Arrow batches
+    of the (sole) partition, components labeled with their minimum
+    node id — bit-identical to the pointer-jumping fixpoint.  Bounded
+    by connected_components' local_max_edges guard."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("cluster_id", LongType())])
+
+    # NOTE: self-contained closure (locals + builtins only) — workers on
+    # a real cluster do not have ozone_spark importable.
+    def batches(it):
+        import pandas as _pd
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in it:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id keeps every root the component min,
+                    # so labels read off roots directly
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if parent:
+            nodes = list(parent)
+            yield _pd.DataFrame({
+                "doc_id": nodes,
+                "cluster_id": [find(n) for n in nodes],
+            })
+
+    return edges.mapInPandas(batches, schema=schema)
 
 
 def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:

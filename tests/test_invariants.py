@@ -463,11 +463,19 @@ def test_connected_components_chain_and_islands(spark):
          (20, 21),                                          # island
          (30, 31), (31, 32), (30, 32)],                     # triangle
         "doc_a long, doc_b long")
-    got = {(r.doc_id, r.cluster_id)
-           for r in dedup.connected_components(pairs).collect()}
-    assert got == ({(i, 1) for i in range(1, 8)}
-                   | {(20, 20), (21, 20)}
-                   | {(i, 30) for i in (30, 31, 32)})
+    expect = ({(i, 1) for i in range(1, 8)}
+              | {(20, 20), (21, 20)}
+              | {(i, 30) for i in (30, 31, 32)})
+    # both algorithm paths must produce identical labels: the adaptive
+    # single-pass union-find (default at this size) and the distributed
+    # pointer-jumping loop (forced via local_max_edges=0)
+    got_local = {(r.doc_id, r.cluster_id)
+                 for r in dedup.connected_components(pairs).collect()}
+    got_dist = {(r.doc_id, r.cluster_id)
+                for r in dedup.connected_components(
+                    pairs, local_max_edges=0).collect()}
+    assert got_local == expect
+    assert got_dist == expect
 
 
 def test_duplicate_clusters_cover_all_pairs(spark, sf_dir):
