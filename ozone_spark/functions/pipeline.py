@@ -417,6 +417,56 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     )
 
 
+CTX_LENGTHS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def context_length_coverage(docs: DataFrame,
+                            lengths: tuple[int, ...] = CTX_LENGTHS
+                            ) -> DataFrame:
+    """Context-length sizing report: for each candidate max_seq_len,
+    how many documents fit whole, and how many tokens survive if longer
+    docs are TRUNCATED at that length — the tokens_lost column is the
+    data thrown away by each training-config choice, the number that
+    picks max_seq_len (alongside pack_sequences' fill accounting for
+    what happens BELOW the boundary).  Exact integers and ppm floor
+    divisions throughout.
+
+    Scale shape: ONE map + groupBy collapses the corpus to its
+    token-length histogram (distinct lengths, not docs); the per-length
+    sweep is a broadcast literal spine joined against that tiny
+    histogram — the corpus is scanned once no matter how many candidate
+    lengths are swept."""
+    from pyspark.sql.functions import broadcast
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    hist = (
+        docs.select(n_tok.alias("n_tok"))
+        .groupBy("n_tok").agg(F.count("*").alias("n"))
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(int(l),) for l in lengths], "ctx_len long")
+    kept = F.when(F.col("n_tok") <= F.col("ctx_len"),
+                  F.col("n_tok")).otherwise(F.col("ctx_len"))
+    return (
+        hist.crossJoin(broadcast(spine))
+        .groupBy("ctx_len")
+        .agg(
+            F.sum("n").alias("_docs"),
+            F.sum((F.col("n_tok") <= F.col("ctx_len")).cast("long")
+                  * F.col("n")).alias("n_docs_fit"),
+            F.sum(F.col("n_tok") * F.col("n")).alias("_tokens"),
+            F.sum(kept * F.col("n")).alias("tokens_kept"))
+        .select(
+            "ctx_len",
+            F.col("n_docs_fit"),
+            F.expr("(n_docs_fit * 1000000) div _docs").alias("docs_fit_ppm"),
+            "tokens_kept",
+            (F.col("_tokens") - F.col("tokens_kept")).alias("tokens_lost"),
+            F.expr("(tokens_kept * 1000000) div _tokens")
+            .alias("tokens_kept_ppm"))
+        .orderBy("ctx_len")
+    )
+
+
 # ------------------------------------------------------- cluster resolution
 
 def resolve_keep_best(docs: DataFrame, threshold: float = 0.1,

@@ -478,6 +478,50 @@ def disorder_stats(events: DataFrame) -> DataFrame:
     )
 
 
+WATERMARK_CANDIDATES_S = (60, 300, 900, 3600)
+
+
+def watermark_drop_matrix(events: DataFrame,
+                          horizons_s: tuple[int, ...] =
+                          WATERMARK_CANDIDATES_S) -> DataFrame:
+    """The decision table on top of disorder_stats: for each candidate
+    watermark horizon, how many events a `withWatermark(horizon)` query
+    over this stream would DROP (event-time more than `horizon` behind
+    the running max at arrival), per type and in integer ppm.  Read
+    with disorder_stats' percentiles: pick the smallest horizon whose
+    drop rate the pipeline tolerates.
+
+    Scale shape: the same single running-max window as disorder_stats
+    collapses to a (type, lateness) histogram; the horizon sweep is a
+    broadcast literal spine against that bounded histogram — one corpus
+    scan regardless of how many horizons are swept."""
+    from pyspark.sql.functions import broadcast
+    w = Window.partitionBy("event_type").orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    lat = (
+        events.select("event_type", "event_id", "ts")
+        .withColumn("mx", F.max("ts").over(w))
+        .where(F.col("mx").isNotNull())
+        .select("event_type",
+                F.greatest(F.lit(0), F.col("mx").cast("long")
+                           - F.col("ts").cast("long")).alias("dis"))
+        .groupBy("event_type", "dis").agg(F.count("*").alias("n"))
+    )
+    spine = events.sparkSession.createDataFrame(
+        [(int(h),) for h in horizons_s], "horizon_s long")
+    return (
+        lat.crossJoin(broadcast(spine))
+        .groupBy("event_type", "horizon_s")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum(F.when(F.col("dis") > F.col("horizon_s"), F.col("n"))
+                   .otherwise(0)).alias("n_dropped"))
+        .select("event_type", "horizon_s", "n_events", "n_dropped",
+                F.expr("(n_dropped * 1000000) div n_events")
+                .alias("drop_ppm"))
+        .orderBy("event_type", "horizon_s")
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users bucketed by the week of
     their FIRST event, then for each (cohort, week-offset) the count

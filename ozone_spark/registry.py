@@ -6331,6 +6331,62 @@ SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
   source_a <> source_b AS is_cross_source
 FROM agg, tot ORDER BY source_a, source_b""",
     ),
+    _q(
+        "context_length_coverage",
+        lambda spark, sf: pipeline.context_length_coverage(
+            views(spark, sf)["documents"]),
+        # truncation-loss sweep over candidate max_seq_len values: one
+        # corpus scan to a token-length histogram, broadcast spine join
+        f"""WITH hist AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    count(*) AS n
+  FROM documents GROUP BY 1
+), spine AS (
+  SELECT unnest([{', '.join(str(l) for l in pipeline.CTX_LENGTHS)}])
+    AS ctx_len
+), j AS (
+  SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+    CAST(sum(n) AS BIGINT) AS docs,
+    CAST(sum(CASE WHEN n_tok <= ctx_len THEN n ELSE 0 END) AS BIGINT)
+      AS n_docs_fit,
+    CAST(sum(n_tok * n) AS BIGINT) AS tokens,
+    CAST(sum(least(n_tok, ctx_len) * n) AS BIGINT) AS tokens_kept
+  FROM hist, spine GROUP BY 1
+)
+SELECT ctx_len, n_docs_fit,
+  (n_docs_fit * 1000000) // docs AS docs_fit_ppm,
+  tokens_kept, tokens - tokens_kept AS tokens_lost,
+  (tokens_kept * 1000000) // tokens AS tokens_kept_ppm
+FROM j ORDER BY ctx_len""",
+    ),
+    _q(
+        "events_watermark_drop",
+        lambda spark, sf: eops.watermark_drop_matrix(
+            views(spark, sf)["events"]),
+        # per-(type, horizon) events a withWatermark(horizon) query
+        # would drop — the decision table on top of events_disorder
+        f"""WITH o AS (
+  SELECT event_type, event_id, ts,
+    max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events
+), lat AS (
+  SELECT event_type,
+    greatest(0, date_diff('second', ts, mx)) AS dis, count(*) AS n
+  FROM o WHERE mx IS NOT NULL GROUP BY 1, 2
+), spine AS (
+  SELECT unnest([{', '.join(str(h)
+                            for h in eops.WATERMARK_CANDIDATES_S)}])
+    AS horizon_s
+)
+SELECT event_type, CAST(horizon_s AS BIGINT) AS horizon_s,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN dis > horizon_s THEN n ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  (CAST(sum(CASE WHEN dis > horizon_s THEN n ELSE 0 END) AS BIGINT)
+    * 1000000) // CAST(sum(n) AS BIGINT) AS drop_ppm
+FROM lat, spine GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
 ]
 
 

@@ -1970,6 +1970,53 @@ def test_lsh_band_yield_reconciles_with_candidates(spark, sf_dir):
         assert rows[-1].cum_share_ppm == 1_000_000
 
 
+def test_context_length_coverage_identities(spark, sf_dir):
+    """Coverage rows are monotone in ctx_len (longer context keeps more
+    docs and tokens), kept+lost == corpus total at every length, and the
+    largest candidate (8192) covers these short fixture docs fully."""
+    from ozone_spark.functions.pipeline import context_length_coverage
+    docs = tables.load_table(spark, sf_dir, "documents")
+    total_tokens = docs.selectExpr(
+        "sum(size(split(text, ' '))) AS t").collect()[0].t
+    n_docs = docs.count()
+    rows = context_length_coverage(docs).collect()
+    assert [r.ctx_len for r in rows] == [64, 128, 256, 512, 1024,
+                                         2048, 4096, 8192]
+    prev_fit, prev_kept = -1, -1
+    for r in rows:
+        assert r.tokens_kept + r.tokens_lost == total_tokens
+        assert 0 <= r.n_docs_fit <= n_docs
+        assert r.n_docs_fit >= prev_fit and r.tokens_kept >= prev_kept
+        assert r.docs_fit_ppm == (r.n_docs_fit * 1_000_000) // n_docs
+        assert r.tokens_kept_ppm == \
+            (r.tokens_kept * 1_000_000) // total_tokens
+        prev_fit, prev_kept = r.n_docs_fit, r.tokens_kept
+    assert rows[-1].n_docs_fit == n_docs and rows[-1].tokens_lost == 0
+
+
+def test_watermark_drop_reconciles_with_disorder(spark, sf_dir):
+    """Drop counts are monotone non-increasing in the horizon, and the
+    horizon-0 limit (every late event dropped) equals disorder_stats'
+    n_late per type."""
+    from ozone_spark.operators.events import (disorder_stats,
+                                              watermark_drop_matrix)
+    events = tables.load_table(spark, sf_dir, "events")
+    dis = {r.event_type: r for r in disorder_stats(events).collect()}
+    rows = watermark_drop_matrix(events, horizons_s=(0, 60, 300,
+                                                     900, 3600)).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.horizon_s)
+        drops = [r.n_dropped for r in rs]
+        assert drops == sorted(drops, reverse=True)
+        assert rs[0].n_dropped == dis[et].n_late  # horizon 0 drops all late
+        for r in rs:
+            assert r.n_events == dis[et].n_events
+            assert r.drop_ppm == (r.n_dropped * 1_000_000) // r.n_events
+
+
 def test_events_disorder_python_replay(spark, sf_dir):
     """The watermark-sizing report replays exactly in plain Python:
     running event-time max in event_id order per type, whole-second

@@ -62,6 +62,9 @@ BNLJ_OK = {
     # rows) + the sanctioned brute-force baseline; and two brute-force
     # passes (full-precision + quantized) respectively
     "ivf_probe_sweep", "embedding_sq_fidelity",
+    # r7: broadcast literal candidate-length / horizon spines joined
+    # against bounded histograms (one corpus scan per sweep)
+    "context_length_coverage", "events_watermark_drop",
     # bounded-sample all-pairs truth set by design (eval-on-a-sample)
     "simhash_recall",
     # one-row broadcast max-id scalar for the bucket split
