@@ -6387,6 +6387,35 @@ SELECT event_type, CAST(horizon_s AS BIGINT) AS horizon_s,
     * 1000000) // CAST(sum(n) AS BIGINT) AS drop_ppm
 FROM lat, spine GROUP BY 1, 2 ORDER BY 1, 2""",
     ),
+    _q(
+        "embedding_batch_drift",
+        lambda spark, sf: similarity.embedding_batch_drift(
+            views(spark, sf)["embeddings"]),
+        # per-dim |mean_a - mean_b| between the even/odd vec_id batches
+        # in exact integer micro units (common-denominator cross
+        # products over kmeans-scheme quantized vectors)
+        f"""WITH qv AS (
+  SELECT vec_id % 2 = 0 AS is_a, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {similarity.KM_QUANT})
+         AS BIGINT)) AS qv
+  FROM embeddings
+), q AS (
+  SELECT is_a, dim, qv[CAST(dim AS INT) + 1] AS x
+  FROM (SELECT is_a, qv, unnest(range(0, {similarity.DIM})) AS dim
+        FROM qv)
+), agg AS (
+  SELECT dim,
+    CAST(sum(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS sum_a,
+    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN is_a THEN 0 ELSE x END) AS BIGINT) AS sum_b,
+    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM q GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+  abs(sum_a * n_b - sum_b * n_a) * 1000000
+    // (n_a * n_b * {similarity.KM_QUANT}) AS drift_micro
+FROM agg ORDER BY dim""",
+    ),
 ]
 
 

@@ -1891,6 +1891,34 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_embedding_batch_drift_python_replay(spark, sf_dir):
+    """Per-dim drift replays exactly in numpy over the quantized
+    vectors: |sum_a*n_b - sum_b*n_a| * 1e6 // (n_a*n_b*1000); the
+    even/odd split of one corpus should show small (but integer-exact)
+    drift on every dimension."""
+    import numpy as np
+
+    from ozone_spark.functions.similarity import (KM_QUANT,
+                                                  embedding_batch_drift)
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    rows = embedding_batch_drift(emb).collect()
+    data = emb.select("vec_id", "embedding").collect()
+    qa = np.array([np.round(np.asarray(r.embedding, dtype=np.float64)
+                            * KM_QUANT) for r in data if r.vec_id % 2 == 0],
+                  dtype=np.int64)
+    qb = np.array([np.round(np.asarray(r.embedding, dtype=np.float64)
+                            * KM_QUANT) for r in data if r.vec_id % 2 == 1],
+                  dtype=np.int64)
+    sum_a, n_a = qa.sum(axis=0), len(qa)
+    sum_b, n_b = qb.sum(axis=0), len(qb)
+    assert [r.dim for r in rows] == list(range(64))
+    for r in rows:
+        expect = (abs(int(sum_a[r.dim]) * n_b - int(sum_b[r.dim]) * n_a)
+                  * 1_000_000) // (n_a * n_b * KM_QUANT)
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        assert r.drift_micro == expect
+
+
 def test_ivf_probe_sweep_matches_ivf_recall(spark, sf_dir):
     """The sweep's single-pass rank trick agrees with the REAL probed
     index: at n_probe = N_PROBE the sweep's recall equals ivf_recall's
