@@ -689,6 +689,56 @@ def approx_group_counts(docs: DataFrame, rate: float = 0.1,
     )
 
 
+NEAR_LEAK_THRESHOLD = 0.5
+
+
+def near_dup_leakage(docs: DataFrame,
+                     threshold: float = NEAR_LEAK_THRESHOLD) -> DataFrame:
+    """NEAR-duplicate train/val/test leakage — the contamination
+    split_leakage's exact fingerprints structurally miss (Lee et al.
+    2022: models memorize near-copies, so a test doc whose 0.9-Jaccard
+    twin sits in train is still leaked even though no fingerprint
+    matches).  Candidate pairs from the capped n-gram Jaccard machinery
+    whose endpoints land in DIFFERENT splits of the standard md5 rule,
+    rolled up per unordered split pair: pair count and distinct leaked
+    docs on each side.
+
+    Scale shape: rides the standard two-shuffle pair pipeline; the
+    split labels are map-only md5 keys joined to the (small) pair set;
+    the rollup grain is bounded by |splits|^2."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    split_key = sample_key(F.col("doc_id"), SPLIT_SALT)
+    split = F.when(split_key < SPLIT_CUTS[0][1], SPLIT_CUTS[0][0]) \
+        .when(split_key < SPLIT_CUTS[1][1], SPLIT_CUTS[1][0]) \
+        .otherwise(SPLIT_CUTS[2][0])
+    sp = docs.select("doc_id", split.alias("split"))
+    joined = (
+        pairs.join(sp.select(F.col("doc_id").alias("doc_a"),
+                             F.col("split").alias("sa")), "doc_a")
+        .join(sp.select(F.col("doc_id").alias("doc_b"),
+                        F.col("split").alias("sb")), "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    # orient each pair (lo split, hi split) and carry the doc on each
+    # side so distinct-doc counts are per split, not per pair slot
+    lo_first = F.col("sa") < F.col("sb")
+    oriented = joined.select(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+        F.when(lo_first, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("doc_lo"),
+        F.when(lo_first, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("doc_hi"))
+    return (
+        oriented.groupBy("split_lo", "split_hi")
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("doc_lo").alias("n_docs_lo"),
+             F.countDistinct("doc_hi").alias("n_docs_hi"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
 def split_leakage(docs: DataFrame) -> DataFrame:
     """Train/val/test leakage audit: for every content fingerprint, the
     SET of splits its copies landed in — a fingerprint spanning splits

@@ -6416,6 +6416,61 @@ SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
     // (n_a * n_b * {similarity.KM_QUANT}) AS drift_micro
 FROM agg ORDER BY dim""",
     ),
+    _q(
+        "near_dup_leakage",
+        lambda spark, sf: pipeline.near_dup_leakage(
+            views(spark, sf)["documents"]),
+        # near-dup pairs straddling train/val/test under the standard
+        # md5 split rule — the leakage exact fingerprints miss
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+    >= {pipeline.NEAR_LEAK_THRESHOLD}
+), sp AS (
+  SELECT doc_id, CASE
+    WHEN CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 < 9800
+      THEN 'train'
+    WHEN CAST('0x' || substr(md5('{pipeline.SPLIT_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 < 9900
+      THEN 'val'
+    ELSE 'test' END AS split
+  FROM documents
+), o AS (
+  SELECT least(pa.split, pb.split) AS split_lo,
+    greatest(pa.split, pb.split) AS split_hi,
+    CASE WHEN pa.split < pb.split THEN p.doc_a ELSE p.doc_b END AS doc_lo,
+    CASE WHEN pa.split < pb.split THEN p.doc_b ELSE p.doc_a END AS doc_hi
+  FROM pairs p
+  JOIN sp pa ON p.doc_a = pa.doc_id
+  JOIN sp pb ON p.doc_b = pb.doc_id
+  WHERE pa.split <> pb.split
+)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+  CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
+FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
 ]
 
 

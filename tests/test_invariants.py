@@ -1891,6 +1891,50 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_near_dup_leakage_planted_pairs(spark, sf_dir):
+    """Planted near-copies across splits are reported at the right
+    (split_lo, split_hi) grain with exact pair and distinct-doc counts;
+    same-split near-dups are NOT counted."""
+    import hashlib
+
+    from ozone_spark.functions.pipeline import (SPLIT_CUTS, SPLIT_SALT,
+                                                near_dup_leakage)
+
+    def split_of(doc_id: int) -> str:
+        k = int(hashlib.md5(
+            f"{SPLIT_SALT}:{doc_id}".encode()).hexdigest()[:7], 16) % 10000
+        for name, cut in SPLIT_CUTS:
+            if k < cut:
+                return name
+        return SPLIT_CUTS[-1][0]
+
+    # find ids per split deterministically
+    ids = {"train": [], "val": [], "test": []}
+    i = 0
+    while any(len(v) < 3 for v in ids.values()):
+        ids[split_of(i)].append(i)
+        i += 1
+    base = "the quick brown fox jumps over the lazy dog near a river"
+    rows = [
+        (ids["train"][0], base + " one"),
+        (ids["test"][0], base + " two"),        # train<->test near-dup
+        (ids["train"][1], base + " three"),     # train<->train (ignored)
+        (ids["train"][2], base + " four"),
+        (ids["val"][0], "completely different text about data pipelines"
+                        " and their maintenance costs forever"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.split_lo, r.split_hi): r
+           for r in near_dup_leakage(docs, threshold=0.5).collect()}
+    assert ("test", "train") in out
+    r = out[("test", "train")]
+    # train[0] pairs with test[0]; train[1]/train[2] also near-dup the
+    # test doc (same base text), so 3 cross pairs, 1 test doc, 3 train
+    assert r.n_pairs == 3 and r.n_docs_lo == 1 and r.n_docs_hi == 3
+    # the train-train pairs must not appear anywhere
+    assert all(lo != hi for lo, hi in out)
+
+
 def test_embedding_batch_drift_python_replay(spark, sf_dir):
     """Per-dim drift replays exactly in numpy over the quantized
     vectors: |sum_a*n_b - sum_b*n_a| * 1e6 // (n_a*n_b*1000); the
