@@ -6073,6 +6073,7 @@ R7_QUERIES = [
         # scores fanned back to members (VERDICT r6 item 4) — same
         # integer-ppm loop as the member-level twin
         _centrality_sql(reps=True),
+        bench=True,
     ),
     _q(
         "media_ppm_features",
@@ -6098,6 +6099,7 @@ R7_QUERIES = [
 SELECT d.doc_id, CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(16 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
 FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
+        bench=True,
     ),
     _q(
         "ivf_probe_sweep",

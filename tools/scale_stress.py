@@ -111,6 +111,20 @@ STRESS_QUERIES = [
                                  # 10-clique collapses to one node
                                  # BEFORE the pair pass; must beat the
                                  # member-level worst case above
+    "lsh_band_yield",            # r7: per-band first-discovery agg over
+                                 # 10x-hot capped buckets
+    "dedup_source_affinity",     # r7: pair join + source rollup at 10x
+                                 # pair volume
+    "near_dup_leakage",          # r7: cross-split pair audit where EVERY
+                                 # doc has 9 near-copies across splits
+    "context_length_coverage",   # r7: token-length histogram fold at 10x
+    "media_ppm_features",        # r7: real P6 decode over 10x payloads
+                                 # (map-only Arrow batches)
+    "embedding_batch_drift",     # r7: posexplode + 64-key agg at 10x
+                                 # vectors
+    "ivf_probe_sweep",           # r7: sqrt-law centroid count grows with
+                                 # the 10x corpus; rank join stays
+                                 # |q| x n_cent
 ]
 
 

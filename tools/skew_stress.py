@@ -59,6 +59,11 @@ SKEW_QUERIES = [
     "events_power_users",     # r6: hot user is rank 1 with ~30% share
     "events_funnel_latency",  # r6: hot user's min-ts cascade + the
                               # order-statistic rank windows under skew
+    "events_disorder",        # r7: per-type running-max window over 10x
+                              # events; the rank windows see every late
+                              # row of the hot user's dense stream
+    "events_watermark_drop",  # r7: same lateness histogram + horizon
+                              # spine under the skewed stream
 ]
 
 
