@@ -507,6 +507,69 @@ def resolve_keep_best(docs: DataFrame, threshold: float = 0.1,
     )
 
 
+def keeper_policy_audit(docs: DataFrame, threshold: float = 0.1,
+                        n: int = 3) -> DataFrame:
+    """Keeper-policy audit: across all multi-member near-dup clusters,
+    how often does the cheap keep-FIRST rule (min doc_id — what
+    exact_duplicates/duplicate_clusters use) pick the same document the
+    keep-BEST rule (highest quality_score, resolve_keep_best) would
+    keep, and how much quality is left on the table when it doesn't —
+    the one-row report that decides whether a corpus needs the
+    quality-ranked resolution pass or can ship with the cheap rule.
+
+    quality_regret_micro is the exact integer sum over clusters of
+    (best member quality − min-id member quality) in micro units
+    (quality_score is already 6dp-rounded, so ×1e6 is exact) — no
+    distributed float sums.
+
+    Scale shape: rides the capped pair machinery + adaptive CC; the
+    audit itself is one cluster-keyed aggregate plus a rank window
+    partitioned by cluster (near-dup clusters are small by
+    construction) folding to a single row."""
+    from .text import quality_features
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    q = quality_features(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q"))
+    # distinct column names end-to-end: best/sz/minq all derive from m,
+    # and same-name joins across shared lineage are ambiguous
+    m = cc.join(q, "doc_id").select(F.col("cluster_id").alias("cl"),
+                                    F.col("doc_id").alias("d"), "q")
+    rn = F.row_number().over(
+        Window.partitionBy("cl").orderBy(F.desc("q"), F.asc("d")))
+    best = (
+        m.withColumn("rn", rn).where(F.col("rn") == 1)
+        .select(F.col("cl").alias("b_cl"), F.col("d").alias("best_id"),
+                F.col("q").alias("best_q"))
+    )
+    sz = m.groupBy("cl").agg(
+        F.count("*").alias("sz"), F.min("d").alias("minid"))
+    minq = (
+        m.select(F.col("cl").alias("m_cl"), F.col("d").alias("m_d"),
+                 F.col("q").alias("min_q"))
+        .join(sz, (F.col("m_cl") == F.col("cl"))
+              & (F.col("m_d") == F.col("minid")))
+        .select(F.col("m_cl"), "min_q")
+    )
+    joined = (
+        sz.join(best, F.col("cl") == F.col("b_cl"))
+        .join(minq, F.col("cl") == F.col("m_cl"))
+    )
+    return joined.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum((F.col("best_id") == F.col("minid")).cast("long"))
+        .alias("n_same_pick"),
+        F.sum(F.col("best_q") - F.col("min_q"))
+        .alias("quality_regret_micro"),
+    ).select(
+        "n_clusters", "n_docs", "n_same_pick",
+        F.expr("(n_same_pick * 1000000) div greatest(n_clusters, 1)")
+        .alias("same_pick_ppm"),
+        "quality_regret_micro")
+
+
 # ---------------------------------------------------------- domain mixture
 
 def domain_mixture(docs: DataFrame,

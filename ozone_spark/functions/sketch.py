@@ -375,3 +375,52 @@ def kmv_source_overlap(docs: DataFrame, k: int = KMV_K) -> DataFrame:
                  F.round(inter / eu, 6).alias("jaccard_est"))
         .orderBy("src_a", "src_b")
     )
+
+
+def join_key_skew(df: DataFrame, key: str) -> DataFrame:
+    """Pre-join skew profiler: the per-key row-count distribution of a
+    prospective join/aggregation key — total keys/rows, max and exact
+    p50/p99 rows-per-key, and the share of rows held by the 10 hottest
+    keys in integer ppm.  This is the number that decides salting /
+    AQE-skew-join settings BEFORE a 100 TB shuffle, the SQL-join
+    counterpart of lsh_bucket_stats' bucket report.
+
+    Scale shape: one partial-aggregated groupBy(key); percentiles come
+    from the COUNT-OF-COUNTS histogram (rows-per-key is a tiny domain),
+    so the rank arithmetic runs over bounded rows — never a corpus- or
+    key-sized sort; the top-10 is TakeOrderedAndProject.  Output is one
+    all-integer row."""
+    per = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    hist = per.groupBy("c").agg(F.count("*").alias("n_keys"))
+    cw = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.orderBy("c").rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+    ranked = hist.select(
+        "c", "n_keys",
+        F.sum("n_keys").over(cw).alias("cum"),
+        F.sum("n_keys").over(tw).alias("total_keys"),
+        F.sum(F.col("c") * F.col("n_keys")).over(tw).alias("total_rows"))
+    # exact order statistic: smallest c whose cumulative key count
+    # reaches ceil(q * n) — the repo's standard percentile rule
+    p50 = ranked.where(
+        F.col("cum") >= F.expr("(total_keys + 1) div 2")) \
+        .agg(F.min("c").alias("p50_per_key"))
+    p99 = ranked.where(
+        F.col("cum") >= F.expr("(99 * total_keys + 99) div 100")) \
+        .agg(F.min("c").alias("p99_per_key"))
+    top10 = (
+        per.orderBy(F.desc("c"), F.asc("k")).limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    totals = per.agg(F.count("*").alias("n_keys"),
+                     F.sum("c").alias("n_rows"),
+                     F.max("c").alias("max_per_key"))
+    from pyspark.sql.functions import broadcast
+    return (
+        totals.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+        .crossJoin(broadcast(top10))
+        .select("n_keys", "n_rows", "max_per_key", "p50_per_key",
+                "p99_per_key", "top10_rows",
+                F.expr("(top10_rows * 1000000) div n_rows")
+                .alias("top10_share_ppm"))
+    )

@@ -6473,6 +6473,107 @@ SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
 FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
     ),
+    _q(
+        "keeper_policy_audit",
+        lambda spark, sf: pipeline.keeper_policy_audit(
+            views(spark, sf)["documents"]),
+        # keep-first vs keep-best agreement across multi-member near-dup
+        # clusters, with the quality regret in exact integer micro units
+        f"""WITH RECURSIVE words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc_id, a AS root FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+), cc AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), m AS (
+  SELECT cc.doc_id, cc.cluster_id,
+    CAST(round(round(least(len(string_split(d.text, ' ')) / 64.0, 1.0) * 0.5
+      + least(len(list_filter(string_split(d.text, ' '), w -> w IN {_SW}))
+              / len(string_split(d.text, ' ')) * 5.0, 1.0) * 0.5, 6)
+      * 1000000) AS BIGINT) AS q
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+), best AS (
+  SELECT cluster_id, doc_id AS best_id, q AS best_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY q DESC, doc_id) AS rn FROM m) WHERE rn = 1
+), sz AS (
+  SELECT cluster_id, count(*) AS sz, min(doc_id) AS minid
+  FROM m GROUP BY 1
+), minq AS (
+  SELECT m.cluster_id, m.q AS min_q
+  FROM m JOIN sz ON m.cluster_id = sz.cluster_id AND m.doc_id = sz.minid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(sz) AS BIGINT) AS n_docs,
+  CAST(sum((best_id = minid)::INT) AS BIGINT) AS n_same_pick,
+  (CAST(sum((best_id = minid)::INT) AS BIGINT) * 1000000)
+    // greatest(count(*), 1) AS same_pick_ppm,
+  CAST(sum(best_q - min_q) AS BIGINT) AS quality_regret_micro
+FROM sz JOIN best USING (cluster_id) JOIN minq USING (cluster_id)""",
+    ),
+    _q(
+        "join_key_skew",
+        lambda spark, sf: sketch.join_key_skew(
+            views(spark, sf)["lineitem"], "l_orderkey"),
+        # per-key row-count distribution of the join key: exact order
+        # statistics off the count-of-counts histogram + top-10 share
+        """WITH per AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), hist AS (
+  SELECT c, count(*) AS n_keys FROM per GROUP BY 1
+), ranked AS (
+  SELECT c, n_keys,
+    sum(n_keys) OVER (ORDER BY c) AS cum,
+    sum(n_keys) OVER () AS total_keys,
+    sum(c * n_keys) OVER () AS total_rows
+  FROM hist
+), p50 AS (
+  SELECT min(c) AS p50_per_key FROM ranked
+  WHERE cum >= (total_keys + 1) // 2
+), p99 AS (
+  SELECT min(c) AS p99_per_key FROM ranked
+  WHERE cum >= (99 * total_keys + 99) // 100
+), top10 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM (
+    SELECT c FROM per ORDER BY c DESC, k LIMIT 10)
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(c) AS BIGINT) AS n_rows,
+    CAST(max(c) AS BIGINT) AS max_per_key
+  FROM per
+)
+SELECT n_keys, n_rows, max_per_key,
+  CAST(p50_per_key AS BIGINT) AS p50_per_key,
+  CAST(p99_per_key AS BIGINT) AS p99_per_key,
+  top10_rows, (top10_rows * 1000000) // n_rows AS top10_share_ppm
+FROM totals, p50, p99, top10""",
+    ),
 ]
 
 

@@ -1891,6 +1891,53 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_keeper_policy_audit_reconciles_with_keep_best(spark, sf_dir):
+    """The audit's agreement count reconciles with resolve_keep_best:
+    a multi-member cluster counts as same-pick exactly when keep-best's
+    keeper is the cluster's min doc_id; regret is non-negative and zero
+    iff all picks agree on quality."""
+    from ozone_spark.functions.pipeline import (keeper_policy_audit,
+                                                resolve_keep_best)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    audit = keeper_policy_audit(docs).collect()[0]
+    kb = resolve_keep_best(docs, threshold=0.1).collect()
+    clusters: dict[int, list] = {}
+    for r in kb:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    multi = {cid: rs for cid, rs in clusters.items() if len(rs) >= 2}
+    same = sum(
+        1 for rs in multi.values()
+        if next(r.doc_id for r in rs if r.is_keeper)
+        == min(r.doc_id for r in rs))
+    assert audit.n_clusters == len(multi)
+    assert audit.n_docs == sum(len(rs) for rs in multi.values())
+    assert audit.n_same_pick == same
+    assert audit.same_pick_ppm == \
+        (same * 1_000_000) // max(len(multi), 1)
+    assert audit.quality_regret_micro >= 0
+
+
+def test_join_key_skew_python_replay(spark, sf_dir):
+    """The skew profile replays exactly in Python over per-key counts
+    (exact ceil-rank order statistics off the count histogram)."""
+    from collections import Counter
+
+    from ozone_spark.functions.sketch import join_key_skew
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    row = join_key_skew(li, "l_orderkey").collect()[0]
+    counts = Counter(
+        r.l_orderkey for r in li.select("l_orderkey").collect())
+    per = sorted(counts.values())
+    n_keys, n_rows = len(per), sum(per)
+    assert (row.n_keys, row.n_rows, row.max_per_key) == \
+        (n_keys, n_rows, max(per))
+    assert row.p50_per_key == per[(n_keys + 1) // 2 - 1]
+    assert row.p99_per_key == per[(99 * n_keys + 99) // 100 - 1]
+    top10 = sum(sorted(per, reverse=True)[:10])
+    assert row.top10_rows == top10
+    assert row.top10_share_ppm == (top10 * 1_000_000) // n_rows
+
+
 def test_near_dup_leakage_planted_pairs(spark, sf_dir):
     """Planted near-copies across splits are reported at the right
     (split_lo, split_hi) grain with exact pair and distinct-doc counts;

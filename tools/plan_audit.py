@@ -65,6 +65,8 @@ BNLJ_OK = {
     # r7: broadcast literal candidate-length / horizon spines joined
     # against bounded histograms (one corpus scan per sweep)
     "context_length_coverage", "events_watermark_drop",
+    # r7: one-row broadcast scalar crossJoins (percentile/top-10 rows)
+    "join_key_skew",
     # bounded-sample all-pairs truth set by design (eval-on-a-sample)
     "simhash_recall",
     # one-row broadcast max-id scalar for the bucket split
