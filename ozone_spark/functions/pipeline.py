@@ -507,6 +507,51 @@ def resolve_keep_best(docs: DataFrame, threshold: float = 0.1,
     )
 
 
+def quality_by_dup_degree(docs: DataFrame,
+                          threshold: float = 0.1) -> DataFrame:
+    """Does duplication predict low quality on THIS corpus?  Buckets
+    every document by its near-dup degree (number of capped-Jaccard
+    pair partners: 0 / 1 / 2-3 / 4-7 / 8+) and reports each bucket's
+    exact mean quality in integer micro units — the report that decides
+    whether near-dup dedup doubles as a quality filter (steeply falling
+    means) or throws away good text (flat means), i.e. whether to run
+    dedup before or after the quality gate.
+
+    Scale shape: degree is one aggregation over the (bounded) pair
+    list; the corpus joins the degree table once; the report is a
+    5-row bucket aggregate.  Mean = sum(q_micro) DIV n — exact integer,
+    no distributed float sums."""
+    from .text import quality_features
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id").agg(F.count("*").alias("deg"))
+    )
+    q = quality_features(docs).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1_000_000).cast("long")
+        .alias("q_micro"))
+    d = F.coalesce("deg", F.lit(0))
+    bucket_order = (
+        F.when(d == 0, 0).when(d == 1, 1).when(d <= 3, 2)
+        .when(d <= 7, 3).otherwise(4))
+    bucket = (
+        F.when(d == 0, "0").when(d == 1, "1").when(d <= 3, "2-3")
+        .when(d <= 7, "4-7").otherwise("8+"))
+    return (
+        q.join(deg, "doc_id", "left")
+        .select(bucket_order.cast("long").alias("bucket_order"),
+                bucket.alias("dup_degree_bucket"), "q_micro")
+        .groupBy("bucket_order", "dup_degree_bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.expr("sum(q_micro) div count(*)")
+             .alias("mean_quality_micro"))
+        .orderBy("bucket_order")
+    )
+
+
 def keeper_policy_audit(docs: DataFrame, threshold: float = 0.1,
                         n: int = 3) -> DataFrame:
     """Keeper-policy audit: across all multi-member near-dup clusters,

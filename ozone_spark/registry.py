@@ -6574,6 +6574,57 @@ SELECT n_keys, n_rows, max_per_key,
   top10_rows, (top10_rows * 1000000) // n_rows AS top10_share_ppm
 FROM totals, p50, p99, top10""",
     ),
+    _q(
+        "quality_by_dup_degree",
+        lambda spark, sf: pipeline.quality_by_dup_degree(
+            views(spark, sf)["documents"]),
+        # mean quality (integer micro) per near-dup-degree bucket —
+        # does dedup double as a quality filter on this corpus?
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), deg AS (
+  SELECT doc_id, count(*) AS deg FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs) GROUP BY 1
+), q AS (
+  SELECT d.doc_id, coalesce(g.deg, 0) AS deg,
+    CAST(round(round(least(len(string_split(d.text, ' ')) / 64.0, 1.0) * 0.5
+      + least(len(list_filter(string_split(d.text, ' '), w -> w IN {_SW}))
+              / len(string_split(d.text, ' ')) * 5.0, 1.0) * 0.5, 6)
+      * 1000000) AS BIGINT) AS q_micro
+  FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
+)
+SELECT CAST(CASE WHEN deg = 0 THEN 0 WHEN deg = 1 THEN 1
+  WHEN deg <= 3 THEN 2 WHEN deg <= 7 THEN 3 ELSE 4 END AS BIGINT)
+    AS bucket_order,
+  CASE WHEN deg = 0 THEN '0' WHEN deg = 1 THEN '1'
+    WHEN deg <= 3 THEN '2-3' WHEN deg <= 7 THEN '4-7' ELSE '8+' END
+    AS dup_degree_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(q_micro) AS BIGINT) // count(*) AS mean_quality_micro
+FROM q GROUP BY 1, 2 ORDER BY 1""",
+    ),
 ]
 
 

@@ -1891,6 +1891,44 @@ def test_dup_graph_centrality_reps_contraction(spark, sf_dir):
     assert all(r.deg <= len(reps) - 1 for r in out)
 
 
+def test_quality_by_dup_degree_partitions_corpus(spark, sf_dir):
+    """Buckets partition the corpus (doc counts sum to |docs|), mean
+    quality is the exact integer floor mean, and degrees reconcile with
+    an independent pair-count fold."""
+    from collections import Counter
+
+    from ozone_spark.functions.dedup import ngram_jaccard_pairs
+    from ozone_spark.functions.pipeline import quality_by_dup_degree
+    from ozone_spark.functions.text import quality_features
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = quality_by_dup_degree(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert [r.bucket_order for r in rows] == sorted(
+        r.bucket_order for r in rows)
+    deg = Counter()
+    for p in ngram_jaccard_pairs(docs, threshold=0.1) \
+            .select("doc_a", "doc_b").collect():
+        deg[p.doc_a] += 1
+        deg[p.doc_b] += 1
+
+    def bucket(d):
+        return ("0" if d == 0 else "1" if d == 1 else
+                "2-3" if d <= 3 else "4-7" if d <= 7 else "8+")
+
+    q = {r.doc_id: round(r.quality_score * 1_000_000)
+         for r in quality_features(docs)
+         .select("doc_id", "quality_score").collect()}
+    sums, ns = Counter(), Counter()
+    for doc_id, qm in q.items():
+        b = bucket(deg.get(doc_id, 0))
+        sums[b] += qm
+        ns[b] += 1
+    for r in rows:
+        b = r.dup_degree_bucket
+        assert r.n_docs == ns[b]
+        assert r.mean_quality_micro == sums[b] // ns[b]
+
+
 def test_keeper_policy_audit_reconciles_with_keep_best(spark, sf_dir):
     """The audit's agreement count reconciles with resolve_keep_best:
     a multi-member cluster counts as same-pick exactly when keep-best's
