@@ -520,7 +520,17 @@ def quality_by_dup_degree(docs: DataFrame,
     Scale shape: degree is one aggregation over the (bounded) pair
     list; the corpus joins the degree table once; the report is a
     5-row bucket aggregate.  Mean = sum(q_micro) DIV n — exact integer,
-    no distributed float sums."""
+    no distributed float sums.
+
+    Grain note: degree is MEMBER-level by the same adjudicated contract
+    as ngram_jaccard_pairs (its size is inherently quadratic in copy
+    count — 52 s on the 10x 90%-copies stress vs ~30 s for the
+    contracted cluster reports); that is the correct grain here because
+    a doc's own copy count IS part of its duplication degree.  On
+    copy-heavy corpora where only distinct-text structure matters, read
+    the contracted reports (cluster_size_stats, keeper_policy_audit)
+    instead — they answer the cluster-shaped version of this question
+    without the member-pair bill."""
     from .text import quality_features
     pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
         .select("doc_a", "doc_b")
@@ -552,9 +562,9 @@ def quality_by_dup_degree(docs: DataFrame,
     )
 
 
-def keeper_policy_audit(docs: DataFrame, threshold: float = 0.1,
-                        n: int = 3) -> DataFrame:
-    """Keeper-policy audit: across all multi-member near-dup clusters,
+def keeper_policy_audit(docs: DataFrame,
+                        threshold: float = 0.1) -> DataFrame:
+    """Keeper-policy audit: across all multi-member duplicate clusters,
     how often does the cheap keep-FIRST rule (min doc_id — what
     exact_duplicates/duplicate_clusters use) pick the same document the
     keep-BEST rule (highest quality_score, resolve_keep_best) would
@@ -562,18 +572,28 @@ def keeper_policy_audit(docs: DataFrame, threshold: float = 0.1,
     the one-row report that decides whether a corpus needs the
     quality-ranked resolution pass or can ship with the cheap rule.
 
+    Rides `duplicate_clusters` (exact contraction BEFORE the pair
+    stages) rather than the raw member-level pair list: the contraction
+    is LOSSLESS here — exact copies share identical text and therefore
+    identical quality, so keep-best vs keep-first can only disagree
+    across DISTINCT texts, and the copy-heavy quadratic pair blowup
+    buys nothing (the raw-pair formulation measured 75 s at the 10x
+    90%-copies stress vs ~38 s for the contracted cluster siblings).
+    It also counts exact-dup families too short to shingle, which raw
+    pair CC structurally misses.
+
     quality_regret_micro is the exact integer sum over clusters of
     (best member quality − min-id member quality) in micro units
     (quality_score is already 6dp-rounded, so ×1e6 is exact) — no
     distributed float sums.
 
-    Scale shape: rides the capped pair machinery + adaptive CC; the
-    audit itself is one cluster-keyed aggregate plus a rank window
-    partitioned by cluster (near-dup clusters are small by
-    construction) folding to a single row."""
+    Scale shape: duplicate_clusters' contracted machinery + one
+    cluster-keyed aggregate plus a rank window partitioned by cluster
+    (duplicate clusters are small by construction) folding to one row."""
+    from .dedup import duplicate_clusters
     from .text import quality_features
-    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
-    cc = connected_components(pairs)
+    cc = duplicate_clusters(docs, threshold=threshold) \
+        .select("doc_id", "cluster_id")
     q = quality_features(docs).select(
         "doc_id",
         F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q"))

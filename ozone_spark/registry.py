@@ -6477,47 +6477,16 @@ FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
         "keeper_policy_audit",
         lambda spark, sf: pipeline.keeper_policy_audit(
             views(spark, sf)["documents"]),
-        # keep-first vs keep-best agreement across multi-member near-dup
-        # clusters, with the quality regret in exact integer micro units
-        f"""WITH RECURSIVE words AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
-  WHERE len(string_split({_NORM}, ' ')) >= 3
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, greatest(len(w) - 2, 0) + 1),
-    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
-  FROM words
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), ok AS (
-  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
-), shf AS (
-  SELECT sh.* FROM sh JOIN ok USING (shingle)
-), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT doc_a, doc_b FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
-), edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-), reach AS (
-  SELECT DISTINCT a AS doc_id, a AS root FROM edges
-  UNION
-  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
-), cc AS (
-  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
-), m AS (
-  SELECT cc.doc_id, cc.cluster_id,
+        # keep-first vs keep-best agreement across multi-member
+        # duplicate clusters (shared contracted-clusters CTE), with the
+        # quality regret in exact integer micro units
+        _CLUSTERS_CTE + f""", m AS (
+  SELECT mem.doc_id, mem.cluster_id,
     CAST(round(round(least(len(string_split(d.text, ' ')) / 64.0, 1.0) * 0.5
       + least(len(list_filter(string_split(d.text, ' '), w -> w IN {_SW}))
               / len(string_split(d.text, ' ')) * 5.0, 1.0) * 0.5, 6)
       * 1000000) AS BIGINT) AS q
-  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+  FROM members mem JOIN documents d ON d.doc_id = mem.doc_id
 ), best AS (
   SELECT cluster_id, doc_id AS best_id, q AS best_q FROM (
     SELECT *, row_number() OVER (PARTITION BY cluster_id

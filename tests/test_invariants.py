@@ -1929,30 +1929,35 @@ def test_quality_by_dup_degree_partitions_corpus(spark, sf_dir):
         assert r.mean_quality_micro == sums[b] // ns[b]
 
 
-def test_keeper_policy_audit_reconciles_with_keep_best(spark, sf_dir):
-    """The audit's agreement count reconciles with resolve_keep_best:
-    a multi-member cluster counts as same-pick exactly when keep-best's
-    keeper is the cluster's min doc_id; regret is non-negative and zero
-    iff all picks agree on quality."""
-    from ozone_spark.functions.pipeline import (keeper_policy_audit,
-                                                resolve_keep_best)
+def test_keeper_policy_audit_reconciles_with_clusters(spark, sf_dir):
+    """The audit replays exactly in Python over duplicate_clusters'
+    membership + per-doc quality: a cluster counts as same-pick when
+    the (quality DESC, doc_id) argmax IS the min doc_id; regret is the
+    exact micro-unit sum of (best − min-id member) quality."""
+    from ozone_spark.functions.dedup import duplicate_clusters
+    from ozone_spark.functions.pipeline import keeper_policy_audit
+    from ozone_spark.functions.text import quality_features
     docs = tables.load_table(spark, sf_dir, "documents")
     audit = keeper_policy_audit(docs).collect()[0]
-    kb = resolve_keep_best(docs, threshold=0.1).collect()
-    clusters: dict[int, list] = {}
-    for r in kb:
-        clusters.setdefault(r.cluster_id, []).append(r)
-    multi = {cid: rs for cid, rs in clusters.items() if len(rs) >= 2}
-    same = sum(
-        1 for rs in multi.values()
-        if next(r.doc_id for r in rs if r.is_keeper)
-        == min(r.doc_id for r in rs))
-    assert audit.n_clusters == len(multi)
-    assert audit.n_docs == sum(len(rs) for rs in multi.values())
+    q = {r.doc_id: round(r.quality_score * 1_000_000)
+         for r in quality_features(docs)
+         .select("doc_id", "quality_score").collect()}
+    clusters: dict[int, list[int]] = {}
+    for r in duplicate_clusters(docs, threshold=0.1).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert all(len(ds) >= 2 for ds in clusters.values())
+    same, regret = 0, 0
+    for ds in clusters.values():
+        minid = min(ds)
+        best = min(ds, key=lambda d: (-q[d], d))
+        same += best == minid
+        regret += q[best] - q[minid]
+    assert audit.n_clusters == len(clusters)
+    assert audit.n_docs == sum(len(ds) for ds in clusters.values())
     assert audit.n_same_pick == same
     assert audit.same_pick_ppm == \
-        (same * 1_000_000) // max(len(multi), 1)
-    assert audit.quality_regret_micro >= 0
+        (same * 1_000_000) // max(len(clusters), 1)
+    assert audit.quality_regret_micro == regret >= 0
 
 
 def test_join_key_skew_python_replay(spark, sf_dir):

@@ -125,6 +125,11 @@ STRESS_QUERIES = [
     "ivf_probe_sweep",           # r7: sqrt-law centroid count grows with
                                  # the 10x corpus; rank join stays
                                  # |q| x n_cent
+    "keeper_policy_audit",       # r7: cluster-keyed audit over the 10x
+                                 # copy-heavy cluster set
+    "quality_by_dup_degree",     # r7: degree fold over the 10x pair list
+    "join_key_skew",             # r7: count-of-counts percentile math at
+                                 # 10x lineitem keys
 ]
 
 
