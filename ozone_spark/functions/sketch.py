@@ -421,6 +421,6 @@ def join_key_skew(df: DataFrame, key: str) -> DataFrame:
         .crossJoin(broadcast(top10))
         .select("n_keys", "n_rows", "max_per_key", "p50_per_key",
                 "p99_per_key", "top10_rows",
-                F.expr("(top10_rows * 1000000) div n_rows")
+                F.expr("(top10_rows * 1000000) div greatest(n_rows, 1)")
                 .alias("top10_share_ppm"))
     )

@@ -2397,12 +2397,16 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
         # assignment tie-break mirrors array_max over struct(dot, id):
         # higher dot wins, ties -> higher centroid_id (DESC)
         f"""WITH ncent AS (
-  -- suggest_n_centroids in SQL: ~sqrt(n) rounded to a power of two,
-  -- clamped to [4, 65536]; python round is banker's vs DuckDB's
-  -- half-away, divergent only at n = 2^odd exactly (no fixture is)
+  -- suggest_n_centroids in SQL: ~sqrt(n) rounded HALF-EVEN to a
+  -- power of two, clamped to [4, 65536].  Explicit banker's rounding
+  -- (not DuckDB round(), which is half-away) so n = 2^odd corpora
+  -- (512, 2048, ...) agree with python round() (ADVICE r7)
   SELECT greatest(4, least(65536, CAST(power(2,
-    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
-  FROM embeddings
+    floor(x) + CASE WHEN x - floor(x) > 0.5 THEN 1
+      WHEN x - floor(x) = 0.5 THEN CAST(floor(x) AS BIGINT) % 2
+      ELSE 0 END) AS BIGINT))) AS nc
+  FROM (SELECT log2(greatest(sqrt(count(*) * 1.0), 4)) AS x
+        FROM embeddings)
 ), cents AS (
   SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
   WHERE vec_id < nc
@@ -5064,9 +5068,13 @@ ORDER BY r.label, r.rank""",
       ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
   ) WHERE rank <= 10
 ), ncent AS (
+  -- half-even power-of-two rounding; see the knn_ivf oracle note
   SELECT greatest(4, least(65536, CAST(power(2,
-    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
-  FROM embeddings
+    floor(x) + CASE WHEN x - floor(x) > 0.5 THEN 1
+      WHEN x - floor(x) = 0.5 THEN CAST(floor(x) AS BIGINT) % 2
+      ELSE 0 END) AS BIGINT))) AS nc
+  FROM (SELECT log2(greatest(sqrt(count(*) * 1.0), 4)) AS x
+        FROM embeddings)
 ), cents AS (
   SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
   WHERE vec_id < nc
@@ -6124,9 +6132,13 @@ FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
       ORDER BY cos_sim DESC, vec_id) AS rank FROM scored
   ) WHERE rank <= 10
 ), ncent AS (
+  -- half-even power-of-two rounding; see the knn_ivf oracle note
   SELECT greatest(4, least(65536, CAST(power(2,
-    round(log2(greatest(sqrt(count(*) * 1.0), 4)))) AS BIGINT))) AS nc
-  FROM embeddings
+    floor(x) + CASE WHEN x - floor(x) > 0.5 THEN 1
+      WHEN x - floor(x) = 0.5 THEN CAST(floor(x) AS BIGINT) % 2
+      ELSE 0 END) AS BIGINT))) AS nc
+  FROM (SELECT log2(greatest(sqrt(count(*) * 1.0), 4)) AS x
+        FROM embeddings)
 ), cents AS (
   SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, ncent
   WHERE vec_id < nc
@@ -6540,7 +6552,8 @@ FROM sz JOIN best USING (cluster_id) JOIN minq USING (cluster_id)""",
 SELECT n_keys, n_rows, max_per_key,
   CAST(p50_per_key AS BIGINT) AS p50_per_key,
   CAST(p99_per_key AS BIGINT) AS p99_per_key,
-  top10_rows, (top10_rows * 1000000) // n_rows AS top10_share_ppm
+  top10_rows,
+  (top10_rows * 1000000) // greatest(n_rows, 1) AS top10_share_ppm
 FROM totals, p50, p99, top10""",
     ),
     _q(
@@ -6597,6 +6610,38 @@ FROM q GROUP BY 1, 2 ORDER BY 1""",
 ]
 
 
+# Round-8 additions (registered with oracles in the same commit, per the
+# zero-debt gate discipline).
+R8_QUERIES = [
+    _q(
+        "media_bmp_features",
+        lambda spark, sf: multimodal.bmp_features(
+            multimodal.bmp_media_table(
+                views(spark, sf)["documents"])).orderBy("doc_id"),
+        # second REAL decode path (VERDICT r7 item 7): each doc becomes
+        # a genuine uncompressed 24-bit BMP (file+info header, BGR,
+        # bottom-up rows, 4-byte row padding — width 15 so padding is
+        # non-zero on every payload) and is parsed back by the
+        # pure-numpy decoder; channel sums replay the encoder's pixel
+        # pattern flat[i] = (doc_id + i) % 256, exactly like the PPM twin
+        """WITH d AS (
+  SELECT doc_id, greatest((n_chars + 44) // 45, 1) AS h FROM documents
+), px AS (
+  SELECT doc_id, h, unnest(range(15 * h)) AS p FROM d
+), s AS (
+  SELECT doc_id,
+    CAST(sum((doc_id + 3 * p + 0) % 256) AS BIGINT) AS sum_r,
+    CAST(sum((doc_id + 3 * p + 1) % 256) AS BIGINT) AS sum_g,
+    CAST(sum((doc_id + 3 * p + 2) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(15 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(15 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
+FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
+    ),
+]
+
+
 _REGISTRY_ORDER: list[QuerySpec] = (
     MINING_QUERIES
     + LISTING_QUERIES + SNAPSHOT_QUERIES + CONTAINER_QUERIES + INSIGHT_QUERIES
@@ -6605,7 +6650,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
-    + R5_QUERIES + R6_QUERIES + R7_QUERIES
+    + R5_QUERIES + R6_QUERIES + R7_QUERIES + R8_QUERIES
 )
 
 
@@ -6637,10 +6682,33 @@ def _spec_source_files(spec: QuerySpec) -> set[str]:
     import types as _types
 
     pkg_root = _os.path.dirname(_os.path.abspath(__file__))
-    g = globals()
+    g = getattr(spec.fn, "__globals__", globals())
     seen: set[_types.ModuleType] = set()
-    work = [g[n] for n in _code_module_names(spec.fn)
-            if isinstance(g.get(n), _types.ModuleType)]
+    # seed from module globals AND from directly-imported callables
+    # (a lambda referencing `quality_by_dup_degree` instead of
+    # `pipeline.quality_by_dup_degree` must still resolve its defining
+    # module — ADVICE r7)
+    import sys as _sys
+    work = []
+    for n in _code_module_names(spec.fn):
+        v = g.get(n)
+        if isinstance(v, _types.ModuleType):
+            work.append(v)
+        elif callable(v) and getattr(v, "__module__", "").startswith(
+                "ozone_spark"):
+            m = _sys.modules.get(v.__module__)
+            if m is not None:
+                work.append(m)
+        elif v is None and n.startswith("ozone_spark"):
+            # function-local `from ozone_spark.x import y` leaves only
+            # the dotted module path in co_names (the bound name is a
+            # local) — import it (package-internal, side-effect-free)
+            # and seed the walk with it
+            import importlib as _importlib
+            try:
+                work.append(_importlib.import_module(n))
+            except ImportError:
+                pass
     while work:
         mod = work.pop()
         f = getattr(mod, "__file__", "") or ""
@@ -6656,8 +6724,22 @@ def _spec_source_files(spec: QuerySpec) -> set[str]:
                 if m is not None:
                     work.append(m)
     here = _os.path.abspath(__file__)
-    return {_os.path.abspath(m.__file__) for m in seen
-            if _os.path.abspath(m.__file__) != here}
+    out: set[str] = set()
+    for m in seen:
+        f = _os.path.abspath(m.__file__)
+        if f == here:
+            continue
+        out.add(f)
+        # a PACKAGE reached via a lazy dotted import (the streaming
+        # helpers) may not have its submodules imported yet — include
+        # the package's .py files so edits there still read as stale
+        if _os.path.basename(f) == "__init__.py":
+            d = _os.path.dirname(f)
+            out.update(
+                _os.path.join(d, p) for p in _os.listdir(d)
+                if p.endswith(".py"))
+    out.discard(here)
+    return out
 
 
 def _gate_priority_order(specs: list[QuerySpec]) -> list[QuerySpec]:

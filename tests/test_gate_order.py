@@ -40,6 +40,16 @@ def test_edited_module_moves_queries_to_head():
     assert idx < 120, f"stale pricing_summary too deep in rotation: {idx}"
 
 
+def test_every_spec_has_a_nonempty_source_set():
+    """ADVICE r7: a QuerySpec whose lambda references directly-imported
+    callables (or whose fn uses function-local imports) must still
+    resolve to a non-empty implementing-file set, or the edit-aware
+    re-gate is silently disabled for that query."""
+    missing = [q.name for q in registry._REGISTRY_ORDER
+               if not registry._spec_source_files(q)]
+    assert missing == [], f"specs with empty source sets: {missing}"
+
+
 def test_untouched_rotation_is_stable_and_complete():
     order = [q.name
              for q in registry._gate_priority_order(registry._REGISTRY_ORDER)]
