@@ -417,6 +417,118 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+def contracted_pair_graph(docs: DataFrame, n: int = 3,
+                          threshold: float = 0.5,
+                          max_bucket: int = 200,
+                          slot: str = "contracted_graph"):
+    """Exact-duplicate-CONTRACTED n-gram Jaccard pair graph whose pair
+    set, fanned back to members by the algebra below, reproduces
+    `ngram_jaccard_pairs(docs)` EXACTLY — cap semantics included
+    (VERDICT r7 item 1: the member-grain reports' numbers are derivable
+    from the contracted graph without the quadratic-in-copies member
+    pair bill).
+
+    The one real subtlety is the saturation cap: member-level buckets
+    drop a shingle once MORE THAN `max_bucket` DOCUMENTS carry it, so
+    the contracted index applies the cap to the MEMBER count of each
+    bucket (sum of copy counts over the distinct texts present), NOT
+    the rep count — a shingle carried by 30 distinct texts with 300
+    total copies must drop here exactly as it drops at member level.
+    With that pinned, for fingerprint groups a, b with copy counts
+    n_a, n_b:
+
+      * every member pair across (a, b) shares the same surviving
+        buckets as the rep pair (copies have identical shingle sets),
+        so it exists at member level iff the rep pair passes the
+        Jaccard threshold — n_common and both sizes are rep-level
+        values — and then contributes n_a * n_b member pairs;
+      * every within-group member pair (copy, copy) has
+        n_common = n_self (the group's surviving-bucket count) and
+        jaccard = n_self / (2 * n_sh - n_self); when that passes, the
+        group contributes C(n_a, 2) member pairs.
+
+    Returns (groups, cross, within):
+      groups: (fp, rep, n_members) — one row per distinct normalized
+              text, rep = min doc_id;
+      cross:  (rep_a, rep_b, n_common) — DISTINCT-text pairs passing
+              the threshold, rep_a < rep_b;
+      within: (rep, n_self) — groups with n_members >= 2 whose
+              copy-pair jaccard passes the threshold.
+
+    Scale shape: one fingerprint groupBy (text hashed before the
+    shuffle), one rep-text semi-join, then the standard capped
+    inverted-index pair machinery over DISTINCT texts only — the
+    quadratic stage never sees copy multiplicity; multiplicities ride
+    as integer weights."""
+    fp = F.md5(_norm_text(F.col("text")))
+    members = docs.select(F.col("doc_id").alias("m_doc"), fp.alias("fp"))
+    groups = _slot_cache(
+        members.groupBy("fp").agg(F.min("m_doc").alias("rep"),
+                                  F.count("*").alias("n_members")),
+        slot + "_groups")
+    rep_docs = docs.select("doc_id", "text").join(
+        groups.select(F.col("rep").alias("r_doc")),
+        F.col("doc_id") == F.col("r_doc")).select("doc_id", "text")
+    sh = _slot_cache(
+        word_shingles(rep_docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        slot + "_sh")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # weighted index: each bucket row carries (rep, copy count); the
+    # cap tests the MEMBER size (sum of weights), matching member-level
+    # saturation bit-for-bit
+    wsh = sh.join(groups.select(F.col("rep").alias("doc_id"),
+                                F.col("n_members").alias("nm")), "doc_id")
+    buckets = (
+        wsh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "nm")).alias("ds"),
+             F.sum("nm").alias("msz"))
+        .where(F.col("msz") <= max_bucket)
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    buckets = _slot_cache(buckets, slot + "_buckets")
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.doc_id AS a, y.doc_id AS b))))"
+    )
+    common = (
+        buckets.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("rep_a"), F.col("p.b").alias("rep_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("rep_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("rep_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    cross = (
+        common.join(sa, "rep_a").join(sb, "rep_b")
+        .where(jac >= threshold)
+        .select("rep_a", "rep_b", "n_common")
+    )
+    # surviving-bucket count per multi-member group: every bucket
+    # containing a rep with nm >= 2 holds >= 2 member copies, so the
+    # only cap that matters is the <= max_bucket filter already applied
+    selfc = (
+        buckets.select(F.explode("ds").alias("d"))
+        .where(F.col("d.nm") >= 2)
+        .groupBy(F.col("d.doc_id").alias("rep"))
+        .agg(F.count("*").alias("n_self"))
+    )
+    wjac = F.col("n_self").cast("double") / (
+        2 * F.col("n_sh") - F.col("n_self"))
+    within = (
+        selfc.join(sizes.select(F.col("doc_id").alias("rep"), "n_sh"),
+                   "rep")
+        .where(wjac >= threshold)
+        .select("rep", "n_self")
+    )
+    return groups, cross, within
+
+
 def frequent_ngrams(docs: DataFrame, n: int = 8, k: int = 50) -> DataFrame:
     """Memorization-risk scan: the k word-n-grams appearing in the most
     DISTINCT documents — long verbatim strings repeated across many
@@ -614,35 +726,14 @@ def lsh_bucket_stats(docs: DataFrame, n: int = 3,
     )
 
 
-def dedup_source_affinity(docs: DataFrame,
-                          threshold: float = 0.1) -> DataFrame:
-    """Cross-source duplication affinity matrix: near-dup pairs (exact
-    n-gram Jaccard over the capped inverted index) rolled up to the
-    UNORDERED (source, source) grain with each cell's share of all
-    pairs in exact integer ppm — the curation report that says which
-    crawls copy from which (news mirrors syndicating wire text, a crawl
-    re-ingesting wikipedia), i.e. where cross-corpus dedup budget
-    actually goes.  Within-source cells (the diagonal) measure internal
-    redundancy; off-diagonal cells are flagged is_cross_source.
-
-    Scale shape: rides the standard two-shuffle pair pipeline (shared
-    signature slot, saturated buckets dropped), then one |pairs|-sized
-    join to the (doc_id, source) projection and a source-vocabulary-
-    bounded aggregate; the share window runs over the tiny matrix."""
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
-        .select("doc_a", "doc_b")
-    src = docs.select("doc_id", "source")
-    joined = (
-        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
-                              F.col("source").alias("sa")), "doc_a")
-        .join(src.select(F.col("doc_id").alias("doc_b"),
-                         F.col("source").alias("sb")), "doc_b")
-    )
+def _affinity_report(cells: DataFrame) -> DataFrame:
+    """Shared tail of the two affinity formulations: aggregate weighted
+    (sa, sb) cells to the unordered matrix with integer-ppm shares."""
     agg = (
-        joined.groupBy(
+        cells.groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"))
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum("w").alias("n_pairs"))
     )
     tw = Window.partitionBy()  # over the |sources|^2-bounded matrix only
     return (
@@ -654,6 +745,95 @@ def dedup_source_affinity(docs: DataFrame,
                 .alias("is_cross_source"))
         .orderBy("source_a", "source_b")
     )
+
+
+def dedup_source_affinity(docs: DataFrame,
+                          threshold: float = 0.1) -> DataFrame:
+    """Cross-source duplication affinity matrix: near-dup MEMBER pairs
+    (exact n-gram Jaccard, capped inverted index) rolled up to the
+    UNORDERED (source, source) grain with each cell's share of all
+    pairs in exact integer ppm — the curation report that says which
+    crawls copy from which (news mirrors syndicating wire text, a crawl
+    re-ingesting wikipedia), i.e. where cross-corpus dedup budget
+    actually goes.  Within-source cells (the diagonal) measure internal
+    redundancy; off-diagonal cells are flagged is_cross_source.
+
+    Member-pair counts are computed ALGEBRAICALLY from the contracted
+    pair graph (VERDICT r7 item 1) — the quadratic-in-copies member
+    pair list is never materialized:
+
+      * a cross-text rep pair (a, b) contributes
+        cnt_a(s) * cnt_b(s') member pairs to cell (s, s') for every
+        source combination, where cnt_x is x's per-source copy count;
+      * a multi-copy group passing the within-group jaccard contributes
+        C(cnt(s), 2) to the diagonal and cnt(s) * cnt(s') off it.
+
+    `tests/test_invariants.py` reconciles this against the
+    member-level formulation (`dedup_source_affinity_member`) at gate
+    scale; `contracted_pair_graph`'s docstring carries the cap-
+    semantics proof.
+
+    Scale shape: contraction before any quadratic stage; the pair list
+    is distinct-text-sized; source multiplicities join as
+    |sources|-bounded weights per group, and the share window runs
+    over the tiny matrix."""
+    groups, cross, within = contracted_pair_graph(docs,
+                                                  threshold=threshold)
+    srccnt = (
+        docs.select(F.md5(_norm_text(F.col("text"))).alias("fp"), "source")
+        .groupBy("fp", "source").agg(F.count("*").alias("cnt"))
+        .join(groups.select("fp", "rep"), "fp")
+        .select("rep", "source", "cnt")
+    )
+    srccnt = _slot_cache(srccnt, "affinity_srccnt")
+    ca = srccnt.select(F.col("rep").alias("rep_a"),
+                       F.col("source").alias("sa"),
+                       F.col("cnt").alias("cnt_a"))
+    cb = srccnt.select(F.col("rep").alias("rep_b"),
+                       F.col("source").alias("sb"),
+                       F.col("cnt").alias("cnt_b"))
+    cross_cells = (
+        cross.join(ca, "rep_a").join(cb, "rep_b")
+        .select("sa", "sb", (F.col("cnt_a") * F.col("cnt_b")).alias("w"))
+    )
+    wa = srccnt.select(F.col("rep").alias("w_rep"),
+                       F.col("source").alias("sa"),
+                       F.col("cnt").alias("cnt_a"))
+    wb = srccnt.select(F.col("rep").alias("w_rep"),
+                       F.col("source").alias("sb"),
+                       F.col("cnt").alias("cnt_b"))
+    within_cells = (
+        within.select(F.col("rep").alias("w_rep"))
+        .join(wa, "w_rep").join(wb, "w_rep")
+        .where(F.col("sa") <= F.col("sb"))
+        .select("sa", "sb",
+                F.when(F.col("sa") == F.col("sb"),
+                       F.expr("cnt_a * (cnt_a - 1) div 2"))
+                .otherwise(F.col("cnt_a") * F.col("cnt_b")).alias("w"))
+        # a lone copy in a source yields ZERO diagonal pairs — drop the
+        # cell entirely, or the matrix grows rows member level never has
+        .where(F.col("w") > 0)
+    )
+    return _affinity_report(cross_cells.unionByName(within_cells))
+
+
+def dedup_source_affinity_member(docs: DataFrame,
+                                 threshold: float = 0.1) -> DataFrame:
+    """Member-level reference formulation of `dedup_source_affinity`
+    (the pre-r8 implementation): materializes the member pair list and
+    rolls it up directly.  Kept as the reconciliation oracle for the
+    contracted algebra — quadratic in copy count, so not the production
+    path."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("sb")), "doc_b")
+    )
+    return _affinity_report(joined.select("sa", "sb", F.lit(1).alias("w")))
 
 
 def lsh_band_yield(docs: DataFrame, n: int = 3,

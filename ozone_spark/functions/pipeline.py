@@ -25,7 +25,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from .dedup import (_norm_text, _slot_cache, _spread, connected_components,
-                    hash28, hash60, ngram_jaccard_pairs, word_shingles)
+                    contracted_pair_graph, hash28, hash60,
+                    ngram_jaccard_pairs, word_shingles)
 
 # ---------------------------------------------------------------- decontam
 
@@ -507,30 +508,105 @@ def resolve_keep_best(docs: DataFrame, threshold: float = 0.1,
     )
 
 
+def _dup_degree_report(buckets_in: DataFrame) -> DataFrame:
+    """Shared tail of the two dup-degree formulations: bucket weighted
+    (deg, n, q_sum) rows and report exact integer mean quality.  Input
+    rows carry deg (near-dup partner count), n (docs at that deg from
+    this row) and q_sum (their summed micro-quality)."""
+    d = F.col("deg")
+    bucket_order = (
+        F.when(d == 0, 0).when(d == 1, 1).when(d <= 3, 2)
+        .when(d <= 7, 3).otherwise(4))
+    bucket = (
+        F.when(d == 0, "0").when(d == 1, "1").when(d <= 3, "2-3")
+        .when(d <= 7, "4-7").otherwise("8+"))
+    return (
+        buckets_in
+        .select(bucket_order.cast("long").alias("bucket_order"),
+                bucket.alias("dup_degree_bucket"), "n", "q_sum")
+        .groupBy("bucket_order", "dup_degree_bucket")
+        .agg(F.sum("n").alias("n_docs"),
+             F.expr("sum(q_sum) div sum(n)").alias("mean_quality_micro"))
+        .orderBy("bucket_order")
+    )
+
+
 def quality_by_dup_degree(docs: DataFrame,
                           threshold: float = 0.1) -> DataFrame:
     """Does duplication predict low quality on THIS corpus?  Buckets
     every document by its near-dup degree (number of capped-Jaccard
-    pair partners: 0 / 1 / 2-3 / 4-7 / 8+) and reports each bucket's
-    exact mean quality in integer micro units — the report that decides
-    whether near-dup dedup doubles as a quality filter (steeply falling
-    means) or throws away good text (flat means), i.e. whether to run
-    dedup before or after the quality gate.
+    MEMBER pair partners: 0 / 1 / 2-3 / 4-7 / 8+) and reports each
+    bucket's exact mean quality in integer micro units — the report
+    that decides whether near-dup dedup doubles as a quality filter
+    (steeply falling means) or throws away good text (flat means),
+    i.e. whether to run dedup before or after the quality gate.
 
-    Scale shape: degree is one aggregation over the (bounded) pair
-    list; the corpus joins the degree table once; the report is a
-    5-row bucket aggregate.  Mean = sum(q_micro) DIV n — exact integer,
-    no distributed float sums.
+    Degree stays MEMBER-grain (a doc's own copy count IS part of its
+    duplication degree) but is computed ALGEBRAICALLY from the
+    contracted pair graph (VERDICT r7 item 1): every member of a
+    fingerprint group g has the same degree
 
-    Grain note: degree is MEMBER-level by the same adjudicated contract
-    as ngram_jaccard_pairs (its size is inherently quadratic in copy
-    count — 52 s on the 10x 90%-copies stress vs ~30 s for the
-    contracted cluster reports); that is the correct grain here because
-    a doc's own copy count IS part of its duplication degree.  On
-    copy-heavy corpora where only distinct-text structure matters, read
-    the contracted reports (cluster_size_stats, keeper_policy_audit)
-    instead — they answer the cluster-shaped version of this question
-    without the member-pair bill."""
+        deg(g) = [within(g)] * (n_g - 1)  +  sum over rep partners g'
+                 of n_g'
+
+    so the member pair list is never materialized — degree lives at
+    DISTINCT-TEXT grain and fans back as weights.  Copies share a
+    normalized text (and therefore a degree) but NOT necessarily a raw
+    text, so quality sums aggregate per fingerprint before the fan-in.
+    `tests/test_invariants.py` reconciles this against the
+    member-level formulation (`quality_by_dup_degree_member`) at gate
+    scale; `contracted_pair_graph`'s docstring carries the
+    cap-semantics proof.
+
+    Scale shape: contraction before any quadratic stage; one map-only
+    (fingerprint, quality) projection + fingerprint-keyed aggregate;
+    degree is a contracted-edge aggregate; the report is a 5-row
+    bucket rollup.  Mean = sum(q_micro) DIV n — exact integer, no
+    distributed float sums."""
+    from .dedup import _norm_text, contracted_pair_graph
+    from .text import quality_score_col
+    groups, cross, within = contracted_pair_graph(docs,
+                                                  threshold=threshold)
+    # partner copy-counts fan along the symmetrized contracted edges
+    nm = groups.select(F.col("rep").alias("partner"),
+                       F.col("n_members").alias("pn"))
+    sym = (
+        cross.select(F.col("rep_a").alias("rep"),
+                     F.col("rep_b").alias("partner"))
+        .unionByName(cross.select(F.col("rep_b").alias("rep"),
+                                  F.col("rep_a").alias("partner")))
+    )
+    deg_cross = (
+        sym.join(nm, "partner")
+        .groupBy("rep").agg(F.sum("pn").alias("dc"))
+    )
+    q = (
+        docs.select(F.md5(_norm_text(F.col("text"))).alias("fp"),
+                    F.round(quality_score_col(F.col("text")) * 1_000_000)
+                    .cast("long").alias("q_micro"))
+        .groupBy("fp").agg(F.sum("q_micro").alias("q_sum"))
+    )
+    per_fp = (
+        groups.join(q, "fp")
+        .join(deg_cross, "rep", "left")
+        .join(within.select("rep", F.lit(1).alias("w_pass")),
+              "rep", "left")
+        .select(
+            (F.coalesce("dc", F.lit(0))
+             + F.when(F.col("w_pass").isNotNull(),
+                      F.col("n_members") - 1).otherwise(0)).alias("deg"),
+            F.col("n_members").alias("n"), "q_sum")
+    )
+    return _dup_degree_report(per_fp)
+
+
+def quality_by_dup_degree_member(docs: DataFrame,
+                                 threshold: float = 0.1) -> DataFrame:
+    """Member-level reference formulation of `quality_by_dup_degree`
+    (the pre-r8 implementation): materializes the member pair list and
+    counts partners directly.  Kept as the reconciliation oracle for
+    the contracted algebra — quadratic in copy count, so not the
+    production path."""
     from .text import quality_features
     pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
         .select("doc_a", "doc_b")
@@ -543,23 +619,10 @@ def quality_by_dup_degree(docs: DataFrame,
         "doc_id",
         F.round(F.col("quality_score") * 1_000_000).cast("long")
         .alias("q_micro"))
-    d = F.coalesce("deg", F.lit(0))
-    bucket_order = (
-        F.when(d == 0, 0).when(d == 1, 1).when(d <= 3, 2)
-        .when(d <= 7, 3).otherwise(4))
-    bucket = (
-        F.when(d == 0, "0").when(d == 1, "1").when(d <= 3, "2-3")
-        .when(d <= 7, "4-7").otherwise("8+"))
-    return (
+    return _dup_degree_report(
         q.join(deg, "doc_id", "left")
-        .select(bucket_order.cast("long").alias("bucket_order"),
-                bucket.alias("dup_degree_bucket"), "q_micro")
-        .groupBy("bucket_order", "dup_degree_bucket")
-        .agg(F.count("*").alias("n_docs"),
-             F.expr("sum(q_micro) div count(*)")
-             .alias("mean_quality_micro"))
-        .orderBy("bucket_order")
-    )
+        .select(F.coalesce("deg", F.lit(0)).alias("deg"),
+                F.lit(1).alias("n"), F.col("q_micro").alias("q_sum")))
 
 
 def keeper_policy_audit(docs: DataFrame,
@@ -820,27 +883,143 @@ def approx_group_counts(docs: DataFrame, rate: float = 0.1,
 NEAR_LEAK_THRESHOLD = 0.5
 
 
+def _split_col() -> Column:
+    """The standard md5 split rule as a Column over doc_id."""
+    split_key = sample_key(F.col("doc_id"), SPLIT_SALT)
+    return F.when(split_key < SPLIT_CUTS[0][1], SPLIT_CUTS[0][0]) \
+        .when(split_key < SPLIT_CUTS[1][1], SPLIT_CUTS[1][0]) \
+        .otherwise(SPLIT_CUTS[2][0])
+
+
 def near_dup_leakage(docs: DataFrame,
                      threshold: float = NEAR_LEAK_THRESHOLD) -> DataFrame:
     """NEAR-duplicate train/val/test leakage — the contamination
     split_leakage's exact fingerprints structurally miss (Lee et al.
     2022: models memorize near-copies, so a test doc whose 0.9-Jaccard
     twin sits in train is still leaked even though no fingerprint
-    matches).  Candidate pairs from the capped n-gram Jaccard machinery
-    whose endpoints land in DIFFERENT splits of the standard md5 rule,
-    rolled up per unordered split pair: pair count and distinct leaked
-    docs on each side.
+    matches).  MEMBER pairs whose endpoints land in DIFFERENT splits of
+    the standard md5 rule, rolled up per unordered split pair: pair
+    count and distinct leaked docs on each side.
 
-    Scale shape: rides the standard two-shuffle pair pipeline; the
-    split labels are map-only md5 keys joined to the (small) pair set;
+    Member-grain numbers are computed ALGEBRAICALLY from the contracted
+    pair graph (VERDICT r7 item 1) — the member pair list is never
+    materialized.  With cnt_g(s) = copies of fingerprint group g in
+    split s:
+
+      * pair counts: a cross-text rep pair (a, b) contributes
+        cnt_a(s) * cnt_b(s') to cell (s, s') for s != s' (both
+        orientations); a within-group pass contributes
+        cnt_g(s) * cnt_g(s') for s < s';
+      * distinct docs: a doc in split s counts for cell (s, s') iff
+        its group has ANY partner copy in s' — within (cnt_g(s') >= 1
+        and the within jaccard passes) or via any rep neighbor with
+        presence in s' — so each side's doc count is a sum of cnt over
+        (group, has_partner-in-other-split) indicators.
+
+    `tests/test_invariants.py` reconciles this against the
+    member-level formulation (`near_dup_leakage_member`) at gate scale;
+    `contracted_pair_graph`'s docstring carries the cap-semantics
+    proof.
+
+    Scale shape: contraction before any quadratic stage; split labels
+    are map-only md5 keys aggregated to |splits|-bounded per-group
+    counts; every subsequent join is edge-list- or group-count-sized;
     the rollup grain is bounded by |splits|^2."""
+    from .dedup import contracted_pair_graph
+    groups, cross, within = contracted_pair_graph(docs,
+                                                  threshold=threshold)
+    splitcnt = (
+        docs.select(F.md5(_norm_text(F.col("text"))).alias("fp"),
+                    _split_col().alias("split"))
+        .groupBy("fp", "split").agg(F.count("*").alias("cnt"))
+        .join(groups.select("fp", "rep"), "fp")
+        .select("rep", "split", "cnt")
+    )
+    splitcnt = _slot_cache(splitcnt, "leakage_splitcnt")
+    ca = splitcnt.select(F.col("rep").alias("rep_a"),
+                         F.col("split").alias("sa"),
+                         F.col("cnt").alias("cnt_a"))
+    cb = splitcnt.select(F.col("rep").alias("rep_b"),
+                         F.col("split").alias("sb"),
+                         F.col("cnt").alias("cnt_b"))
+    cross_cells = (
+        cross.join(ca, "rep_a").join(cb, "rep_b")
+        .where(F.col("sa") != F.col("sb"))
+        .select(F.least("sa", "sb").alias("split_lo"),
+                F.greatest("sa", "sb").alias("split_hi"),
+                (F.col("cnt_a") * F.col("cnt_b")).alias("w"))
+    )
+    wa = splitcnt.select(F.col("rep").alias("w_rep"),
+                         F.col("split").alias("sa"),
+                         F.col("cnt").alias("cnt_a"))
+    wb = splitcnt.select(F.col("rep").alias("w_rep"),
+                         F.col("split").alias("sb"),
+                         F.col("cnt").alias("cnt_b"))
+    within_cells = (
+        within.select(F.col("rep").alias("w_rep"))
+        .join(wa, "w_rep").join(wb, "w_rep")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("split_lo"),
+                F.col("sb").alias("split_hi"),
+                (F.col("cnt_a") * F.col("cnt_b")).alias("w"))
+    )
+    n_pairs = (
+        cross_cells.unionByName(within_cells)
+        .groupBy("split_lo", "split_hi").agg(F.sum("w").alias("n_pairs"))
+    )
+    # has_partner(group, split'): some OTHER doc of the pair graph sits
+    # in split' — via a rep neighbor's split presence, or via a sibling
+    # copy when the within-group jaccard passes
+    sym = (
+        cross.select(F.col("rep_a").alias("rep"),
+                     F.col("rep_b").alias("partner"))
+        .unionByName(cross.select(F.col("rep_b").alias("rep"),
+                                  F.col("rep_a").alias("partner")))
+    )
+    nbr_presence = (
+        sym.join(splitcnt.select(F.col("rep").alias("partner"),
+                                 F.col("split").alias("psplit")), "partner")
+        .select("rep", "psplit")
+    )
+    self_presence = (
+        within.select("rep")
+        .join(splitcnt.select("rep", F.col("split").alias("psplit")),
+              "rep")
+        .select("rep", "psplit")
+    )
+    has_partner = nbr_presence.unionByName(self_presence).distinct()
+    docside = (
+        splitcnt.join(has_partner, "rep")
+        .where(F.col("split") != F.col("psplit"))
+        .select(F.least("split", "psplit").alias("split_lo"),
+                F.greatest("split", "psplit").alias("split_hi"),
+                F.when(F.col("split") < F.col("psplit"), F.col("cnt"))
+                .otherwise(0).alias("lo_docs"),
+                F.when(F.col("split") > F.col("psplit"), F.col("cnt"))
+                .otherwise(0).alias("hi_docs"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.sum("lo_docs").alias("n_docs_lo"),
+             F.sum("hi_docs").alias("n_docs_hi"))
+    )
+    return (
+        n_pairs.join(docside, ["split_lo", "split_hi"])
+        .select("split_lo", "split_hi", "n_pairs",
+                "n_docs_lo", "n_docs_hi")
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def near_dup_leakage_member(docs: DataFrame,
+                            threshold: float = NEAR_LEAK_THRESHOLD
+                            ) -> DataFrame:
+    """Member-level reference formulation of `near_dup_leakage` (the
+    pre-r8 implementation): materializes the member pair list and
+    counts pairs/docs directly.  Kept as the reconciliation oracle for
+    the contracted algebra — quadratic in copy count, so not the
+    production path."""
     pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
         .select("doc_a", "doc_b")
-    split_key = sample_key(F.col("doc_id"), SPLIT_SALT)
-    split = F.when(split_key < SPLIT_CUTS[0][1], SPLIT_CUTS[0][0]) \
-        .when(split_key < SPLIT_CUTS[1][1], SPLIT_CUTS[1][0]) \
-        .otherwise(SPLIT_CUTS[2][0])
-    sp = docs.select("doc_id", split.alias("split"))
+    sp = docs.select("doc_id", _split_col().alias("split"))
     joined = (
         pairs.join(sp.select(F.col("doc_id").alias("doc_a"),
                              F.col("split").alias("sa")), "doc_a")

@@ -58,6 +58,20 @@ def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     return F.size(F.filter(tokens(text), lambda w: F.array_contains(sw, w))).cast("long")
 
 
+def quality_score_col(t: Column) -> Column:
+    """The composite quality score in [0,1] as a Column expression —
+    shared by quality_features and the contracted dup-degree report
+    (which needs (fingerprint, score) in ONE map-only projection, no
+    corpus self-join)."""
+    n_tok = token_count(t)
+    raw_ratio = stopword_count(t).cast("double") / n_tok
+    # score uses the *unrounded* ratio: rounding first can park the sum on an
+    # exact .5 boundary where Spark(HALF_UP) and DuckDB disagree
+    return F.round(
+        F.least(n_tok.cast("double") / 64.0, F.lit(1.0)) * 0.5
+        + F.least(raw_ratio * 5.0, F.lit(1.0)) * 0.5, 6)
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Per-document quality signals: length, token count, mean word
     length, stopword ratio, and a composite score in [0,1]."""
@@ -65,13 +79,8 @@ def quality_features(docs: DataFrame) -> DataFrame:
     n_tok = token_count(t)
     n_sw = stopword_count(t)
     mean_word_len = F.round((F.length(t) - n_tok + 1).cast("double") / n_tok, 6)
-    raw_ratio = n_sw.cast("double") / n_tok
-    sw_ratio = F.round(raw_ratio, 6)
-    # score uses the *unrounded* ratio: rounding first can park the sum on an
-    # exact .5 boundary where Spark(HALF_UP) and DuckDB disagree
-    score = F.round(
-        F.least(n_tok.cast("double") / 64.0, F.lit(1.0)) * 0.5
-        + F.least(raw_ratio * 5.0, F.lit(1.0)) * 0.5, 6)
+    sw_ratio = F.round(n_sw.cast("double") / n_tok, 6)
+    score = quality_score_col(t)
     return docs.select(
         "doc_id", "lang", "source",
         F.length(t).cast("long").alias("n_chars_measured"),

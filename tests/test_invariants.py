@@ -2349,6 +2349,102 @@ def test_bmp_codec_round_trip_and_real_decode(spark, sf_dir):
         assert r.sum_b == int(flat[2::3].sum())
 
 
+def _copyheavy_docs(spark):
+    """Synthetic copy-heavy corpus engineered to hit every branch of the
+    contracted pair-graph algebra: a 250-copy template whose shingle
+    buckets SATURATE at member level (250 > 200 cap — the contracted
+    formulation must drop them via the member-weighted cap, not keep
+    them because only one distinct text is present), a 30-copy and a
+    25-copy near-dup template pair (cross-text member pairs fan out as
+    30*25), copies spread across sources, a pair of singletons, and a
+    3-copy doc too short to shingle."""
+    rows = []
+    for i in range(250):                       # saturated template
+        rows.append((i, "alpha beta gamma delta epsilon zeta",
+                     f"s{i % 2}"))
+    for i in range(300, 330):                  # template B
+        rows.append((i, "one two three four five six seven",
+                     f"s{i % 3}"))
+    for i in range(400, 425):                  # near-dup of B
+        rows.append((i, "one two three four five six eight",
+                     f"s{i % 2}"))
+    rows.append((500, "lonely unique text with several extra words", "s0"))
+    rows.append((501, "another completely different singleton body", "s1"))
+    for i in range(600, 603):                  # too short to shingle
+        rows.append((i, "hi there", "s2"))
+    for i in range(700, 704):                  # template D: every copy in
+        rows.append((i, "red orange yellow green blue indigo violet",
+                     f"t{i - 700}"))           # its OWN source/split-ish
+                                               # bucket — single-copy
+                                               # diagonal cells must NOT
+                                               # create zero-weight rows
+    return spark.createDataFrame(
+        [(i, t, s, "en") for i, t, s in rows],
+        "doc_id long, text string, source string, lang string")
+
+
+def test_contracted_pair_graph_replays_member_semantics(spark):
+    """contracted_pair_graph's algebra must reproduce the member-level
+    pair machinery EXACTLY on a copy-heavy corpus — including the
+    member-weighted saturation cap (a 250-copy text's buckets must
+    drop) and within-group pair fan-out (VERDICT r7 item 1)."""
+    from ozone_spark.functions.dedup import (contracted_pair_graph,
+                                             ngram_jaccard_pairs)
+    docs = _copyheavy_docs(spark)
+    groups, cross, within = contracted_pair_graph(docs, threshold=0.5)
+    # saturation: the 250-copy template (rep 0) must have NO self pairs
+    # and NO cross pairs — every one of its buckets exceeds the member
+    # cap, exactly as at member level
+    assert within.where("rep = 0").count() == 0
+    assert cross.where("rep_a = 0 OR rep_b = 0").count() == 0
+    # templates B (rep 300), C (rep 400), D (rep 700) pass within
+    assert {r.rep for r in within.collect()} == {300, 400, 700}
+    cr = cross.collect()
+    assert len(cr) == 1 and (cr[0].rep_a, cr[0].rep_b) == (300, 400)
+    assert cr[0].n_common == 4  # 5-shingle texts sharing 4 shingles
+    # the member-level pair COUNT fans out as the algebra predicts:
+    # C(30,2) + C(25,2) + C(4,2) within + 30*25 cross + C(3,2)=0
+    # (short docs have no shingles) + 0 from the saturated template
+    member_pairs = ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert member_pairs == 30 * 29 // 2 + 25 * 24 // 2 + 6 + 30 * 25
+
+
+def test_member_grain_reports_match_member_formulations(spark):
+    """The three r8-contracted reports must equal their member-level
+    reference formulations row-for-row on the adversarial copy-heavy
+    corpus, at both a loose and a tight threshold."""
+    from ozone_spark.functions.dedup import (dedup_source_affinity,
+                                             dedup_source_affinity_member)
+    from ozone_spark.functions.pipeline import (
+        near_dup_leakage, near_dup_leakage_member, quality_by_dup_degree,
+        quality_by_dup_degree_member)
+    docs = _copyheavy_docs(spark)
+    for thr in (0.1, 0.5):
+        assert quality_by_dup_degree(docs, threshold=thr).collect() == \
+            quality_by_dup_degree_member(docs, threshold=thr).collect()
+        assert dedup_source_affinity(docs, threshold=thr).collect() == \
+            dedup_source_affinity_member(docs, threshold=thr).collect()
+        assert near_dup_leakage(docs, threshold=thr).collect() == \
+            near_dup_leakage_member(docs, threshold=thr).collect()
+
+
+def test_member_grain_reports_match_on_fixture(spark, sf_dir):
+    """Same reconciliation on the shipped fixture corpus (natural
+    duplication structure, all three oracles' gate grain)."""
+    from ozone_spark.functions.dedup import (dedup_source_affinity,
+                                             dedup_source_affinity_member)
+    from ozone_spark.functions.pipeline import (
+        near_dup_leakage, near_dup_leakage_member, quality_by_dup_degree,
+        quality_by_dup_degree_member)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    assert quality_by_dup_degree(docs).collect() == \
+        quality_by_dup_degree_member(docs).collect()
+    assert dedup_source_affinity(docs).collect() == \
+        dedup_source_affinity_member(docs).collect()
+    assert near_dup_leakage(docs).collect() == \
+        near_dup_leakage_member(docs).collect()
+
+
 def test_contamination_by_source_reconciles(spark, sf_dir):
     """The source rollup reconciles exactly with the per-doc
     decontaminate flags, and the ppm identity holds."""

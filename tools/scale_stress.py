@@ -155,6 +155,9 @@ def main() -> int:
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    only = None
+    if "--only" in sys.argv:  # targeted re-measure of named queries
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     spark = get_spark("ozone-spark-scale-stress",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
                       (os.cpu_count() or 8))
@@ -166,7 +169,7 @@ def main() -> int:
     qs = queries()
     results: dict[str, dict] = {}
     failed = []
-    for name in STRESS_QUERIES:
+    for name in (only if only is not None else STRESS_QUERIES):
         t0 = time.perf_counter()
         try:
             n = qs[name](spark, work).count()
