@@ -416,6 +416,54 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def _disorder_report(keyed: DataFrame, key: str) -> DataFrame:
+    """Shared tail of the disorder diagnostics: given (key, event_id,
+    ts) rows, compute per-key out-of-order stats vs the running
+    event-time max in arrival (event_id) order — count/share of late
+    events and exact order-statistic p50/p90/max whole-second lateness
+    (rank = ceil(n/2)/ceil(0.9n), event_id tiebreak)."""
+    w = Window.partitionBy(key).orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    d = (
+        keyed
+        .withColumn("mx", F.max("ts").over(w))
+        .where(F.col("mx").isNotNull())
+        .select(key, "event_id",
+                F.greatest(F.lit(0), F.col("mx").cast("long")
+                           - F.col("ts").cast("long")).alias("dis"))
+    )
+    late = d.where(F.col("dis") > 0)
+    rw = Window.partitionBy(key).orderBy("dis", "event_id")
+    ranked = late.withColumn("rn", F.row_number().over(rw))
+    stats = d.groupBy(key).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("dis") > 0).cast("long")).alias("n_late"),
+        F.max("dis").alias("late_max_s"))
+    pick = (
+        stats.select(key, F.expr("(n_late + 1) div 2")
+                     .alias("target"), F.lit("late_p50_s").alias("which"))
+        .unionByName(stats.select(
+            key, F.expr("(9 * n_late + 9) div 10").alias("target"),
+            F.lit("late_p90_s").alias("which")))
+    )
+    quant = (
+        ranked.join(pick, (ranked[key] == pick[key])
+                    & (ranked.rn == pick.target))
+        .groupBy(ranked[key]).pivot("which",
+                                    ["late_p50_s", "late_p90_s"])
+        .agg(F.first("dis"))
+    )
+    return (
+        stats.join(quant, key, "left")
+        .select(key, "n_events", "n_late",
+                F.expr("(n_late * 1000000) div n_events").alias("late_ppm"),
+                F.coalesce("late_p50_s", F.lit(0)).alias("late_p50_s"),
+                F.coalesce("late_p90_s", F.lit(0)).alias("late_p90_s"),
+                F.coalesce("late_max_s", F.lit(0)).alias("late_max_s"))
+        .orderBy(key)
+    )
+
+
 def disorder_stats(events: DataFrame) -> DataFrame:
     """Out-of-order depth report — the number that SIZES the watermark
     (`withWatermark` horizon) for every streaming query over this
@@ -428,54 +476,57 @@ def disorder_stats(events: DataFrame) -> DataFrame:
 
     Determinism: arrival order is the deterministic event_id, lateness
     is whole-second integer arithmetic (Spark `cast long` == DuckDB
-    `date_diff('second')`), percentiles are exact order statistics
-    (rank = ceil(n/2)/ceil(0.9n), event_id tiebreak).
+    `date_diff('second')`), percentiles are exact order statistics.
 
     Scale shape: one running-max window partitioned by the small type
-    vocabulary (production computes this per ingest partition — arrival
-    order is only meaningful within a partition, exactly as Kafka
-    offsets are per-partition); the rank windows run over the LATE
-    subset only."""
-    w = Window.partitionBy("event_type").orderBy("event_id") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    d = (
-        events.select("event_type", "event_id", "ts")
-        .withColumn("mx", F.max("ts").over(w))
-        .where(F.col("mx").isNotNull())
-        .select("event_type", "event_id",
-                F.greatest(F.lit(0), F.col("mx").cast("long")
-                           - F.col("ts").cast("long")).alias("dis"))
-    )
-    late = d.where(F.col("dis") > 0)
-    rw = Window.partitionBy("event_type").orderBy("dis", "event_id")
-    ranked = late.withColumn("rn", F.row_number().over(rw))
-    stats = d.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum((F.col("dis") > 0).cast("long")).alias("n_late"),
-        F.max("dis").alias("late_max_s"))
-    pick = (
-        stats.select("event_type", F.expr("(n_late + 1) div 2")
-                     .alias("target"), F.lit("late_p50_s").alias("which"))
-        .unionByName(stats.select(
-            "event_type", F.expr("(9 * n_late + 9) div 10").alias("target"),
-            F.lit("late_p90_s").alias("which")))
-    )
-    quant = (
-        ranked.join(pick, (ranked.event_type == pick.event_type)
-                    & (ranked.rn == pick.target))
-        .groupBy(ranked.event_type).pivot("which",
-                                          ["late_p50_s", "late_p90_s"])
-        .agg(F.first("dis"))
-    )
-    return (
-        stats.join(quant, "event_type", "left")
-        .select("event_type", "n_events", "n_late",
-                F.expr("(n_late * 1000000) div n_events").alias("late_ppm"),
-                F.coalesce("late_p50_s", F.lit(0)).alias("late_p50_s"),
-                F.coalesce("late_p90_s", F.lit(0)).alias("late_p90_s"),
-                F.coalesce("late_max_s", F.lit(0)).alias("late_max_s"))
-        .orderBy("event_type")
-    )
+    vocabulary — the per-TYPE diagnostic view; a hot type is one giant
+    sorted partition at 100 TB, so production sizing should read the
+    per-ingest-partition twin `disorder_stats_partitioned`, which is
+    the same computation at the grain arrival order actually has
+    (VERDICT r7 item 4); the rank windows run over the LATE subset
+    only."""
+    return _disorder_report(
+        events.select("event_type", "event_id", "ts"), "event_type")
+
+
+DISORDER_PARTITIONS = 8
+DISORDER_PART_SALT = "part-v1"
+
+
+def ingest_partition_col(user_id, n_partitions: int = DISORDER_PARTITIONS):
+    """Deterministic ingest-partition id: pmod of the md5-derived 28-bit
+    hash of the partition KEY (user_id — the key a Kafka producer would
+    partition on, so one user's events stay in-order within a
+    partition), replayable bit-for-bit by any engine with md5."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(DISORDER_PART_SALT), user_id.cast("string"))), 1, 7),
+        16, 10).cast("long")
+    return F.pmod(h, F.lit(n_partitions)).alias("ingest_part")
+
+
+def disorder_stats_partitioned(
+        events: DataFrame,
+        n_partitions: int = DISORDER_PARTITIONS) -> DataFrame:
+    """PRODUCTION-grain disorder report (VERDICT r7 item 4): the same
+    out-of-order depth computation as `disorder_stats`, but keyed by a
+    derived INGEST PARTITION (md5-hash of user_id mod `n_partitions`)
+    instead of the event-type vocabulary — arrival order is only
+    meaningful within an ingest partition, exactly as Kafka offsets are
+    per-partition, and this is the grain `withWatermark` actually
+    advances on (min across partitions of each partition's running
+    max).
+
+    Scale shape: the running-max window partitions by the ingest
+    partition id, so parallelism scales with the partition count (set
+    `n_partitions` to the topic's real partition count at scale)
+    instead of collapsing onto a hot type; each window partition is a
+    partition's own arrival sequence — production computes the same
+    running max in O(1) per event as the stream arrives, and this batch
+    formulation replays it exactly.  Output is `n_partitions` rows."""
+    keyed = events.select(
+        ingest_partition_col(F.col("user_id"), n_partitions),
+        "event_id", "ts")
+    return _disorder_report(keyed, "ingest_part")
 
 
 WATERMARK_CANDIDATES_S = (60, 300, 900, 3600)

@@ -1,10 +1,13 @@
-"""Gate-rotation ordering invariants (VERDICT r6 item 6): a query whose
-implementing module was edited AFTER its last green CORRECTNESS row must
-re-verify at the head of the rotation, behind only never-gated queries —
-not wait a full rotation behind its own aging green row."""
+"""Gate-rotation ordering invariants (VERDICT r6 item 6 / r7 item 2): a
+query whose implementing module was edited AFTER its last green
+CORRECTNESS row — or whose (fn, oracle) content hash no longer matches
+the hash recorded by the last self-sweep — must re-verify at the head of
+the rotation, behind only never-gated queries, not wait a full rotation
+behind its own aging green row."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from ozone_spark import registry
@@ -15,13 +18,31 @@ def test_spec_source_files_maps_lambda_to_modules():
     files = registry._spec_source_files(specs["pricing_summary"])
     names = {os.path.basename(f) for f in files}
     assert "tpch.py" in names
-    # registry.py itself must be excluded (it changes every round)
-    assert "registry.py" not in names
+    # the DEFINING registry domain module is included (it holds the
+    # oracle SQL, so oracle edits read as stale — VERDICT r7 item 2)...
+    assert "q_scalar_tpch.py" in names
+    # ...but the registry package's shared/aggregation modules are not
+    # (each q_* module star-imports the whole shared namespace; walking
+    # them would collapse every query's source set into "everything")
+    assert "_base.py" not in names and "_order.py" not in names
+    assert "__init__.py" not in {os.path.basename(f) for f in files
+                                 if "registry" in f}
+
+
+def test_every_spec_has_a_nonempty_source_set():
+    """ADVICE r7: a QuerySpec whose lambda references directly-imported
+    callables (or whose fn uses function-local imports) must still
+    resolve to a non-empty implementing-file set, or the edit-aware
+    re-gate is silently disabled for that query."""
+    missing = [q.name for q in registry._REGISTRY_ORDER
+               if not registry._spec_source_files(q)]
+    assert missing == [], f"specs with empty source sets: {missing}"
 
 
 def test_edited_module_moves_queries_to_head():
     tpch_file = os.path.join(
-        os.path.dirname(registry.__file__), "operators", "tpch.py")
+        os.path.dirname(os.path.dirname(registry.__file__)),
+        "operators", "tpch.py")
     st = os.stat(tpch_file)
     try:
         os.utime(tpch_file, None)  # bump mtime to "edited just now"
@@ -40,14 +61,36 @@ def test_edited_module_moves_queries_to_head():
     assert idx < 120, f"stale pricing_summary too deep in rotation: {idx}"
 
 
-def test_every_spec_has_a_nonempty_source_set():
-    """ADVICE r7: a QuerySpec whose lambda references directly-imported
-    callables (or whose fn uses function-local imports) must still
-    resolve to a non-empty implementing-file set, or the edit-aware
-    re-gate is silently disabled for that query."""
-    missing = [q.name for q in registry._REGISTRY_ORDER
-               if not registry._spec_source_files(q)]
-    assert missing == [], f"specs with empty source sets: {missing}"
+def test_pure_oracle_edit_moves_query_to_head(tmp_path):
+    """VERDICT r7 item 2 done-criterion: an edit that touches ONLY a
+    query's oracle SQL (no module mtime the rotation watches) must
+    reorder the rotation.  Simulated by recording an artifact whose
+    spec_hash for one old-green query differs from the current hash —
+    exactly what a post-sweep oracle edit produces."""
+    target = "pricing_summary"
+    art = {target: {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "spec_hash": "feedfacedeadbeef"},
+           "file_size_histogram": {"rows_match": True, "schema_match": True,
+                                   "hash_match": True}}
+    # a DRIVER-named artifact so both queries read as round-9 green
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(art))
+    order = [q.name for q in registry._gate_priority_order(
+        registry._REGISTRY_ORDER, artifacts_root=str(tmp_path))]
+    # the hash-mismatched query re-verifies ahead of the merely-green
+    # one — in this synthetic artifact world those two are the ONLY
+    # ever-gated queries, so never-gated rows lead (by design) and the
+    # stale query slots in directly after them, green control last
+    assert order.index(target) < order.index("file_size_histogram")
+    assert order.index(target) == len(order) - 2
+    # control: with a MATCHING recorded hash, the same artifact leaves
+    # the query in the ordinary green band (deep in the rotation)
+    specs = {q.name: q for q in registry._REGISTRY_ORDER}
+    art[target]["spec_hash"] = registry.spec_hash(specs[target])
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(art))
+    order2 = [q.name for q in registry._gate_priority_order(
+        registry._REGISTRY_ORDER, artifacts_root=str(tmp_path))]
+    assert order2.index(target) > order2.index("file_size_histogram") or \
+        order2.index(target) > len(order2) // 2
 
 
 def test_untouched_rotation_is_stable_and_complete():

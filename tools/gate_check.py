@@ -108,6 +108,7 @@ def main():
                  f"the adaptive ANN oracles enumerate only "
                  f"{_reg._GATE_EMB_N} and {_reg._SF01_EMB_N} — update "
                  f"_lsh_sig_adaptive_sql before gating")
+    _specs = {q.name: q for q in _reg._REGISTRY_ORDER}
     if "--all" in argv:
         names = list(qs)
     else:
@@ -121,6 +122,10 @@ def main():
         row = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
+        # content hash of (fn bytecode, oracle text): the rotation's
+        # pure-oracle-edit staleness signal (VERDICT r7 item 2)
+        if name in _specs:
+            row["spec_hash"] = _reg.spec_hash(_specs[name])
         record[name] = row
         t0 = time.time()
         try:
