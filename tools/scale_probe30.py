@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Next-decade scale probe (VERDICT r7 item 3): run the heavy five at
+~30x sf0.1 (effective sf ~3) in the 128 GiB sandbox and record, next to
+wall-clock, the PER-STAGE ROW COUNTS of the shared dedup machinery —
+corpus rows, distinct fingerprints, contracted reps, surviving capped
+buckets, contracted pair edges, member-level pair volume — so data
+costs separate from round latency, plus the 10x->30x scaling exponent
+per query (exponent = log(t30/t10) / log 3; 1.0 = linear).
+
+The 30x corpus construction is scale_stress's replicated-parquet build
+(payloads byte-identical across replicas: every doc sits in a 30-way
+exact-duplicate family — the copy-heaviest realistic shape), reused via
+import so the two probes can never drift.
+
+Usage: python tools/scale_probe30.py [--out SCALE30_r08.json]
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_SCALE_REPLICAS", "30")
+
+from tools import scale_stress  # noqa: E402
+from ozone_spark.registry import queries  # noqa: E402
+from ozone_spark.session import get_spark  # noqa: E402
+
+HEAVY_FIVE = [
+    "dedup_clusters",
+    "dup_graph_centrality_reps",
+    "dedup_ngram_jaccard",
+    "keeper_policy_audit",
+    "streaming_session_stats",
+]
+
+# 10x medians from the committed SCALE artifact of the matching round —
+# the denominator of the scaling exponent (re-read at runtime so the
+# probe never hardcodes a stale number)
+SCALE10_GLOB = "SCALE_r"
+
+
+def latest_scale10(root: str) -> dict:
+    import glob
+    import re
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(root, "SCALE_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return {}
+    with open(best) as fh:
+        return json.load(fh).get("queries", {})
+
+
+def stage_rows(spark, sf_dir: str) -> dict:
+    """Row counts of the shared dedup-machinery stages at this scale —
+    the numbers that explain WHERE a super-linear query spends its
+    growth (pair volume vs corpus volume)."""
+    from ozone_spark import tables
+    from ozone_spark.functions import dedup as D
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    groups, cross, within = D.contracted_pair_graph(docs, threshold=0.1)
+    sh = D.word_shingles(docs, 3)
+    out = {
+        "docs": docs.count(),
+        "shingle_rows": sh.count(),
+        "distinct_fingerprints": groups.count(),
+        "contracted_pair_edges": cross.count(),
+        "within_pass_groups": within.count(),
+        "member_pairs": D.ngram_jaccard_pairs(docs, threshold=0.1).count(),
+    }
+    return out
+
+
+def main() -> int:
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    replicas = int(os.environ["SPARK_GRAFT_SCALE_REPLICAS"])
+    spark = get_spark("ozone-spark-scale30",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
+                      (os.cpu_count() or 8))
+    work = tempfile.mkdtemp(prefix="ozs_sf30_")
+    t0 = time.perf_counter()
+    scale_stress.REPLICAS = replicas
+    scale_stress.build_scaled_dir(spark, work)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    stages = stage_rows(spark, work)
+    stages_sec = round(time.perf_counter() - t0, 1)
+
+    t10 = latest_scale10(root)
+    qs = queries()
+    results: dict[str, dict] = {}
+    failed = []
+    for name in HEAVY_FIVE:
+        t0 = time.perf_counter()
+        try:
+            n = qs[name](spark, work).count()
+            sec = round(time.perf_counter() - t0, 1)
+            row = {"sec": sec, "rows": n}
+            base = t10.get(name, {}).get("sec")
+            if base and base > 0 and replicas == 30:
+                # exponent vs the 10x run: t ~ scale^e
+                row["sec_10x"] = base
+                row["exponent_vs_10x"] = round(
+                    math.log(sec / base) / math.log(3.0), 2)
+            results[name] = row
+            print(f"# {name}: {sec}s ({n} rows) "
+                  f"exp={row.get('exponent_vs_10x')}", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 — record, keep going
+            results[name] = {"sec": round(time.perf_counter() - t0, 1),
+                             "rows": None, "err": str(ex)[:300]}
+            failed.append(name)
+            print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
+
+    doc = {
+        "base_sf_dir": scale_stress.BASE, "replicas": replicas,
+        "effective_sf": replicas * 0.1, "build_sec": build_sec,
+        "stage_rows": stages, "stage_rows_sec": stages_sec,
+        "queries": results, "failed": failed,
+    }
+    print(json.dumps(doc))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

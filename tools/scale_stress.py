@@ -130,6 +130,11 @@ STRESS_QUERIES = [
     "quality_by_dup_degree",     # r7: degree fold over the 10x pair list
     "join_key_skew",             # r7: count-of-counts percentile math at
                                  # 10x lineitem keys
+    "events_disorder_partitioned",  # r8: production-grain disorder — 10x
+                                 # denser per-ingest-partition sequences
+                                 # through the running-max sort
+    "media_bmp_features",        # r8: real BMP decode (stride/padding/
+                                 # BGR) over 10x payloads, map-only
 ]
 
 

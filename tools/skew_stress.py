@@ -64,6 +64,10 @@ SKEW_QUERIES = [
                               # row of the hot user's dense stream
     "events_watermark_drop",  # r7: same lateness histogram + horizon
                               # spine under the skewed stream
+    "events_disorder_partitioned",  # r8: production-grain disorder —
+                              # the hot user hashes to ONE ingest
+                              # partition, the worst case for the
+                              # per-partition running-max sort
 ]
 
 
