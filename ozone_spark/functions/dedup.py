@@ -529,6 +529,89 @@ def contracted_pair_graph(docs: DataFrame, n: int = 3,
     return groups, cross, within
 
 
+def incremental_ingest_dedup(corpus: DataFrame, batch: DataFrame,
+                             n: int = 3, threshold: float = 0.5,
+                             max_bucket: int = 200) -> DataFrame:
+    """Incremental ingestion dedup: classify each NEW batch document
+    against the EXISTING corpus — `exact_dup` (normalized-text
+    fingerprint already present), `near_dup` (capped n-gram Jaccard vs
+    some corpus doc clears `threshold`), or `new` — with the best
+    corpus match and its exact integer-ppm Jaccard.  This is the shape
+    production dedup actually runs at 100 TB: the resident corpus is
+    deduped ONCE and each day's crawl deduplicates against it — nobody
+    re-pairs 100 TB per ingest.
+
+    Scale shape: the corpus side folds to (a) a distinct fingerprint
+    set and (b) a shingle inverted index with the standard
+    `max_bucket` saturation cap on CORPUS document frequency (a
+    stopword-ish shingle carried by >cap corpus docs identifies
+    nothing and would fan every batch doc out cap-fold) — in
+    production both live precomputed next to the corpus; here they
+    build in one pass.  The batch side is map-only shingling plus one
+    shuffle join against the capped index and one (batch_doc,
+    corpus_doc) aggregate — batch-sized, never corpus-pair-sized.
+    Determinism: best match = highest integer-ppm Jaccard, ties to the
+    lowest corpus doc_id; docs too short to shingle can still be
+    exact dups (the fingerprint path needs no shingles)."""
+    fp = F.md5(_norm_text(F.col("text")))
+    corpus_fps = corpus.select(fp.alias("c_fp")).distinct()
+    b_fp = batch.select(F.col("doc_id").alias("b_doc"), fp.alias("b_fp"))
+    exact = (
+        b_fp.join(corpus_fps, F.col("b_fp") == F.col("c_fp"), "left")
+        .select("b_doc", F.col("c_fp").isNotNull().alias("is_exact"))
+    )
+    c_sh = word_shingles(
+        corpus.select("doc_id", "text"), n).select(
+        F.col("doc_id").alias("c_doc"), F.xxhash64("shingle").alias("sh"))
+    c_sizes = c_sh.groupBy("c_doc").agg(F.count("*").alias("n_c"))
+    ok = (c_sh.groupBy("sh").agg(F.count("*").alias("df"))
+          .where(F.col("df") <= max_bucket).select("sh"))
+    c_idx = c_sh.join(ok, "sh")
+    b_sh = word_shingles(
+        batch.select("doc_id", "text"), n).select(
+        F.col("doc_id").alias("b_doc"), F.xxhash64("shingle").alias("sh"))
+    b_sizes = b_sh.groupBy("b_doc").agg(F.count("*").alias("n_b"))
+    common = (
+        b_sh.join(c_idx, "sh")
+        .groupBy("b_doc", "c_doc").agg(F.count("*").alias("n_common"))
+    )
+    ppm = F.expr(
+        "(n_common * 1000000) div (n_b + n_c - n_common)")
+    scored = (
+        common.join(b_sizes, "b_doc").join(c_sizes, "c_doc")
+        .select("b_doc", "c_doc", ppm.alias("jac_ppm"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("b_doc")
+        .orderBy(F.desc("jac_ppm"), F.asc("c_doc")))
+    best = (
+        scored.withColumn("rk", rk)
+        .groupBy("b_doc")
+        .agg(F.count("*").alias("n_candidates"),
+             F.max(F.when(F.col("rk") == 1, F.col("c_doc")))
+             .alias("best_match_id"),
+             F.max(F.when(F.col("rk") == 1, F.col("jac_ppm")))
+             .alias("best_jaccard_ppm"))
+    )
+    thr_ppm = int(threshold * 1_000_000)
+    verdict = (
+        F.when(F.col("is_exact"), "exact_dup")
+        .when(F.col("best_jaccard_ppm") >= thr_ppm, "near_dup")
+        .otherwise("new"))
+    return (
+        exact.join(best, "b_doc", "left")
+        .select(F.col("b_doc").alias("doc_id"),
+                F.col("is_exact").alias("is_exact_dup"),
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("best_match_id", F.lit(-1))
+                .alias("best_match_id"),
+                F.coalesce("best_jaccard_ppm", F.lit(0))
+                .alias("best_jaccard_ppm"),
+                verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
+
+
 def frequent_ngrams(docs: DataFrame, n: int = 8, k: int = 50) -> DataFrame:
     """Memorization-risk scan: the k word-n-grams appearing in the most
     DISTINCT documents — long verbatim strings repeated across many

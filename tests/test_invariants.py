@@ -2445,6 +2445,50 @@ def test_member_grain_reports_match_on_fixture(spark, sf_dir):
         near_dup_leakage_member(docs).collect()
 
 
+def test_incremental_ingest_dedup_verdicts(spark, sf_dir):
+    """Every verdict branch on an engineered corpus/batch pair: exact
+    copy -> exact_dup (even when too short to shingle), near-copy over
+    the Jaccard threshold -> near_dup with the right best match, novel
+    text -> new; and the integer-ppm threshold rule replays exactly."""
+    from ozone_spark.functions.dedup import incremental_ingest_dedup
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven"),
+         (2, "completely unrelated corpus body with many words"),
+         (3, "hi there")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "one two three four five six seven"),    # exact of 1
+         (101, "one two three four five six eight"),    # near of 1
+         (102, "entirely novel batch text nothing shared"),
+         (103, "hi there"),                             # exact, no shingles
+         (104, "zz")],                                  # new, no shingles
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            incremental_ingest_dedup(corpus, batch, threshold=0.5).collect()}
+    assert rows[100].verdict == "exact_dup" and rows[100].is_exact_dup
+    assert rows[101].verdict == "near_dup"
+    assert rows[101].best_match_id == 1
+    # 4 shared of 5+5 shingles: jaccard = 4/6
+    assert rows[101].best_jaccard_ppm == 4 * 1_000_000 // 6
+    assert rows[102].verdict == "new"
+    assert rows[103].verdict == "exact_dup" and rows[103].n_candidates == 0
+    assert rows[104].verdict == "new" and rows[104].best_match_id == -1
+    # fixture smoke: verdicts partition the batch; near_dup implies the
+    # ppm threshold; exact_dup wins precedence over any jaccard
+    docs = tables.load_table(spark, sf_dir, "documents")
+    out = incremental_ingest_dedup(
+        docs.where("doc_id % 10 <> 0"), docs.where("doc_id % 10 = 0"))
+    got = out.collect()
+    assert len(got) == docs.where("doc_id % 10 = 0").count()
+    for r in got:
+        if r.verdict == "near_dup":
+            assert r.best_jaccard_ppm >= 500_000 and not r.is_exact_dup
+        elif r.verdict == "exact_dup":
+            assert r.is_exact_dup
+        else:
+            assert not r.is_exact_dup and r.best_jaccard_ppm < 500_000
+
+
 def test_contamination_by_source_reconciles(spark, sf_dir):
     """The source rollup reconciles exactly with the per-doc
     decontaminate flags, and the ppm identity holds."""

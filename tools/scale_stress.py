@@ -135,6 +135,9 @@ STRESS_QUERIES = [
                                  # through the running-max sort
     "media_bmp_features",        # r8: real BMP decode (stride/padding/
                                  # BGR) over 10x payloads, map-only
+    "incremental_ingest_dedup",  # r8: batch-vs-corpus probe where every
+                                 # batch doc has ~9 corpus copies and
+                                 # every corpus bucket is 10x hotter
 ]
 
 
