@@ -1,0 +1,104 @@
+"""Record linkage / entity resolution: fuzzy-match two record systems
+WITHOUT the O(n^2) cross join, using symmetric-delete (SymSpell-style)
+blocking — every record emits itself plus all 1-deletion variants of its
+key string, and candidate pairs are the variant-equality join.  Any two
+strings within edit distance 1 (delete / insert / substitute) share at
+least one variant, so the block join has PERFECT recall for the 1-edit
+rule while touching only |records| x (len+1) short strings.
+
+The 100 TB shape: variant generation is a pure map (no shuffle), the
+candidate join is an equi-join on a well-distributed key (variant
+strings), and the expensive verifier (levenshtein) runs only on
+candidates — the standard blocking -> verification architecture of
+production entity resolution (Fellegi-Sunter framing; SymSpell is the
+delete-neighborhood trick from spell correction applied to blocking).
+
+The second system is DERIVED deterministically from the first (exact
+copy / one deletion / one substitution by key mod 3), so ground truth is
+known and the report grades the whole rule end-to-end: precision is NOT
+1.0 by construction — digit-structured names ("Customer#000012345")
+collide under 1-edit matching (substituting one digit reaches another
+real key), and the per-class rows surface exactly that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+LINK_CLASSES = {0: "exact", 1: "delete", 2: "substitute"}
+
+
+def _perturbed_b(a: DataFrame) -> DataFrame:
+    """System-B view: key mod 3 picks the perturbation (0 exact copy,
+    1 delete one char, 2 substitute one char with 'x'); the edit
+    position 1 + (7k mod len) is a pure function of the key so both
+    engines derive the identical corpus."""
+    pos = "CAST(1 + (k * 7) % length(nm) AS INT)"
+    return a.select(
+        F.col("k").alias("bk"),
+        F.expr(f"""CASE k % 3
+          WHEN 0 THEN nm
+          WHEN 1 THEN substr(nm, 1, {pos} - 1) || substr(nm, {pos} + 1)
+          ELSE substr(nm, 1, {pos} - 1) || 'x' || substr(nm, {pos} + 1)
+        END""").alias("bnm"))
+
+
+def _delete_variants(df: DataFrame, key: str, name: str) -> DataFrame:
+    """The record plus every 1-deletion variant of its name, distinct
+    per record (leading-zero runs collapse many deletions into one)."""
+    return (
+        df.select(
+            F.col(key), F.col(name),
+            F.explode(F.sequence(F.lit(0), F.length(name))).alias("i"))
+        .select(
+            F.col(key),
+            F.expr(f"CASE WHEN i = 0 THEN {name} ELSE "
+                   f"substr({name}, 1, i - 1) || substr({name}, i + 1) END")
+            .alias("v"))
+        .distinct()
+    )
+
+
+def record_linkage(customers: DataFrame) -> DataFrame:
+    """SymSpell-blocked 1-edit record linkage of customers against the
+    deterministically perturbed system-B twin, graded per perturbation
+    class against the known ground truth.
+
+    Columns: b_class, n_entities, n_candidates, n_matched, n_true,
+    precision_ppm, recall_ppm, f1_ppm (all-integer ppm arithmetic)."""
+    a = customers.select(F.col("c_custkey").alias("k"),
+                         F.col("c_name").alias("nm"))
+    b = _perturbed_b(a)
+    av = _delete_variants(a, "k", "nm")
+    bv = _delete_variants(b, "bk", "bnm")
+    cand = av.join(bv, "v").select("k", "bk").distinct()
+    pairs = (
+        cand.join(a, "k").join(b, "bk")
+        .withColumn("lev", F.levenshtein("nm", "bnm"))
+    )
+    b_class = F.expr("CASE bk % 3 WHEN 0 THEN 'exact' WHEN 1 THEN 'delete' "
+                     "ELSE 'substitute' END")
+    per_pair = pairs.select(
+        b_class.alias("b_class"),
+        F.lit(1).alias("is_cand"),
+        (F.col("lev") <= 1).cast("int").alias("is_match"),
+        ((F.col("lev") <= 1) & (F.col("k") == F.col("bk")))
+        .cast("int").alias("is_true"))
+    ent = b.select(b_class.alias("b_class")).groupBy("b_class").agg(
+        F.count("*").alias("n_entities"))
+    agg = per_pair.groupBy("b_class").agg(
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum("is_match").alias("n_matched"),
+        F.sum("is_true").alias("n_true"))
+    out = (
+        ent.join(agg, "b_class")
+        .withColumn("precision_ppm",
+                    F.expr("(n_true * 1000000) div greatest(n_matched, 1)"))
+        .withColumn("recall_ppm",
+                    F.expr("(n_true * 1000000) div greatest(n_entities, 1)"))
+        .withColumn("f1_ppm",
+                    F.expr("(2 * precision_ppm * recall_ppm) div "
+                           "greatest(precision_ppm + recall_ppm, 1)"))
+    )
+    return out.orderBy("b_class")

@@ -424,3 +424,115 @@ def join_key_skew(df: DataFrame, key: str) -> DataFrame:
                 F.expr("(top10_rows * 1000000) div greatest(n_rows, 1)")
                 .alias("top10_share_ppm"))
     )
+
+
+HDR_SUB = 16          # linear sub-buckets per power-of-two octave
+HDR_QS = (50, 90, 99)
+
+
+def hdr_histogram(df: DataFrame, group: str = "source",
+                  col: str = "n_chars", sub: int = HDR_SUB) -> DataFrame:
+    """HDR-histogram bucketing (Tene's HdrHistogram / hybrid log-linear
+    scheme, the same family as DDSketch's log buckets): bucket index =
+    octave * sub + sub-bucket, where octave = floor(log2(x)) computed as
+    length(bin(x)) - 1 (pure integer — no float log anywhere) and
+    sub-bucket = ((x - 2^octave) * sub) div 2^octave.  Every operation is
+    integer arithmetic, so the histogram replays bit-identically in any
+    engine — unlike t-digest/HLL whose implementations differ per engine.
+
+    The histogram is MERGEABLE: it is a plain (group, bucket) -> count
+    table, so shard histograms union+sum into the global one — the
+    property that makes one-pass percentiles possible at 100 TB (each
+    executor emits its partial histogram; the shuffle moves only
+    |groups| x |buckets| rows, never values).  Relative error of the
+    bucket-midpoint estimator is bounded by ~1/(2*sub)."""
+    x = F.col("x")
+    base = (
+        df.select(F.col(group).alias("g"), F.col(col).cast("long").alias("x"))
+        .where(x > 0)
+    )
+    return (
+        base
+        .withColumn("i", (F.length(F.bin(x)) - 1).cast("int"))
+        .withColumn("p", F.expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .withColumn("j", F.expr(f"((x - p) * {sub}) div p"))
+        .groupBy("g", (F.col("i") * sub + F.col("j")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _hdr_bucket_mid(sub: int) -> Column:
+    """Integer midpoint of a bucket's [lo, hi) value range — all-integer
+    (no float division: lo+hi can exceed 2^53 where doubles lose ulps)."""
+    p = f"shiftleft(CAST(1 AS BIGINT), CAST(bucket div {sub} AS INT))"
+    lo = f"({p} + ((bucket % {sub}) * {p}) div {sub})"
+    hi = f"({p} + (((bucket % {sub}) + 1) * {p}) div {sub})"
+    return F.expr(f"({lo} + {hi}) div 2")
+
+
+def hdr_quantiles_from_hist(hist: DataFrame, sub: int = HDR_SUB,
+                            qs: tuple = HDR_QS) -> DataFrame:
+    """Quantile estimates off an hdr_histogram: per group, the first
+    bucket whose cumulative count reaches ceil(q*n/100) supplies the
+    midpoint estimate.  Bucket midpoints are monotone in bucket index,
+    so min-over-qualifying-buckets IS the first qualifying bucket."""
+    cw = Window.partitionBy("g").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    nw = Window.partitionBy("g")
+    ranked = hist.select(
+        "g", "bucket", "cnt",
+        F.sum("cnt").over(cw).alias("cum"),
+        F.sum("cnt").over(nw).alias("n"),
+        _hdr_bucket_mid(sub).alias("mid"))
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        rank = F.expr(f"({q} * n + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("mid")))
+            .alias(f"p{q}_est"))
+    return ranked.groupBy("g").agg(*aggs)
+
+
+def hdr_quantile_report(df: DataFrame, group: str = "source",
+                        col: str = "n_chars", sub: int = HDR_SUB,
+                        qs: tuple = HDR_QS) -> DataFrame:
+    """Sketch-vs-exact quantile fidelity report per group: the HDR
+    estimate next to the exact order statistic (same ceil-rank rule)
+    with the relative error in ppm and the sketch's nominal bound
+    (half a sub-bucket width, 1e6/(2*sub) ppm).
+
+    Scale shape (100 TB): the SKETCH side is the production path — one
+    partial-aggregated groupBy over (group, bucket), shuffle volume
+    |groups| x ~hundreds of buckets.  The EXACT side here is the
+    fidelity oracle (same pattern as ann_recall's brute-force truth):
+    a per-group sort that exists to grade the sketch at gate scale and
+    would not ship in the 100 TB plan."""
+    est = hdr_quantiles_from_hist(
+        hdr_histogram(df, group, col, sub), sub, qs)
+    x = F.col("x")
+    base = (
+        df.select(F.col(group).alias("g"), F.col(col).cast("long").alias("x"))
+        .where(x > 0)
+    )
+    rw = Window.partitionBy("g").orderBy("x")
+    nw = Window.partitionBy("g")
+    ranked = base.select(
+        "g", "x",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(nw).alias("n"))
+    eaggs = []
+    for q in qs:
+        rank = F.expr(f"({q} * n + 99) div 100")
+        eaggs.append(F.max(F.when(F.col("rn") == rank, F.col("x")))
+                     .alias(f"p{q}_exact"))
+    exact = ranked.groupBy("g").agg(*eaggs)
+    out = est.join(exact, "g")
+    cols = [F.col("g").alias(group), F.col("n")]
+    for q in qs:
+        e, t = F.col(f"p{q}_est"), F.col(f"p{q}_exact")
+        cols += [e, t,
+                 F.expr(f"(abs(p{q}_est - p{q}_exact) * 1000000) "
+                        f"div greatest(p{q}_exact, 1)")
+                 .alias(f"p{q}_err_ppm")]
+    cols.append(F.lit(1000000 // (2 * sub)).cast("long").alias("bound_ppm"))
+    return out.select(*cols).orderBy(group)

@@ -833,3 +833,133 @@ def weekly_growth(events: DataFrame) -> DataFrame:
                 .alias("wow_pct"))
         .orderBy("event_type", "week")
     )
+
+
+CONCURRENCY_BUCKET_S = 3600  # prefix-sum time bucket (one calendar hour)
+
+
+def session_intervals(events: DataFrame,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap-rule sessions as closed intervals [s, e] in epoch
+    seconds (same 30-minute rule as sessionize; ties broken by
+    event_id so the assignment replays exactly in any engine)."""
+    gap_s = gap_minutes * 60
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tss = F.unix_timestamp("ts")
+    gapped = (
+        F.when(tss - F.unix_timestamp(F.lag("ts").over(by_user)) > gap_s, 1)
+        .otherwise(0)
+    )
+    return (
+        events.withColumn("new_sess", gapped)
+        .withColumn("session_id",
+                    F.sum("new_sess").over(
+                        by_user.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.min(tss).alias("s"), F.max(tss).alias("e"))
+    )
+
+
+def session_concurrency(events: DataFrame, gap_minutes: int = 30,
+                        etype: str = "purchase",
+                        bucket_s: int = CONCURRENCY_BUCKET_S) -> DataFrame:
+    """Interval-overlap concurrency WITHOUT pair materialization: for
+    each user session [s, e], the number of `etype` events by OTHER
+    users inside the interval, reported as a concurrency histogram
+    (concurrent -> n_sessions).
+
+    This is the range-join shape Spark lacks natively.  The naive plan
+    (sessions x events ON ts BETWEEN s AND e) materializes a pair blow-up
+    that grows QUADRATICALLY per time bucket as traffic density rises —
+    at 100 TB it is the classic interval-join killer.  This formulation
+    replaces pairs with order statistics: count(tss in [s, e]) =
+    P(e) - P(s-1) where P is the prefix count of the event timeline, so
+    the cost is O(n log n) sorting instead of O(pairs):
+
+      1. bucket the timeline into calendar hours; per-bucket counts
+         cumsum into per-bucket base offsets (a calendar-bounded tiny
+         table — 720 rows/month regardless of corpus size);
+      2. union the session endpoints (weight 0) with the events
+         (weight 1); ONE window per bucket computes every endpoint's
+         global prefix count as base-offset + in-bucket running sum —
+         the two-level prefix-sum trick that avoids any global sort;
+      3. the own-user correction (P_u(e) - P_u(s-1)) runs the same
+         union-window partitioned by user, where data is tiny.
+
+    The DuckDB oracle is the naive BETWEEN join (its IEJoin handles
+    gate-scale sizes), which independently cross-checks the whole
+    prefix-sum derivation."""
+    iv = session_intervals(events, gap_minutes)
+    ev = (
+        events.where(F.col("event_type") == etype)
+        .select(F.col("user_id").alias("u"),
+                F.unix_timestamp("ts").alias("t"))
+    )
+    # query points: two per session (t = s-1 and t = e); qsign -1/+1 so
+    # the final per-session sum is P(e) - P(s-1) in one aggregation
+    qpts = iv.select(
+        "user_id", "session_id",
+        F.explode(F.array(
+            F.struct((F.col("s") - 1).alias("t"), F.lit(-1).alias("qsign")),
+            F.struct(F.col("e").alias("t"), F.lit(1).alias("qsign")),
+        )).alias("q")
+    ).select("user_id", "session_id", "q.t", "q.qsign")
+
+    timeline = (
+        ev.select("t", F.lit(1).alias("w"), F.lit(0).alias("is_q"),
+                  F.lit(None).cast("long").alias("user_id"),
+                  F.lit(None).cast("long").alias("session_id"),
+                  F.lit(0).alias("qsign"))
+        .unionByName(qpts.select(
+            "t", F.lit(0).alias("w"), F.lit(1).alias("is_q"),
+            "user_id", "session_id", "qsign"))
+        .withColumn("bucket", F.expr(f"t div {bucket_s}"))
+    )
+    # level 1: per-bucket event counts -> cumulative base offsets.  The
+    # unpartitioned window runs over the CALENDAR-BOUNDED bucket table
+    # (hours in the retention window), never over data-sized rows.
+    per_bucket = timeline.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    off_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bw").over(off_w), F.lit(0)).alias("base"))
+    # level 2: in-bucket running count; events sort before queries at
+    # equal t (is_q) because P(t) counts tss <= t
+    run_w = Window.partitionBy("bucket").orderBy(
+        "t", "is_q", "qsign", "user_id", "session_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    global_p = (
+        timeline.join(broadcast(offsets), "bucket")
+        .withColumn("p", F.col("base") + F.sum("w").over(run_w))
+        .where(F.col("is_q") == 1)
+        .groupBy("user_id", "session_id")
+        .agg(F.sum(F.col("qsign") * F.col("p")).alias("n_all"))
+    )
+    # own-user correction: same union-window trick partitioned by user
+    own_tl = (
+        ev.select(F.col("u").alias("user_id"), "t", F.lit(1).alias("w"),
+                  F.lit(0).alias("is_q"),
+                  F.lit(None).cast("long").alias("session_id"),
+                  F.lit(0).alias("qsign"))
+        .unionByName(qpts.select(
+            "user_id", "t", F.lit(0).alias("w"), F.lit(1).alias("is_q"),
+            "session_id", "qsign"))
+    )
+    own_w = Window.partitionBy("user_id").orderBy(
+        "t", "is_q", "qsign", "session_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    own_p = (
+        own_tl.withColumn("p", F.sum("w").over(own_w))
+        .where(F.col("is_q") == 1)
+        .groupBy("user_id", "session_id")
+        .agg(F.sum(F.col("qsign") * F.col("p")).alias("n_own"))
+    )
+    per_session = (
+        global_p.join(own_p, ["user_id", "session_id"])
+        .select((F.col("n_all") - F.col("n_own")).alias("concurrent"))
+    )
+    return (
+        per_session.groupBy("concurrent")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("concurrent")
+    )

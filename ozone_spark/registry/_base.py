@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ozone_spark import tables
 from ozone_spark.functions import (
-    dedup, mining, multimodal, pipeline, similarity, sketch, text)
+    dedup, linkage, mining, multimodal, pipeline, similarity, sketch, text)
 from ozone_spark.functions.bins import bin_sql
 from ozone_spark.operators import (
     admin,

@@ -9,6 +9,12 @@ from .q_text import _NORM  # noqa: F401 — cross-domain helper
 
 
 
+from .q_mining import _kmeans_oracle  # noqa: F401 — cross-domain helper
+
+# shared literals for the round-8 additions
+_LINK_POS = "CAST(1 + (k * 7) % len(nm) AS INT)"
+_KMEANS_ORACLE_SQL = _kmeans_oracle()
+
 # Round-8 additions (registered with oracles in the same commit, per the
 # zero-debt gate discipline).
 R8_QUERIES = [
@@ -154,5 +160,168 @@ ORDER BY doc_id""",
 SELECT d.doc_id, CAST(15 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(15 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
 FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
+    ),
+    _q(
+        "hdr_quantiles",
+        lambda spark, sf: sketch.hdr_quantile_report(
+            views(spark, sf)["documents"]),
+        # HDR-histogram quantile sketch (log2 octaves x 16 linear
+        # sub-buckets, pure integer bucketing) graded against the exact
+        # order statistic per source; the sketch side is the mergeable
+        # one-pass 100 TB path, the exact side is the fidelity truth
+        """WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS x FROM documents
+  WHERE n_chars > 0
+), bk AS (
+  SELECT g, (CAST(length(bin(x)) - 1 AS BIGINT) * 16
+    + ((x - (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INT))) * 16)
+      // (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INT))) AS bucket
+  FROM base
+), hist AS (
+  SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2
+), rk AS (
+  SELECT g, bucket, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+    (((CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      + ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))) // 16)
+     + ((CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      + (((bucket % 16) + 1) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))) // 16)
+    ) // 2 AS mid
+  FROM hist
+), est AS (
+  SELECT g, max(n) AS n,
+    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN mid END) AS p50_est,
+    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN mid END) AS p90_est,
+    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN mid END) AS p99_est
+  FROM rk GROUP BY g
+), ex AS (
+  SELECT g,
+    max(CASE WHEN rn = (50 * n + 99) // 100 THEN x END) AS p50_exact,
+    max(CASE WHEN rn = (90 * n + 99) // 100 THEN x END) AS p90_exact,
+    max(CASE WHEN rn = (99 * n + 99) // 100 THEN x END) AS p99_exact
+  FROM (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+               count(*) OVER (PARTITION BY g) AS n FROM base)
+  GROUP BY g
+)
+SELECT est.g AS source, est.n,
+  p50_est, p50_exact,
+  (abs(p50_est - p50_exact) * 1000000) // greatest(p50_exact, 1) AS p50_err_ppm,
+  p90_est, p90_exact,
+  (abs(p90_est - p90_exact) * 1000000) // greatest(p90_exact, 1) AS p90_err_ppm,
+  p99_est, p99_exact,
+  (abs(p99_est - p99_exact) * 1000000) // greatest(p99_exact, 1) AS p99_err_ppm,
+  CAST(31250 AS BIGINT) AS bound_ppm
+FROM est JOIN ex ON est.g = ex.g ORDER BY source""",
+    ),
+    _q(
+        "session_concurrency",
+        lambda spark, sf: eops.session_concurrency(
+            views(spark, sf)["events"]),
+        # the range-join shape: per session [s, e], purchases by OTHER
+        # users inside the interval.  Spark side counts via two-level
+        # prefix sums (order statistics, no pair blow-up); the oracle is
+        # the naive BETWEEN join (DuckDB IEJoin) — an independent
+        # derivation that cross-checks the whole prefix-sum algebra
+        """WITH e AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS tss FROM events
+), l AS (
+  SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, CASE WHEN prev IS NOT NULL AND tss - prev > 1800 THEN 1 ELSE 0 END
+    AS new_sess FROM l
+), c AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s
+), iv AS (
+  SELECT user_id, session_id, min(tss) AS s, max(tss) AS e FROM c GROUP BY 1, 2
+), p AS (
+  SELECT user_id AS u, epoch_ms(ts) // 1000 AS t FROM events
+  WHERE event_type = 'purchase'
+), cnt AS (
+  SELECT iv.user_id, iv.session_id, count(p.t) AS concurrent
+  FROM iv LEFT JOIN p ON p.t BETWEEN iv.s AND iv.e AND p.u <> iv.user_id
+  GROUP BY 1, 2
+)
+SELECT concurrent, count(*) AS n_sessions FROM cnt GROUP BY 1 ORDER BY 1""",
+    ),
+    _q(
+        "record_linkage",
+        lambda spark, sf: linkage.record_linkage(
+            views(spark, sf)["customer"]),
+        # SymSpell-blocked 1-edit entity resolution against the
+        # deterministically perturbed system-B twin, graded per
+        # perturbation class vs known ground truth (precision < 1 by
+        # construction: digit-structured names collide under 1 edit)
+        f"""WITH a AS (
+  SELECT c_custkey AS k, c_name AS nm FROM customer
+), b AS (
+  SELECT k AS bk, CASE k % 3
+    WHEN 0 THEN nm
+    WHEN 1 THEN substr(nm, 1, {_LINK_POS} - 1) || substr(nm, {_LINK_POS} + 1)
+    ELSE substr(nm, 1, {_LINK_POS} - 1) || 'x' || substr(nm, {_LINK_POS} + 1)
+  END AS bnm FROM a
+), av AS (
+  SELECT DISTINCT k, CASE WHEN i = 0 THEN nm
+    ELSE substr(nm, 1, i - 1) || substr(nm, i + 1) END AS v
+  FROM a, LATERAL (SELECT unnest(range(0, len(nm) + 1)) AS i)
+), bv AS (
+  SELECT DISTINCT bk, CASE WHEN i = 0 THEN bnm
+    ELSE substr(bnm, 1, i - 1) || substr(bnm, i + 1) END AS v
+  FROM b, LATERAL (SELECT unnest(range(0, len(bnm) + 1)) AS i)
+), cand AS (
+  SELECT DISTINCT k, bk FROM av JOIN bv USING (v)
+), pairs AS (
+  SELECT cand.k, cand.bk, levenshtein(a.nm, b.bnm) AS lev,
+    CASE cand.bk % 3 WHEN 0 THEN 'exact' WHEN 1 THEN 'delete'
+      ELSE 'substitute' END AS b_class
+  FROM cand JOIN a ON a.k = cand.k JOIN b ON b.bk = cand.bk
+), ent AS (
+  SELECT CASE bk % 3 WHEN 0 THEN 'exact' WHEN 1 THEN 'delete'
+    ELSE 'substitute' END AS b_class, count(*) AS n_entities
+  FROM b GROUP BY 1
+), agg AS (
+  SELECT b_class, count(*) AS n_candidates,
+    CAST(sum((lev <= 1)::INT) AS BIGINT) AS n_matched,
+    CAST(sum((lev <= 1 AND k = bk)::INT) AS BIGINT) AS n_true
+  FROM pairs GROUP BY 1
+), m AS (
+  SELECT ent.b_class, n_entities, n_candidates, n_matched, n_true,
+    (n_true * 1000000) // greatest(n_matched, 1) AS precision_ppm,
+    (n_true * 1000000) // greatest(n_entities, 1) AS recall_ppm
+  FROM ent JOIN agg USING (b_class)
+)
+SELECT b_class, n_entities, n_candidates, n_matched, n_true,
+  precision_ppm, recall_ppm,
+  (2 * precision_ppm * recall_ppm)
+    // greatest(precision_ppm + recall_ppm, 1) AS f1_ppm
+FROM m ORDER BY b_class""",
+    ),
+    _q(
+        "prototype_pruning",
+        lambda spark, sf: similarity.prototype_pruning(
+            views(spark, sf)["embeddings"]),
+        # D4/SSL-prototypes diversity pruning: rank by distance to the
+        # kmeans_assign centroid (same fixed-point oracle CTEs wrapped
+        # as a derived table), prune the closest ceil(25%) per cluster
+        f"""WITH r AS (
+  SELECT cluster, dist_sq_q,
+    row_number() OVER (PARTITION BY cluster
+                       ORDER BY dist_sq_q, vec_id) AS rn,
+    count(*) OVER (PARTITION BY cluster) AS n
+  FROM ({_KMEANS_ORACLE_SQL}) ka
+), f AS (
+  SELECT cluster, dist_sq_q, n,
+    CASE WHEN rn <= (25 * n + 99) // 100 THEN 1 ELSE 0 END AS pruned
+  FROM r
+)
+SELECT cluster, CAST(max(n) AS BIGINT) AS n,
+  CAST(sum(pruned) AS BIGINT) AS n_pruned,
+  CAST(sum(CASE WHEN pruned = 1 THEN dist_sq_q END)
+       // greatest(sum(pruned), 1) AS BIGINT) AS pruned_mean_dist,
+  CAST(sum(CASE WHEN pruned = 0 THEN dist_sq_q END)
+       // greatest(count(*) - sum(pruned), 1) AS BIGINT) AS kept_mean_dist
+FROM f GROUP BY cluster ORDER BY cluster""",
     ),
 ]

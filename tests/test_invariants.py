@@ -2540,3 +2540,84 @@ def test_length_percentiles_exact_order_stats(spark, sf_dir):
         assert r.p50_chars == vals[(n + 1) // 2 - 1]
         assert r.p90_chars == vals[(9 * n + 9) // 10 - 1]
         assert r.p99_chars == vals[(99 * n + 99) // 100 - 1]
+
+
+# ---------------------------------------------------------------------------
+# round-8 session additions: HDR quantile sketch, interval-join
+# concurrency, SymSpell record linkage, prototype pruning
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_histogram_is_mergeable_and_bounded(spark, t):
+    """Shard histograms union+sum into the global histogram (the
+    property that makes one-pass 100 TB percentiles possible), and
+    every estimate honors the nominal 1/(2*sub) relative-error bound."""
+    from ozone_spark.functions import sketch
+
+    docs = t["documents"]
+    whole = sketch.hdr_histogram(docs)
+    sh_a = sketch.hdr_histogram(docs.where("doc_id % 2 = 0"))
+    sh_b = sketch.hdr_histogram(docs.where("doc_id % 2 = 1"))
+    merged = (
+        sh_a.unionByName(sh_b)
+        .groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    q_whole = sketch.hdr_quantiles_from_hist(whole).orderBy("g").collect()
+    q_merged = sketch.hdr_quantiles_from_hist(merged).orderBy("g").collect()
+    assert [tuple(r) for r in q_whole] == [tuple(r) for r in q_merged]
+
+    rep = sketch.hdr_quantile_report(docs).collect()
+    assert rep
+    for r in rep:
+        for q in (50, 90, 99):
+            assert r[f"p{q}_err_ppm"] <= r["bound_ppm"]
+
+
+def test_session_concurrency_matches_naive_pair_join(spark, t):
+    """The two-level prefix-sum derivation equals the naive
+    pair-materializing BETWEEN join (computed in Spark itself here;
+    the registry oracle re-checks it against DuckDB's IEJoin)."""
+    from ozone_spark.operators import events as eops
+
+    ev = t["events"]
+    fast = [tuple(r) for r in eops.session_concurrency(ev).collect()]
+
+    iv = eops.session_intervals(ev)
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.unix_timestamp("ts").alias("pt"))
+    naive = (
+        iv.join(p, (F.col("pt") >= F.col("s")) & (F.col("pt") <= F.col("e"))
+                & (F.col("u") != F.col("user_id")), "left")
+        .groupBy("user_id", "session_id")
+        .agg(F.count("pt").alias("concurrent"))
+        .groupBy("concurrent").agg(F.count("*").alias("n_sessions"))
+        .orderBy("concurrent")
+    )
+    assert fast == [tuple(r) for r in naive.collect()]
+
+
+def test_record_linkage_symspell_recall_is_total(spark, t):
+    """Symmetric-delete blocking catches EVERY 1-edit pair by
+    construction, so recall is exactly 1.0 for all three perturbation
+    classes; matched >= true keeps precision <= 1."""
+    from ozone_spark.functions import linkage
+
+    rows = linkage.record_linkage(t["customer"]).collect()
+    assert {r.b_class for r in rows} == {"exact", "delete", "substitute"}
+    for r in rows:
+        assert r.recall_ppm == 1_000_000
+        assert r.n_true == r.n_entities
+        assert r.n_matched >= r.n_true
+        assert 0 < r.precision_ppm <= 1_000_000
+
+
+def test_prototype_pruning_cuts_the_close_margin(spark, t):
+    """Pruned count is exactly ceil(25% of the cluster) and the pruned
+    members sit strictly inside the kept members' distance profile."""
+    from ozone_spark.functions import similarity
+
+    rows = similarity.prototype_pruning(t["embeddings"]).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pruned == (25 * r.n + 99) // 100
+        assert r.pruned_mean_dist <= r.kept_mean_dist
