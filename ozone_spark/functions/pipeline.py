@@ -1232,3 +1232,131 @@ def remove_duplicate_spans(docs: DataFrame,
                 "cleaned_fp")
         .orderBy("doc_id")
     )
+
+
+WATERFILL_EPOCH_CAP = 4   # Muennighoff et al. 2023: ~4 epochs before decay
+WATERFILL_BUDGET_X = 3    # token budget = 3x the corpus (forces saturation)
+SHARD_LEAK_SALT = "shardleak-v1"
+
+
+def mixture_waterfill(docs: DataFrame,
+                      epoch_cap: int = WATERFILL_EPOCH_CAP,
+                      budget_x: int = WATERFILL_BUDGET_X) -> DataFrame:
+    """Balanced-mixture token allocation with per-cell epoch caps via
+    exact water-filling — the multilingual rebalancing computation: give
+    every language an equal share of the training-token budget, EXCEPT
+    that no language may be repeated past `epoch_cap` epochs (the
+    data-constrained scaling rule of Muennighoff et al. 2023), and
+    re-distribute what the capped languages can't absorb to the rest.
+
+    Closed-form waterfill instead of an iterative redistribution loop:
+    sort cells by capacity ascending; cell r is saturated iff
+    cap_r * (n - r) <= B - C_r (C_r = cumulative capacity through r) —
+    the predicate is monotone along the sort (f(r) - f(r+1) =
+    (n - r)(cap_{r+1} - cap_r) >= 0), so the saturated set is a PREFIX
+    and one window pass finds it.  Everything is integer arithmetic
+    (cross-multiplied comparisons, floor-div shares), so the allocation
+    replays bit-identically in any engine.
+
+    Scale shape (100 TB): one partial-aggregated groupBy(lang) over the
+    corpus; the waterfill itself runs on the LANGUAGE-cardinality table
+    (dozens of rows) — the unpartitioned windows are bounded by the
+    language vocabulary, never by data."""
+    cells = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+             .alias("toks"))
+        .withColumn("cap", F.col("toks") * epoch_cap)
+    )
+    tot = cells.agg(F.sum("toks").alias("tt"), F.count("*").alias("n"))
+    rw = Window.orderBy("cap", "lang")
+    cw = rw.rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        cells.crossJoin(F.broadcast(tot))
+        .select("lang", "toks", "cap", "n",
+                (F.lit(budget_x) * F.col("tt")).alias("b"),
+                F.row_number().over(rw).alias("r"),
+                F.sum("cap").over(cw).alias("c"))
+        .withColumn(
+            "saturated",
+            (F.col("cap") * (F.col("n") - F.col("r"))
+             <= F.col("b") - F.col("c")).cast("int"))
+    )
+    sat = j.agg(F.sum("saturated").alias("rstar"),
+                F.sum(F.col("cap") * F.col("saturated")).alias("csat"))
+    return (
+        j.crossJoin(F.broadcast(sat))
+        .withColumn("share",
+                    F.expr("(b - csat) div greatest(n - rstar, 1)"))
+        .withColumn("allocated",
+                    F.when(F.col("saturated") == 1, F.col("cap"))
+                    .otherwise(F.col("share")))
+        .select("lang", "toks", "cap", "allocated",
+                F.expr("(allocated * 1000000) div greatest(toks, 1)")
+                .alias("epochs_ppm"),
+                F.col("saturated").cast("long").alias("saturated"))
+        .orderBy("lang")
+    )
+
+
+def shard_dedup_leakage(docs: DataFrame, n: int = DUP_SPAN_NGRAM,
+                        n_shards: int = N_SHARDS) -> DataFrame:
+    """Dedup-aware sharding audit at span grain: when documents sharing
+    duplicated n-word spans are scattered across training shards,
+    shard-local exact-substring dedup (the only dedup that runs inside
+    a shard at load time) cannot see the repetition and every shard
+    re-teaches the same text.  Compare two doc->shard rules by the
+    share of duplicated-span pairs they leave CROSS-shard:
+
+      doc_hash — the naive md5(doc_id) assignment (training_shards'
+        rule family): duplication lands across shards ~uniformly;
+      span_locality — shard = (min span hash) mod S, one-permutation
+        MinHash: two docs share their minimum span hash with
+        probability equal to their span-set Jaccard (the MinHash
+        collision property), so near-identical docs co-locate and the
+        cross-shard leak collapses, at zero extra machinery beyond the
+        span hashes the dedup family already computes.
+
+    Counting is algebraic, never pairwise-materialized: per span hash h
+    held by n docs, total pairs = C(n,2) and same-shard pairs =
+    sum_shard C(n_s,2), so cross = C(n,2) - sum C(n_s,2) — counts per
+    (h, shard), no h-sized blow-up even for a span in a million docs.
+
+    Scale shape: the span table is the map-only word_shingles stage;
+    one window per doc_id for the min hash; two groupBys over
+    (h[, shard]).  Document text is hashed once and never shuffled."""
+    sh = word_shingles(docs, n=n).select(
+        "doc_id", hash60(F.col("shingle")).alias("h"))
+    mh = F.min("h").over(Window.partitionBy("doc_id"))
+    keyed = sh.select(
+        "h",
+        F.pmod(hash28(F.concat_ws(
+            ":", F.lit(SHARD_LEAK_SALT), F.col("doc_id").cast("string"))),
+            F.lit(n_shards)).alias("shard_doc"),
+        F.pmod(mh, F.lit(n_shards)).alias("shard_loc"))
+
+    def leak(shard_col: str, label: str) -> DataFrame:
+        per_shard = keyed.groupBy("h", shard_col).agg(
+            F.count("*").alias("ns"))
+        per_h = per_shard.groupBy("h").agg(
+            F.sum("ns").alias("nh"),
+            F.sum(F.expr("ns * (ns - 1) div 2")).alias("same_pairs"))
+        dup = per_h.where(F.col("nh") > 1)
+        return dup.agg(
+            F.count("*").alias("n_dup_spans"),
+            F.coalesce(F.sum(F.expr("nh * (nh - 1) div 2")), F.lit(0))
+            .alias("dup_pairs"),
+            F.coalesce(
+                F.sum(F.expr("nh * (nh - 1) div 2") - F.col("same_pairs")),
+                F.lit(0)).alias("cross_shard_pairs"),
+        ).select(
+            F.lit(label).alias("strategy"),
+            "n_dup_spans", "dup_pairs", "cross_shard_pairs",
+            F.expr("(cross_shard_pairs * 1000000) div greatest(dup_pairs, 1)")
+            .alias("cross_ppm"))
+
+    return (
+        leak("shard_doc", "doc_hash")
+        .unionByName(leak("shard_loc", "span_locality"))
+        .orderBy("strategy")
+    )

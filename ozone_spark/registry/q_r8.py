@@ -10,6 +10,7 @@ from .q_text import _NORM  # noqa: F401 — cross-domain helper
 
 
 from .q_mining import _kmeans_oracle  # noqa: F401 — cross-domain helper
+from .q_pipeline import _SPAN_CAT  # noqa: F401 — cross-domain helper
 
 # shared literals for the round-8 additions
 _LINK_POS = "CAST(1 + (k * 7) % len(nm) AS INT)"
@@ -323,5 +324,84 @@ SELECT cluster, CAST(max(n) AS BIGINT) AS n,
   CAST(sum(CASE WHEN pruned = 0 THEN dist_sq_q END)
        // greatest(count(*) - sum(pruned), 1) AS BIGINT) AS kept_mean_dist
 FROM f GROUP BY cluster ORDER BY cluster""",
+    ),
+    _q(
+        "mixture_waterfill",
+        lambda spark, sf: pipeline.mixture_waterfill(
+            views(spark, sf)["documents"]),
+        # balanced multilingual token allocation under the 4-epoch cap
+        # (Muennighoff et al. 2023) via closed-form integer waterfill:
+        # saturated set is a prefix of the capacity sort, found in one
+        # window pass with cross-multiplied (division-free) comparisons
+        """WITH cells AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+), c2 AS (
+  SELECT lang, toks, toks * 4 AS cap FROM cells
+), tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS tt, count(*) AS n FROM c2
+), j AS (
+  SELECT lang, toks, cap, n, 3 * tt AS b,
+    row_number() OVER (ORDER BY cap, lang) AS r,
+    CAST(sum(cap) OVER (ORDER BY cap, lang
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM c2, tot
+), js AS (
+  SELECT *, CASE WHEN cap * (n - r) <= b - c THEN 1 ELSE 0 END AS saturated
+  FROM j
+), sat AS (
+  SELECT CAST(sum(saturated) AS BIGINT) AS rstar,
+    CAST(sum(cap * saturated) AS BIGINT) AS csat FROM js
+)
+SELECT lang, toks, cap,
+  CASE WHEN saturated = 1 THEN cap
+    ELSE (b - csat) // greatest(n - rstar, 1) END AS allocated,
+  (CASE WHEN saturated = 1 THEN cap
+    ELSE (b - csat) // greatest(n - rstar, 1) END * 1000000)
+    // greatest(toks, 1) AS epochs_ppm,
+  CAST(saturated AS BIGINT) AS saturated
+FROM js, sat ORDER BY lang""",
+    ),
+    _q(
+        "shard_dedup_leakage",
+        lambda spark, sf: pipeline.shard_dedup_leakage(
+            views(spark, sf)["documents"]),
+        # span-grain sharding audit: duplicated 8-word-span pairs left
+        # cross-shard by naive md5(doc_id) sharding vs one-permutation
+        # MinHash locality sharding (shard = min span hash mod S);
+        # pair counts are pure C(n,2) algebra over (h, shard) counts
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    CAST('0x' || substr(md5({_SPAN_CAT}), 1, 15) AS BIGINT) AS h
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)
+  WHERE len(w) >= 8
+), keyed AS (
+  SELECT h,
+    CAST('0x' || substr(md5('{pipeline.SHARD_LEAK_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 8 AS shard_doc,
+    (min(h) OVER (PARTITION BY doc_id)) % 8 AS shard_loc
+  FROM sh
+), res AS (
+  SELECT 'doc_hash' AS strategy, h, shard_doc AS s FROM keyed
+  UNION ALL
+  SELECT 'span_locality', h, shard_loc FROM keyed
+), per_shard AS (
+  SELECT strategy, h, s, count(*) AS ns FROM res GROUP BY 1, 2, 3
+), per_h AS (
+  SELECT strategy, h, CAST(sum(ns) AS BIGINT) AS nh,
+    CAST(sum(ns * (ns - 1) // 2) AS BIGINT) AS same_pairs
+  FROM per_shard GROUP BY 1, 2
+)
+SELECT strategy, count(*) AS n_dup_spans,
+  CAST(coalesce(sum(nh * (nh - 1) // 2), 0) AS BIGINT) AS dup_pairs,
+  CAST(coalesce(sum(nh * (nh - 1) // 2 - same_pairs), 0) AS BIGINT)
+    AS cross_shard_pairs,
+  (CAST(coalesce(sum(nh * (nh - 1) // 2 - same_pairs), 0) AS BIGINT)
+    * 1000000)
+    // greatest(CAST(coalesce(sum(nh * (nh - 1) // 2), 0) AS BIGINT), 1)
+    AS cross_ppm
+FROM per_h WHERE nh > 1 GROUP BY strategy ORDER BY strategy""",
     ),
 ]

@@ -2621,3 +2621,59 @@ def test_prototype_pruning_cuts_the_close_margin(spark, t):
     for r in rows:
         assert r.n_pruned == (25 * r.n + 99) // 100
         assert r.pruned_mean_dist <= r.kept_mean_dist
+
+
+def test_mixture_waterfill_matches_iterative_redistribution(spark, t):
+    """The closed-form prefix waterfill equals the textbook iterative
+    redistribution (repeat: split remaining budget equally among
+    unsaturated cells, cap the overflowers) run to fixpoint in plain
+    Python, and the budget is conserved up to floor-division remainder."""
+    from ozone_spark.functions import pipeline
+
+    rows = pipeline.mixture_waterfill(t["documents"]).collect()
+    caps = {r.lang: r.cap for r in rows}
+    budget = 3 * sum(r.toks for r in rows)
+
+    alloc = dict.fromkeys(caps, 0)
+    active = set(caps)
+    remaining = budget
+    while active and remaining > 0:
+        share = remaining // len(active)
+        if share == 0:
+            break
+        overflow = {l for l in active if caps[l] <= share}
+        if not overflow:
+            for l in active:
+                alloc[l] = share
+            break
+        for l in overflow:
+            alloc[l] = caps[l]
+            remaining -= caps[l]
+        active -= overflow
+    for r in rows:
+        assert r.allocated == alloc[r.lang], r.lang
+        # unsaturated shares are strictly below cap (boundary condition
+        # of the prefix rule), so cap-equality characterizes saturation
+        assert (r.saturated == 1) == (r.allocated == r.cap)
+    assert sum(r.allocated for r in rows) <= budget
+    # every unsaturated cell gets the identical share
+    shares = {r.allocated for r in rows if r.saturated == 0}
+    assert len(shares) <= 1
+
+
+def test_shard_dedup_leakage_locality_beats_hashing(spark, t):
+    """Both strategies see the SAME duplicated-span pair population
+    (sharding cannot change what is duplicated, only where it lands),
+    and one-permutation-MinHash locality sharding strictly reduces the
+    cross-shard share on any corpus with near-duplicate structure."""
+    from ozone_spark.functions import pipeline
+
+    rows = {r.strategy: r for r in
+            pipeline.shard_dedup_leakage(t["documents"]).collect()}
+    assert set(rows) == {"doc_hash", "span_locality"}
+    dh, sl = rows["doc_hash"], rows["span_locality"]
+    assert dh.n_dup_spans == sl.n_dup_spans
+    assert dh.dup_pairs == sl.dup_pairs
+    assert sl.cross_shard_pairs <= dh.cross_shard_pairs
+    for r in (dh, sl):
+        assert 0 <= r.cross_shard_pairs <= r.dup_pairs

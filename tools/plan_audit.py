@@ -74,6 +74,11 @@ BNLJ_OK = {
     # |sources|-row sketch table joined to itself by broadcast
     # inequality — pair math over k-int arrays, corpus-independent
     "kmv_source_overlap",
+    # r8: rides kmeans_assign (one-row broadcast centroid table)
+    "prototype_pruning",
+    # r8: two one-row broadcast scalar crossJoins (corpus totals and
+    # the waterfill cutoff aggregates) against the |langs|-row table
+    "mixture_waterfill",
 }
 
 

@@ -138,6 +138,21 @@ STRESS_QUERIES = [
     "incremental_ingest_dedup",  # r8: batch-vs-corpus probe where every
                                  # batch doc has ~9 corpus copies and
                                  # every corpus bucket is 10x hotter
+    "hdr_quantiles",             # r8: sketch side must stay histogram-
+                                 # sized while the exact-truth sort side
+                                 # absorbs 10x values per source
+    "session_concurrency",       # r8: 10x denser timeline — the prefix-
+                                 # sum formulation's cost is the sort,
+                                 # while the pair-join alternative would
+                                 # grow quadratically per hour bucket
+    "prototype_pruning",         # r8: broadcast-centroid assignment +
+                                 # per-cluster rank at 10x vectors
+    "shard_dedup_leakage",       # r8: 10x span volume; every duplicated
+                                 # span is 10x hotter but stays a counter
+    "mixture_waterfill",         # r8: corpus-sized groupBy(lang) into
+                                 # the vocabulary-sized waterfill
+    # record_linkage is NOT stressed here by design: it runs on the
+    # customer dimension, which this model keeps 1x (broadcast side)
 ]
 
 

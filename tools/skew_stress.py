@@ -68,6 +68,9 @@ SKEW_QUERIES = [
                               # the hot user hashes to ONE ingest
                               # partition, the worst case for the
                               # per-partition running-max sort
+    "session_concurrency",    # r8: the hot user's own-correction window
+                              # is one giant per-user partition, and its
+                              # merged mega-sessions span many buckets
 ]
 
 
