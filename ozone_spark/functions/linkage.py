@@ -60,13 +60,10 @@ def _delete_variants(df: DataFrame, key: str, name: str) -> DataFrame:
     )
 
 
-def record_linkage(customers: DataFrame) -> DataFrame:
-    """SymSpell-blocked 1-edit record linkage of customers against the
-    deterministically perturbed system-B twin, graded per perturbation
-    class against the known ground truth.
-
-    Columns: b_class, n_entities, n_candidates, n_matched, n_true,
-    precision_ppm, recall_ppm, f1_ppm (all-integer ppm arithmetic)."""
+def _candidate_pairs(customers: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared blocking+verification stage: (system-B frame, candidate
+    pairs with levenshtein scores) — consumed by record_linkage and
+    linkage_degree_distribution."""
     a = customers.select(F.col("c_custkey").alias("k"),
                          F.col("c_name").alias("nm"))
     b = _perturbed_b(a)
@@ -77,6 +74,17 @@ def record_linkage(customers: DataFrame) -> DataFrame:
         cand.join(a, "k").join(b, "bk")
         .withColumn("lev", F.levenshtein("nm", "bnm"))
     )
+    return b, pairs
+
+
+def record_linkage(customers: DataFrame) -> DataFrame:
+    """SymSpell-blocked 1-edit record linkage of customers against the
+    deterministically perturbed system-B twin, graded per perturbation
+    class against the known ground truth.
+
+    Columns: b_class, n_entities, n_candidates, n_matched, n_true,
+    precision_ppm, recall_ppm, f1_ppm (all-integer ppm arithmetic)."""
+    b, pairs = _candidate_pairs(customers)
     b_class = F.expr("CASE bk % 3 WHEN 0 THEN 'exact' WHEN 1 THEN 'delete' "
                      "ELSE 'substitute' END")
     per_pair = pairs.select(
@@ -102,3 +110,42 @@ def record_linkage(customers: DataFrame) -> DataFrame:
                            "greatest(precision_ppm + recall_ppm, 1)"))
     )
     return out.orderBy("b_class")
+
+
+def linkage_degree_distribution(customers: DataFrame) -> DataFrame:
+    """Match-graph degree distribution — the percolation early-warning
+    for entity resolution: per system-A record, how many system-B
+    records the 1-edit rule matches.  A mean degree above 1 means the
+    match graph percolates — transitive closure ("all matches are the
+    same entity") would chain records into mega-entities, the classic
+    ER failure mode — so this histogram is the go/no-go input for
+    whether clustering may follow matching, BEFORE any closure is run.
+
+    Columns: degree (matches per A record, 0 = unmatched), n_records,
+    plus the total match-edge count and the share of A records whose
+    matches are ambiguous (degree >= 2) in ppm.
+
+    Scale shape: the SymSpell candidate join (equi-join on variant
+    strings), one groupBy(k) for the degree, one groupBy(degree) for
+    the histogram — counts, not closures; nothing iterative."""
+    _, pairs = _candidate_pairs(customers)
+    a = customers.select(F.col("c_custkey").alias("k"))
+    deg = (
+        a.join(pairs.where(F.col("lev") <= 1).groupBy("k")
+               .agg(F.count("*").alias("degree")), "k", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_records"))
+    tot = hist.agg(
+        F.sum(F.col("degree") * F.col("n_records")).alias("n_edges"),
+        F.sum("n_records").alias("n_all"),
+        F.sum(F.when(F.col("degree") >= 2, F.col("n_records"))
+              .otherwise(F.lit(0))).alias("n_ambig"))
+    from pyspark.sql.functions import broadcast
+    return (
+        hist.crossJoin(broadcast(tot))
+        .select("degree", "n_records", "n_edges",
+                F.expr("(n_ambig * 1000000) div greatest(n_all, 1)")
+                .alias("ambiguous_ppm"))
+        .orderBy("degree")
+    )

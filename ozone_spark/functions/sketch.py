@@ -536,3 +536,43 @@ def hdr_quantile_report(df: DataFrame, group: str = "source",
                  .alias(f"p{q}_err_ppm")]
     cols.append(F.lit(1000000 // (2 * sub)).cast("long").alias("bound_ppm"))
     return out.select(*cols).orderBy(group)
+
+
+def hdr_ingest_drift(corpus: DataFrame, batch: DataFrame,
+                     group: str = "source", col: str = "n_chars",
+                     sub: int = HDR_SUB, qs: tuple = HDR_QS) -> DataFrame:
+    """Resident-sketch quantile monitoring across an ingest: merge the
+    new batch's HDR histogram into the resident corpus histogram (pure
+    counter addition — the sketch's mergeability IS the ingest path;
+    the corpus itself is never re-read in production, its histogram is
+    the tiny resident state) and report per-group quantiles before vs
+    after with the absolute shift in ppm — the "did this crawl batch
+    move the length distribution" alarm.
+
+    All-integer: estimates are bucket midpoints, shifts are
+    abs-difference ppm against the before value (signed integer
+    division is avoided deliberately — truncation direction differs
+    across engines for negatives; direction is read off the
+    before/after columns)."""
+    hc = hdr_histogram(corpus, group, col, sub)
+    hb = hdr_histogram(batch, group, col, sub)
+    merged = (
+        hc.unionByName(hb)
+        .groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    before = hdr_quantiles_from_hist(hc, sub, qs)
+    after = hdr_quantiles_from_hist(merged, sub, qs)
+    b = before.select(
+        "g", F.col("n").alias("n_before"),
+        *[F.col(f"p{q}_est").alias(f"p{q}_before") for q in qs])
+    a = after.select(
+        "g", F.col("n").alias("n_after"),
+        *[F.col(f"p{q}_est").alias(f"p{q}_after") for q in qs])
+    out = b.join(a, "g")
+    cols = [F.col("g").alias(group), "n_before", "n_after"]
+    for q in qs:
+        cols += [F.col(f"p{q}_before"), F.col(f"p{q}_after"),
+                 F.expr(f"(abs(p{q}_after - p{q}_before) * 1000000) "
+                        f"div greatest(p{q}_before, 1)")
+                 .alias(f"p{q}_shift_ppm")]
+    return out.select(*cols).orderBy(group)

@@ -15,6 +15,45 @@ from .q_pipeline import _SPAN_CAT  # noqa: F401 — cross-domain helper
 # shared literals for the round-8 additions
 _LINK_POS = "CAST(1 + (k * 7) % len(nm) AS INT)"
 _KMEANS_ORACLE_SQL = _kmeans_oracle()
+# md5 ingest-batch membership (~10% of docs, uniform across sources)
+_INGEST_SPARK = ("pmod(CAST(conv(substring(md5(concat('ingest-v1:', "
+                 "CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT), 10)"
+                 " = 0")
+_INGEST_DUCK = ("CAST('0x' || substr(md5('ingest-v1:' || "
+                "CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0")
+
+def _hdr_est_sql(where: str) -> str:
+    """HDR quantile-estimate block over documents restricted by
+    `where` — mirrors sketch.hdr_histogram + hdr_quantiles_from_hist
+    term for term (log2 octave via length(bin(x)), 16 linear
+    sub-buckets, ceil-rank bucket-midpoint estimates)."""
+    p = "(CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))"
+    mid = (f"(({p} + ((bucket % 16) * {p}) // 16)"
+           f" + ({p} + (((bucket % 16) + 1) * {p}) // 16)) // 2")
+    return f"""(
+  WITH base AS (
+    SELECT source AS g, CAST(n_chars AS BIGINT) AS x FROM documents
+    WHERE n_chars > 0 AND ({where})
+  ), bk AS (
+    SELECT g, (CAST(length(bin(x)) - 1 AS BIGINT) * 16
+      + ((x - (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INT))) * 16)
+        // (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INT))) AS bucket
+    FROM base
+  ), hist AS (
+    SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2
+  ), rk AS (
+    SELECT g, bucket,
+      CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum,
+      CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+      {mid} AS mid
+    FROM hist
+  )
+  SELECT g, max(n) AS n,
+    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN mid END) AS p50_est,
+    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN mid END) AS p90_est,
+    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN mid END) AS p99_est
+  FROM rk GROUP BY g)"""
+
 
 # Round-8 additions (registered with oracles in the same commit, per the
 # zero-debt gate discipline).
@@ -403,5 +442,76 @@ SELECT strategy, count(*) AS n_dup_spans,
     // greatest(CAST(coalesce(sum(nh * (nh - 1) // 2), 0) AS BIGINT), 1)
     AS cross_ppm
 FROM per_h WHERE nh > 1 GROUP BY strategy ORDER BY strategy""",
+    ),
+    _q(
+        "linkage_degree_distribution",
+        lambda spark, sf: linkage.linkage_degree_distribution(
+            views(spark, sf)["customer"]),
+        # the ER percolation early-warning: matches-per-record degree
+        # histogram of the 1-edit match graph — counts, no closures
+        # (transitive closure over this graph percolates by design;
+        # this report is the go/no-go input computed BEFORE any CC)
+        f"""WITH a AS (
+  SELECT c_custkey AS k, c_name AS nm FROM customer
+), b AS (
+  SELECT k AS bk, CASE k % 3
+    WHEN 0 THEN nm
+    WHEN 1 THEN substr(nm, 1, {_LINK_POS} - 1) || substr(nm, {_LINK_POS} + 1)
+    ELSE substr(nm, 1, {_LINK_POS} - 1) || 'x' || substr(nm, {_LINK_POS} + 1)
+  END AS bnm FROM a
+), av AS (
+  SELECT DISTINCT k, CASE WHEN i = 0 THEN nm
+    ELSE substr(nm, 1, i - 1) || substr(nm, i + 1) END AS v
+  FROM a, LATERAL (SELECT unnest(range(0, len(nm) + 1)) AS i)
+), bv AS (
+  SELECT DISTINCT bk, CASE WHEN i = 0 THEN bnm
+    ELSE substr(bnm, 1, i - 1) || substr(bnm, i + 1) END AS v
+  FROM b, LATERAL (SELECT unnest(range(0, len(bnm) + 1)) AS i)
+), cand AS (
+  SELECT DISTINCT k, bk FROM av JOIN bv USING (v)
+), matched AS (
+  SELECT cand.k FROM cand JOIN a ON a.k = cand.k JOIN b ON b.bk = cand.bk
+  WHERE levenshtein(a.nm, b.bnm) <= 1
+), deg AS (
+  SELECT a.k, count(matched.k) AS degree
+  FROM a LEFT JOIN matched ON matched.k = a.k GROUP BY a.k
+), hist AS (
+  SELECT degree, count(*) AS n_records FROM deg GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(degree * n_records) AS BIGINT) AS n_edges,
+    CAST(sum(n_records) AS BIGINT) AS n_all,
+    CAST(sum(CASE WHEN degree >= 2 THEN n_records ELSE 0 END) AS BIGINT)
+      AS n_ambig
+  FROM hist
+)
+SELECT degree, n_records, n_edges,
+  (n_ambig * 1000000) // greatest(n_all, 1) AS ambiguous_ppm
+FROM hist, tot ORDER BY degree""",
+    ),
+    _q(
+        "hdr_ingest_drift",
+        lambda spark, sf: sketch.hdr_ingest_drift(
+            views(spark, sf)["documents"].where(f"NOT ({_INGEST_SPARK})"),
+            views(spark, sf)["documents"].where(_INGEST_SPARK)),
+        # resident-sketch ingest monitoring: the batch histogram merges
+        # into the corpus histogram by counter addition, so the "after"
+        # quantiles equal the whole-corpus estimates — the oracle
+        # computes before (corpus filter) and after (no filter) blocks
+        # independently and re-derives the same shift ppm.  The batch
+        # key is an md5 split (doc_id % k would select whole sources:
+        # doc_id is block-aligned with the source column)
+        f"""WITH before AS {_hdr_est_sql(f"NOT ({_INGEST_DUCK})")},
+after AS {_hdr_est_sql("TRUE")}
+SELECT b.g AS source, b.n AS n_before, a.n AS n_after,
+  b.p50_est AS p50_before, a.p50_est AS p50_after,
+  (abs(a.p50_est - b.p50_est) * 1000000)
+    // greatest(b.p50_est, 1) AS p50_shift_ppm,
+  b.p90_est AS p90_before, a.p90_est AS p90_after,
+  (abs(a.p90_est - b.p90_est) * 1000000)
+    // greatest(b.p90_est, 1) AS p90_shift_ppm,
+  b.p99_est AS p99_before, a.p99_est AS p99_after,
+  (abs(a.p99_est - b.p99_est) * 1000000)
+    // greatest(b.p99_est, 1) AS p99_shift_ppm
+FROM before b JOIN after a ON b.g = a.g ORDER BY source""",
     ),
 ]

@@ -2677,3 +2677,40 @@ def test_shard_dedup_leakage_locality_beats_hashing(spark, t):
     assert sl.cross_shard_pairs <= dh.cross_shard_pairs
     for r in (dh, sl):
         assert 0 <= r.cross_shard_pairs <= r.dup_pairs
+
+
+def test_linkage_degree_distribution_reconciles_with_linkage(spark, t):
+    """Degree histogram accounting: every A record appears in exactly
+    one degree bucket, the edge total equals record_linkage's matched
+    pair total, and ambiguous_ppm re-derives from the histogram."""
+    from ozone_spark.functions import linkage
+
+    rows = linkage.linkage_degree_distribution(t["customer"]).collect()
+    link = linkage.record_linkage(t["customer"]).collect()
+    n_customers = t["customer"].count()
+    assert sum(r.n_records for r in rows) == n_customers
+    n_edges = sum(r.degree * r.n_records for r in rows)
+    assert all(r.n_edges == n_edges for r in rows)
+    assert n_edges == sum(r.n_matched for r in link)
+    ambig = sum(r.n_records for r in rows if r.degree >= 2)
+    assert rows[0].ambiguous_ppm == (ambig * 1_000_000) // n_customers
+
+
+def test_hdr_ingest_drift_after_equals_full_recompute(spark, t):
+    """Merging the batch histogram into the resident corpus histogram
+    gives EXACTLY the whole-corpus estimates (counter addition is the
+    ingest path), and row counts are conserved."""
+    from ozone_spark.functions import sketch
+
+    docs = t["documents"]
+    batch_pred = ("pmod(CAST(conv(substring(md5(concat('ingest-v1:', "
+                  "CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT), 10)"
+                  " = 0")
+    drift = sketch.hdr_ingest_drift(
+        docs.where(f"NOT ({batch_pred})"), docs.where(batch_pred)).collect()
+    full = {r["source"]: r for r in sketch.hdr_quantile_report(docs).collect()}
+    for r in drift:
+        f = full[r["source"]]
+        assert r.n_after == f.n
+        for q in (50, 90, 99):
+            assert r[f"p{q}_after"] == f[f"p{q}_est"]

@@ -37,6 +37,10 @@ HEAVY_FIVE = [
     "dedup_ngram_jaccard",
     "keeper_policy_audit",
     "streaming_session_stats",
+    # r8 second session: the prefix-sum interval join — 30x denser
+    # timeline is where the pair-materializing alternative would blow
+    # up quadratically per bucket; this one must stay sort-bound
+    "session_concurrency",
 ]
 
 # 10x medians from the committed SCALE artifact of the matching round —

@@ -151,6 +151,9 @@ STRESS_QUERIES = [
                                  # span is 10x hotter but stays a counter
     "mixture_waterfill",         # r8: corpus-sized groupBy(lang) into
                                  # the vocabulary-sized waterfill
+    "hdr_ingest_drift",          # r8: resident-sketch merge at 10x —
+                                 # both histograms stay bucket-sized
+                                 # while the scan side absorbs 10x
     # record_linkage is NOT stressed here by design: it runs on the
     # customer dimension, which this model keeps 1x (broadcast side)
 ]
