@@ -6,9 +6,6 @@ from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403 — shared registry namespace
 from .q_text import _NORM  # noqa: F401 — cross-domain helper
-
-
-
 from .q_mining import _kmeans_oracle  # noqa: F401 — cross-domain helper
 from .q_pipeline import _SPAN_CAT  # noqa: F401 — cross-domain helper
 
@@ -21,6 +18,7 @@ _INGEST_SPARK = ("pmod(CAST(conv(substring(md5(concat('ingest-v1:', "
                  " = 0")
 _INGEST_DUCK = ("CAST('0x' || substr(md5('ingest-v1:' || "
                 "CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0")
+
 
 def _hdr_est_sql(where: str) -> str:
     """HDR quantile-estimate block over documents restricted by
