@@ -660,29 +660,24 @@ def keeper_policy_audit(docs: DataFrame,
     q = quality_features(docs).select(
         "doc_id",
         F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q"))
-    # distinct column names end-to-end: best/sz/minq all derive from m,
-    # and same-name joins across shared lineage are ambiguous
     m = cc.join(q, "doc_id").select(F.col("cluster_id").alias("cl"),
                                     F.col("doc_id").alias("d"), "q")
-    rn = F.row_number().over(
-        Window.partitionBy("cl").orderBy(F.desc("q"), F.asc("d")))
-    best = (
-        m.withColumn("rn", rn).where(F.col("rn") == 1)
-        .select(F.col("cl").alias("b_cl"), F.col("d").alias("best_id"),
-                F.col("q").alias("best_q"))
-    )
-    sz = m.groupBy("cl").agg(
-        F.count("*").alias("sz"), F.min("d").alias("minid"))
-    minq = (
-        m.select(F.col("cl").alias("m_cl"), F.col("d").alias("m_d"),
-                 F.col("q").alias("min_q"))
-        .join(sz, (F.col("m_cl") == F.col("cl"))
-              & (F.col("m_d") == F.col("minid")))
-        .select(F.col("m_cl"), "min_q")
-    )
-    joined = (
-        sz.join(best, F.col("cl") == F.col("b_cl"))
-        .join(minq, F.col("cl") == F.col("m_cl"))
+    # ONE struct-ordered aggregation per cluster instead of a rank
+    # window plus three joins back onto the cluster table: the earlier
+    # three-branch formulation re-executed the (lazy) cluster plan once
+    # per branch — measured 83 s vs 36 s for the machinery itself at
+    # the 30x probe.  max(struct(q, -d)) is keep-best (highest quality,
+    # then lowest id); min(struct(d, q)) carries the keep-first
+    # member's quality alongside its id (doc ids are unique, so both
+    # orderings are total and replay exactly).
+    joined = m.groupBy("cl").agg(
+        F.count("*").alias("sz"),
+        F.max(F.struct(F.col("q"), (-F.col("d")).alias("nd"))).alias("bs"),
+        F.min(F.struct(F.col("d"), F.col("q"))).alias("ms"),
+    ).select(
+        "sz",
+        (-F.col("bs.nd")).alias("best_id"), F.col("bs.q").alias("best_q"),
+        F.col("ms.d").alias("minid"), F.col("ms.q").alias("min_q"),
     )
     return joined.agg(
         F.count("*").alias("n_clusters"),
