@@ -289,3 +289,32 @@ def streaming_attribution(events_stream: DataFrame,
         "user_id", "view_event_id", "click_event_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
         .alias("gap_us"))
+
+
+def streaming_hdr_histogram(docs_stream: DataFrame,
+                            sub: int = 16) -> DataFrame:
+    """Streaming twin of sketch.hdr_histogram: the per-(source, bucket)
+    counter table maintained as a stateful streaming aggregation — the
+    resident quantile sketch updating as crawl batches arrive, which is
+    the production form of hdr_ingest_drift's before/after merge (each
+    micro-batch's partial histogram folds into state by counter
+    addition; complete-mode output IS the resident sketch).
+
+    State is |sources| x |buckets| rows — bounded by the bucket grammar
+    (log2 octaves x sub), NOT by corpus size, so the aggregation never
+    needs a watermark: this is exactly the mergeable-sketch property
+    that makes the operator safe on an unbounded 100 TB crawl stream.
+    The integer bucket math is identical to the batch side, so the
+    drained state equals hdr_histogram(batch) row-for-row
+    (test_streaming asserts it)."""
+    x = F.col("n_chars").cast("long")
+    return (
+        docs_stream.where(x > 0)
+        .select(F.col("source").alias("g"),
+                (F.length(F.bin(x)) - 1).cast("int").alias("i"), x.alias("x"))
+        .withColumn("p", F.expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .groupBy("g",
+                 (F.col("i") * sub + F.expr(f"((x - p) * {sub}) div p"))
+                 .alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -429,3 +429,28 @@ def test_name_uuid_rfc4122_layout(spark):
     c = {r.to_snapshot: r.job_id
          for r in snapshot_diff_job_ids(chain, volume="vol2").collect()}
     assert set(c.values()).isdisjoint(a.values())
+
+
+def test_streaming_hdr_histogram_equals_batch_sketch(spark, sf_dir, tmpdir):
+    """The stateful streaming HDR aggregation drained over one-file
+    micro-batches equals the batch hdr_histogram row-for-row — counter
+    addition across micro-batches IS the sketch merge, so the resident
+    state is the same mergeable histogram the batch side computes (and
+    its size is bucket-grammar-bounded, never corpus-bounded)."""
+    from ozone_spark.functions import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = windows.read_documents_stream(
+        spark, f"{sf_dir}/documents.parquet")
+    drained = windows.drain_to_memory(
+        windows.streaming_hdr_histogram(stream), spark,
+        "hdr_hist_stream", f"{tmpdir}/hdr_ckpt")
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(tuple(r) for r in sketch.hdr_histogram(docs).collect())
+    assert got == want
+    # and the quantile read-off over the drained state matches too
+    got_q = sorted(tuple(r) for r in
+                   sketch.hdr_quantiles_from_hist(drained).collect())
+    want_q = sorted(tuple(r) for r in sketch.hdr_quantiles_from_hist(
+        sketch.hdr_histogram(docs)).collect())
+    assert got_q == want_q
