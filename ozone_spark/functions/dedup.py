@@ -1243,8 +1243,10 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     # projection (~tens of bytes/doc, MEMORY_AND_DISK at scale), not
     # the word arrays.
     membership = _slot_cache(base.select("doc_id", "g"), "clusters_base")
-    groups = membership.groupBy("g").agg(F.min("doc_id").alias("rep"),
-                                         F.count("*").alias("sz"))
+    groups = _slot_cache(
+        membership.groupBy("g").agg(F.min("doc_id").alias("rep"),
+                                    F.count("*").alias("sz")),
+        "clusters_groups")
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
@@ -1260,16 +1262,24 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
         .select("g", F.explode(shingles).alias("shingle"))
         .select("g", F.xxhash64("shingle").alias("shingle"))
     )
-    sizes = (
+    # The post-aggregation tables are DISTINCT-CONTENT-sized (thousands
+    # of rows), not corpus-sized — slot-caching them means a SECOND
+    # duplicate_clusters call in the same session (keeper_policy_audit,
+    # cluster stats, keep-best all ride this function) skips the
+    # corpus-sized shingle explode + collect_set exchange entirely.
+    # Measured at the 30x probe order (clusters -> reps -> ngram ->
+    # keeper): the keeper's inner re-run cost 80 s without these slots
+    # and the tables themselves are < 1 MB.
+    sizes = _slot_cache(
         base.where(F.size("ws") >= n)
         .select("g", F.size(shingles).alias("n_sh"))
-        .groupBy("g").agg(F.min("n_sh").alias("n_sh"))
-    )
-    buckets = (
+        .groupBy("g").agg(F.min("n_sh").alias("n_sh")),
+        "clusters_sizes")
+    buckets = _slot_cache(
         sh_raw.groupBy("shingle").agg(F.collect_set("g").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
-        .select(F.array_sort("ds").alias("ds"))
-    )
+        .select(F.array_sort("ds").alias("ds")),
+        "clusters_buckets")
     pair_expr = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"

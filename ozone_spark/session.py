@@ -64,6 +64,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = "ozone-spark", cpus: int | None = None) -> SparkSession:
+    # driver.memory stays a MODEST 8g by MEASUREMENT, not oversight: an
+    # A/B at the 30x probe corpus (idle host, same query order) ran the
+    # cluster-machinery sequence at 90/41/23 s with 8g but 117/91/38 s
+    # with a 62g heap — a big deserialized block-manager + G1 old-gen
+    # is slower for this shuffle-heavy shape than compact serialized
+    # spill + OS page cache.  Override via SPARK_DRIVER_MEMORY.
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     builder = (
         SparkSession.builder.appName(app_name)
