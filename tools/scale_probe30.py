@@ -114,11 +114,11 @@ def main() -> int:
             sec = round(time.perf_counter() - t0, 1)
             row = {"sec": sec, "rows": n}
             base = t10.get(name, {}).get("sec")
-            if base and base > 0 and replicas == 30:
+            if base and base > 0 and replicas > 10:
                 # exponent vs the 10x run: t ~ scale^e
                 row["sec_10x"] = base
                 row["exponent_vs_10x"] = round(
-                    math.log(sec / base) / math.log(3.0), 2)
+                    math.log(sec / base) / math.log(replicas / 10.0), 2)
             results[name] = row
             print(f"# {name}: {sec}s ({n} rows) "
                   f"exp={row.get('exponent_vs_10x')}", file=sys.stderr)
