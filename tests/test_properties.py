@@ -238,3 +238,65 @@ def test_suggest_shuffle_partitions_law(nbytes):
     if 8 * target <= nbytes <= 200_000 * target:
         assert (p - 1) * target < nbytes <= p * target
     assert ssp(nbytes) <= ssp(nbytes + target)
+
+
+def waterfill_closed_form(caps: list[int], budget: int) -> list[int]:
+    """Pure-python rendering of mixture_waterfill's prefix rule
+    (functions/pipeline.py): sort by capacity, cell r is saturated iff
+    cap_r * (n - r) <= B - C_r; unsaturated cells share the remainder
+    by floor division.  Returned in the input order."""
+    n = len(caps)
+    order = sorted(range(n), key=lambda i: caps[i])
+    c = 0
+    saturated = []
+    for r, i in enumerate(order, start=1):
+        c += caps[i]
+        saturated.append(caps[i] * (n - r) <= budget - c)
+    # prefix property: monotone along the sort (asserted, not assumed)
+    assert saturated == sorted(saturated, reverse=True)
+    rstar = sum(saturated)
+    csat = sum(caps[i] for i in order[:rstar])
+    share = (budget - csat) // max(n - rstar, 1)
+    out = [0] * n
+    for r, i in enumerate(order):
+        out[i] = caps[i] if r < rstar else share
+    return out
+
+
+def waterfill_iterative(caps: list[int], budget: int) -> list[int]:
+    """Textbook redistribution to fixpoint (the formulation the closed
+    form replaces)."""
+    alloc = [0] * len(caps)
+    active = set(range(len(caps)))
+    remaining = budget
+    while active and remaining > 0:
+        share = remaining // len(active)
+        if share == 0:
+            break
+        overflow = {i for i in active if caps[i] <= share}
+        if not overflow:
+            for i in active:
+                alloc[i] = share
+            break
+        for i in overflow:
+            alloc[i] = caps[i]
+            remaining -= caps[i]
+        active -= overflow
+    return alloc
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10_000),
+                min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=200_000))
+def test_waterfill_prefix_rule_matches_iterative(caps, budget):
+    """The closed-form prefix waterfill equals iterative redistribution
+    for ANY capacities/budget (not just the fixture's shape), conserves
+    the budget up to floor remainder, and never exceeds a cap."""
+    closed = waterfill_closed_form(caps, budget)
+    iterative = waterfill_iterative(caps, budget)
+    assert closed == iterative
+    assert sum(closed) <= budget or all(
+        a == c for a, c in zip(closed, caps))
+    for a, c in zip(closed, caps):
+        assert 0 <= a <= c
