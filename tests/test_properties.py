@@ -300,3 +300,67 @@ def test_waterfill_prefix_rule_matches_iterative(caps, budget):
         a == c for a, c in zip(closed, caps))
     for a, c in zip(closed, caps):
         assert 0 <= a <= c
+
+
+def hdr_bucket(x: int, sub: int = 16) -> int:
+    """Pure-python rendering of sketch.hdr_histogram's bucket rule:
+    octave = floor(log2(x)) via bit_length, then linear sub-bucket."""
+    i = x.bit_length() - 1
+    p = 1 << i
+    return i * sub + ((x - p) * sub) // p
+
+
+def hdr_mid(bucket: int, sub: int = 16) -> int:
+    p = 1 << (bucket // sub)
+    j = bucket % sub
+    lo = p + (j * p) // sub
+    hi = p + ((j + 1) * p) // sub
+    return (lo + hi) // 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=1 << 62))
+def test_hdr_bucket_rule_is_sound(x):
+    """Every positive value lands in a bucket whose [lo, hi) range
+    contains it, the midpoint honors the 1/(2*sub) relative-error
+    bound (plus the integer-width floor of narrow low-octave buckets),
+    and the bucket index is monotone (checked against x+1)."""
+    sub = 16
+    b = hdr_bucket(x)
+    p = 1 << (b // sub)
+    j = b % sub
+    lo = p + (j * p) // sub
+    hi = p + ((j + 1) * p) // sub
+    assert lo <= x < max(hi, lo + 1), (x, b, lo, hi)
+    mid = hdr_mid(b)
+    # abs error <= half the bucket width (+1 for integer mid rounding)
+    assert abs(mid - x) <= (hi - lo) // 2 + 1
+    assert hdr_bucket(x + 1) >= b
+
+
+def deletion_variants(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab0#", min_size=1, max_size=9),
+       st.data())
+def test_symspell_blocking_catches_every_one_edit_pair(s, data):
+    """The recall guarantee record_linkage relies on: ANY string within
+    edit distance 1 of s (delete / insert / substitute) shares at
+    least one deletion variant with s, so the variant-equality join
+    can never miss a 1-edit pair."""
+    alphabet = "ab0#"
+    edit_kind = data.draw(st.sampled_from(["delete", "insert", "sub"]))
+    if edit_kind == "delete" and len(s) >= 2:
+        i = data.draw(st.integers(0, len(s) - 1))
+        t = s[:i] + s[i + 1:]
+    elif edit_kind == "insert":
+        i = data.draw(st.integers(0, len(s)))
+        c = data.draw(st.sampled_from(alphabet))
+        t = s[:i] + c + s[i:]
+    else:
+        i = data.draw(st.integers(0, len(s) - 1))
+        c = data.draw(st.sampled_from(alphabet))
+        t = s[:i] + c + s[i + 1:]
+    assert deletion_variants(s) & deletion_variants(t), (s, t)
