@@ -1554,7 +1554,8 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
     Scale shape: the edge list is the capped-bucket pair generator
     (never all-pairs) built ONCE and persisted; each iteration is one
     edge-keyed shuffle of (node, int) rows; degree computes once; the
-    top-k is a rank window over the node-count-bounded score table.
+    top-k is orderBy+limit's TakeOrderedAndProject over the score
+    table, ranked only after the k-row cut.
     Cost is dominated by the MEMBER-level pair list: on the 10x
     90%-copies stress corpus (every doc in a 10-clique at threshold
     0.1 — ngram_jaccard_pairs' documented quadratic worst case) the
@@ -1572,12 +1573,19 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
                                   F.col("doc_a").alias("dst"))),
         "centrality_edges")
     deg, scores = _centrality_propagate(edges, iters)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    # top-k via orderBy+limit (Spark's distributed TakeOrderedAndProject)
+    # and only THEN a rank window over the k-row result — never a
+    # row_number window over the unbounded score table, which Spark
+    # executes in a single partition (VERDICT r8 item 1; the pattern
+    # at mining.zipf_curve)
+    topk = (
         scores.join(deg, scores.node == deg.src)
         .select(F.col("node").alias("doc_id"), "deg", "score")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "deg", "score")
         .orderBy("rank")
     )
@@ -1636,8 +1644,9 @@ def dup_graph_centrality_reps(docs: DataFrame, threshold: float = 0.1,
     Scale shape: one fingerprint groupBy (text never shuffled — the
     md5 projects first), the capped-bucket pair generator over the
     contracted corpus, `iters` edge-keyed integer shuffles, and a
-    members-sized broadcast-joinable fan-out; the top-k rank window
-    runs over the member table bounded by the rep score table."""
+    members-sized broadcast-joinable fan-out; the top-k is
+    TakeOrderedAndProject over the corpus-sized fan-out, ranked only
+    after the k-row cut."""
     fp = F.md5(_norm_text(F.col("text")))
     # distinct column names end-to-end: members/groups/rep_docs all
     # derive from `docs`, and same-name joins across shared lineage are
@@ -1667,10 +1676,15 @@ def dup_graph_centrality_reps(docs: DataFrame, threshold: float = 0.1,
         .select(F.col("m_doc").alias("doc_id"), "rep_id", "deg",
                 "score", "n_members")
     )
+    # the fan-out is corpus-sized (every doc belongs to a fingerprint
+    # group), so the top-k MUST be orderBy+limit's distributed
+    # TakeOrderedAndProject — a partition-less row_number window here
+    # moved the whole corpus through one task (VERDICT r8 item 1; the
+    # driver bench logged WindowExec's single-partition warning)
+    topk = fanned.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        fanned.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "rep_id", "deg", "score", "n_members")
         .orderBy("rank")
     )

@@ -63,17 +63,22 @@ def _delete_variants(df: DataFrame, key: str, name: str) -> DataFrame:
 def _candidate_pairs(customers: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared blocking+verification stage: (system-B frame, candidate
     pairs with levenshtein scores) — consumed by record_linkage and
-    linkage_degree_distribution."""
+    linkage_degree_distribution.  The scored pair table is slot-cached
+    (plan-keyed, the module-wide dedup/pipeline pattern) so the two
+    registry queries running in one session share ONE persisted
+    variant-explode + blocking join instead of rebuilding it each
+    (ADVICE r8)."""
+    from ozone_spark.functions.dedup import _slot_cache
     a = customers.select(F.col("c_custkey").alias("k"),
                          F.col("c_name").alias("nm"))
     b = _perturbed_b(a)
     av = _delete_variants(a, "k", "nm")
     bv = _delete_variants(b, "bk", "bnm")
     cand = av.join(bv, "v").select("k", "bk").distinct()
-    pairs = (
+    pairs = _slot_cache(
         cand.join(a, "k").join(b, "bk")
-        .withColumn("lev", F.levenshtein("nm", "bnm"))
-    )
+        .withColumn("lev", F.levenshtein("nm", "bnm")),
+        "linkage_pairs")
     return b, pairs
 
 

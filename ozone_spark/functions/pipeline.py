@@ -1321,7 +1321,11 @@ def shard_dedup_leakage(docs: DataFrame, n: int = DUP_SPAN_NGRAM,
     one window per doc_id for the min hash; two groupBys over
     (h[, shard]).  Document text is hashed once and never shuffled."""
     sh = word_shingles(docs, n=n).select(
-        "doc_id", hash60(F.col("shingle")).alias("h"))
+        "doc_id", hash60(F.col("shingle")).alias("h")).distinct()
+    # the distinct runs POST-hash on (doc_id, h), term-for-term the
+    # oracle's SELECT DISTINCT doc_id, h — pre-hash string dedup would
+    # diverge on a (negligible but possible) within-doc 60-bit
+    # collision (ADVICE r8)
     mh = F.min("h").over(Window.partitionBy("doc_id"))
     keyed = sh.select(
         "h",

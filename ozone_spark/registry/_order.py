@@ -275,6 +275,15 @@ def _gate_priority_order(specs: list[QuerySpec],
 
     def key(q: QuerySpec):
         g = last_green.get(q.name, -1)
+        need = _REWRITE_PENDING.get(q.name)
+        if need is not None and g < need:
+            # rewritten query whose newest DRIVER row predates the
+            # rewrite: self-sweeps re-green it (resetting green_mtime
+            # AND the recorded spec_hash), so the generic stale()
+            # signal goes blind — pin it just behind the never-gated
+            # tiers until a driver round >= `need` records a
+            # post-rewrite row (VERDICT r8 item 2)
+            return (-1, 3.5, pos[q.name])
         if g >= 0 and stale(q):
             # edited since its green row: re-verify ahead of everything
             # except genuinely never-gated queries (tier 4 > backlog
@@ -283,6 +292,30 @@ def _gate_priority_order(specs: list[QuerySpec],
         return (g, tier(q.name), pos[q.name])
 
     return sorted(specs, key=key)
+
+
+# Queries REWRITTEN after their newest driver-green row, mapped to the
+# first driver round whose green row counts as post-rewrite
+# verification.  The automatic stale() signal cannot carry this: the
+# builder's own end-of-round self-sweeps record a fresh green artifact
+# with the CURRENT spec_hash, which resets both staleness inputs — so a
+# rewritten query would wait a full rotation behind its own pre-rewrite
+# driver row (exactly what happened to the four r8 member-grain
+# rewrites, VERDICT r8 item 2).  Entries self-clear: once the driver
+# records a green row in a round >= the stated value, the pin is inert
+# (safe to prune on any later registry edit).
+_REWRITE_PENDING: dict[str, int] = {
+    # r8: rewritten onto the contracted pair graph; driver rows are r7
+    "keeper_policy_audit": 9, "quality_by_dup_degree": 9,
+    "dedup_source_affinity": 9, "near_dup_leakage": 9,
+    # r9: top-k rank rewritten to orderBy+limit (VERDICT r8 item 1)
+    "dup_graph_centrality": 9, "dup_graph_centrality_reps": 9,
+    "events_power_users": 9,
+    # r9: NULL-user filter / post-hash distinct / slot-cached blocking
+    # stage (ADVICE r8 items 1, 3, 4)
+    "session_concurrency": 9, "shard_dedup_leakage": 9,
+    "record_linkage": 9, "linkage_degree_distribution": 9,
+}
 
 
 # Registered in round 1 but never gate-verified (VERDICT.md round 1,

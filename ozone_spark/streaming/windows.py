@@ -292,7 +292,7 @@ def streaming_attribution(events_stream: DataFrame,
 
 
 def streaming_hdr_histogram(docs_stream: DataFrame,
-                            sub: int = 16) -> DataFrame:
+                            sub: int | None = None) -> DataFrame:
     """Streaming twin of sketch.hdr_histogram: the per-(source, bucket)
     counter table maintained as a stateful streaming aggregation — the
     resident quantile sketch updating as crawl batches arrive, which is
@@ -307,6 +307,11 @@ def streaming_hdr_histogram(docs_stream: DataFrame,
     The integer bucket math is identical to the batch side, so the
     drained state equals hdr_histogram(batch) row-for-row
     (test_streaming asserts it)."""
+    if sub is None:
+        # share the batch sketch's tuning constant so a retune can
+        # never silently desynchronize the two sides (ADVICE r8)
+        from ozone_spark.functions.sketch import HDR_SUB
+        sub = HDR_SUB
     x = F.col("n_chars").cast("long")
     return (
         docs_stream.where(x > 0)

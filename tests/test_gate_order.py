@@ -93,6 +93,37 @@ def test_pure_oracle_edit_moves_query_to_head(tmp_path):
         order2.index(target) > len(order2) // 2
 
 
+def test_rewrite_pin_overrides_self_sweep_blindness(tmp_path):
+    """VERDICT r8 item 2: a rewritten query whose end-of-round
+    self-sweep re-greened it (current spec_hash, fresh green_mtime —
+    both automatic staleness inputs reset) must STILL re-verify at the
+    head of the rotation until a driver round >= its pin records a
+    post-rewrite row; a driver row at/after the pin round clears it."""
+    target = "keeper_policy_audit"
+    assert registry._REWRITE_PENDING[target] == 9
+    specs = {q.name: q for q in registry._REGISTRY_ORDER}
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spec_hash": registry.spec_hash(specs[target])}
+    control = {"rows_match": True, "schema_match": True, "hash_match": True}
+    # the blind-spot world: driver green in r7 (pre-rewrite) AND a
+    # self-sweep green recorded at the current tip with the current hash
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(
+        {target: control, "file_size_histogram": control}))
+    (tmp_path / "CORRECTNESS_SELF_r08.json").write_text(json.dumps(
+        {target: green}))
+    order = [q.name for q in registry._gate_priority_order(
+        registry._REGISTRY_ORDER, artifacts_root=str(tmp_path))]
+    # pinned sorts behind never-gated tiers (in this synthetic world
+    # that is every OTHER query) but ahead of the green-band control
+    assert order.index(target) < order.index("file_size_histogram")
+    # a driver round >= the pin clears it back to the green band
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(
+        {target: control}))
+    order2 = [q.name for q in registry._gate_priority_order(
+        registry._REGISTRY_ORDER, artifacts_root=str(tmp_path))]
+    assert order2.index(target) > order2.index("file_size_histogram")
+
+
 def test_untouched_rotation_is_stable_and_complete():
     order = [q.name
              for q in registry._gate_priority_order(registry._REGISTRY_ORDER)]
