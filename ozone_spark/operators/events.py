@@ -98,17 +98,36 @@ def session_distribution(events: DataFrame,
     )
 
 
-def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
-    """Top-k users by total value within each event type (rank window)."""
+def top_users_per_type(events: DataFrame, k: int = 3,
+                       salt: int = 32) -> DataFrame:
+    """Top-k users by total value within each event type.
+
+    Scale shape: two-phase salted top-k.  The event-type vocabulary is
+    tiny (5 values), so a rank window partitioned by type alone pushes
+    each type's ENTIRE user-cardinality total table through one task —
+    the per-group cousin of the global-rank shape VERDICT r8 item 1
+    killed.  Phase 1 ranks within (type, user-hash salt) partitions —
+    each holds ~1/salt of a type's users — and keeps k per partition;
+    every true top-k row ranks <= k in its own salt bucket (each user
+    lives in exactly one), so phase 1 never drops a winner.  Phase 2
+    re-ranks the <= salt*k survivors per type — a BOUNDED window.
+    Values are identical to the single-window formulation."""
     totals = (
         events.groupBy("event_type", "user_id")
         .agg(F.round(F.sum("value"), 4).alias("total_value"),
              F.count("*").alias("n_events"))
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("total_value"), F.asc("user_id"))
+    order = (F.desc("total_value"), F.asc("user_id"))
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.xxhash64("user_id"), F.lit(salt))
+    ).orderBy(*order)
+    local = (
+        totals.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= k).drop("_lr")
+    )
+    w = Window.partitionBy("event_type").orderBy(*order)
     return (
-        totals.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )

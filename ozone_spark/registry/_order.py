@@ -30,6 +30,7 @@ from .q_r5 import R5_QUERIES
 from .q_r6 import R6_QUERIES
 from .q_r7 import R7_QUERIES
 from .q_r8 import R8_QUERIES
+from .q_r9 import R9_QUERIES
 
 
 
@@ -41,7 +42,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + SIMILARITY_QUERIES
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
-    + R5_QUERIES + R6_QUERIES + R7_QUERIES + R8_QUERIES
+    + R5_QUERIES + R6_QUERIES + R7_QUERIES + R8_QUERIES + R9_QUERIES
 )
 
 
@@ -315,6 +316,8 @@ _REWRITE_PENDING: dict[str, int] = {
     # stage (ADVICE r8 items 1, 3, 4)
     "session_concurrency": 9, "shard_dedup_leakage": 9,
     "record_linkage": 9, "linkage_degree_distribution": 9,
+    # r9: per-type top-k rewritten to the salted two-phase window
+    "events_top_users": 9,
 }
 
 

@@ -1,0 +1,84 @@
+"""Round-9 additions — QuerySpecs + DuckDB oracle SQL twins.
+"""
+
+from __future__ import annotations
+
+from ._base import *  # noqa: F401,F403 — shared registry namespace
+from .q_text import _NORM  # noqa: F401 — cross-domain helper
+
+
+R9_QUERIES = [
+    _q(
+        "bucket_cap_report",
+        lambda spark, sf: dedup.bucket_cap_report(
+            views(spark, sf)["documents"]),
+        # Bucket sizes derive from the RAW distinct-shingle strings
+        # (the same derivation as dedup_ngram_jaccard's oracle); the
+        # Spark side buckets on xxhash64(shingle) — identical counts
+        # up to 64-bit collisions, the documented equivalence the
+        # jaccard oracle already relies on.
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), bs AS (
+  SELECT shingle, count(*) AS s FROM sh GROUP BY 1 HAVING count(*) >= 2
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+    CAST(coalesce(sum(CASE WHEN s > 200 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_dropped_buckets,
+    CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT) AS pairs_total,
+    CAST(coalesce(sum(CASE WHEN s > 200 THEN s * (s - 1) // 2 ELSE 0 END),
+                  0) AS BIGINT) AS pairs_dropped
+  FROM bs
+), dd AS (
+  SELECT CAST(count(DISTINCT sh.doc_id) AS BIGINT) AS n_docs_in_dropped
+  FROM sh JOIN bs ON sh.shingle = bs.shingle AND bs.s > 200
+), dt AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh
+)
+SELECT n_buckets, n_dropped_buckets,
+  (n_dropped_buckets * 1000000) // greatest(n_buckets, 1)
+    AS dropped_bucket_ppm,
+  pairs_total, pairs_dropped,
+  (pairs_dropped * 1000000) // greatest(pairs_total, 1)
+    AS pairs_dropped_ppm,
+  n_docs, n_docs_in_dropped,
+  (n_docs_in_dropped * 1000000) // greatest(n_docs, 1)
+    AS docs_in_dropped_ppm,
+  ((pairs_total - pairs_dropped) * 1000000) // greatest(pairs_total, 1)
+    AS survivor_pair_ppm
+FROM agg, dd, dt""",
+    ),
+    _q(
+        "media_png_features",
+        lambda spark, sf: multimodal.png_features(
+            multimodal.png_media_table(
+                views(spark, sf)["documents"])).orderBy("doc_id"),
+        # third REAL decode path (VERDICT r8 item 7): each doc becomes
+        # a genuine 8-bit truecolor PNG (signature, chunk CRC32s, zlib
+        # deflate IDAT, and — via the encoder's r % 5 rule with min
+        # height 5 — ALL FIVE scanline filters in every file) and is
+        # parsed back by the pure-numpy+stdlib decoder; channel sums
+        # replay the shared pixel pattern flat[i] = (doc_id + i) % 256,
+        # exactly like the PPM/BMP twins (width 13, 39 bytes per row)
+        """WITH d AS (
+  SELECT doc_id, greatest((n_chars + 38) // 39, 5) AS h FROM documents
+), px AS (
+  SELECT doc_id, h, unnest(range(13 * h)) AS p FROM d
+), s AS (
+  SELECT doc_id,
+    CAST(sum((doc_id + 3 * p + 0) % 256) AS BIGINT) AS sum_r,
+    CAST(sum((doc_id + 3 * p + 1) % 256) AS BIGINT) AS sum_g,
+    CAST(sum((doc_id + 3 * p + 2) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(13 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(13 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
+FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
+    ),
+]

@@ -771,6 +771,19 @@ def test_topk_rank_is_take_ordered_not_global_window(spark, sf_dir):
         assert all(w < min(tidx) for w in widx), tree
 
 
+def test_top_users_per_type_salted_two_phase(spark, sf_dir):
+    """The per-type top-k must be the salted two-phase window: phase 1
+    partitions by (event_type, salt) — visible as a pmod in an Exchange
+    hashpartitioning — so no single task ever holds a full type's
+    user-cardinality totals (the type vocabulary is 5 values)."""
+    from ozone_spark.operators.events import top_users_per_type
+    events = tables.load_table(spark, sf_dir, "events")
+    plan = plan_of(top_users_per_type(events))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Window") >= 2  # local + final rank
+    assert "pmod" in plan  # the salt reached a partitioning expression
+
+
 def test_whole_registry_plan_audit_zero_flags(spark):
     """CI twin of tools/plan_audit.py (VERDICT r8 item 6): the audit
     must return ZERO flags over the whole registry, so a shipped

@@ -83,6 +83,9 @@ BNLJ_OK = {
     # totals aggregate crossJoined onto the bounded degree histogram
     # (linkage.py:145) — same sanctioned one-row-scalar class
     "linkage_degree_distribution",
+    # r9: two one-row broadcast scalar crossJoins (dropped-doc reach
+    # and corpus doc count) onto the one-row bucket aggregate
+    "bucket_cap_report",
 }
 
 

@@ -81,6 +81,11 @@ def stage_rows(spark, sf_dir: str) -> dict:
         "within_pass_groups": within.count(),
         "member_pairs": D.ngram_jaccard_pairs(docs, threshold=0.1).count(),
     }
+    # the gated cap-saturation audit (VERDICT r8 item 4): records how
+    # much pair mass the 200-cap suppressed at this scale, so a zero
+    # member_pairs row above is attributable instead of silent
+    cap = D.bucket_cap_report(docs).collect()[0].asDict()
+    out["bucket_cap"] = {k: int(v) for k, v in cap.items()}
     return out
 
 
@@ -103,7 +108,18 @@ def main() -> int:
     stages = stage_rows(spark, work)
     stages_sec = round(time.perf_counter() - t0, 1)
 
-    t10 = latest_scale10(root)
+    # exponent baseline: by default the newest committed 10x artifact;
+    # --baseline <probe.json> overrides it (needed in perturbed mode,
+    # where comparing against an UNPERTURBED 10x run would mix corpus
+    # shapes into the exponent)
+    base_replicas = 10.0
+    if "--baseline" in sys.argv:
+        with open(sys.argv[sys.argv.index("--baseline") + 1]) as fh:
+            bdoc = json.load(fh)
+        t10 = bdoc.get("queries", {})
+        base_replicas = float(bdoc.get("replicas", 10))
+    else:
+        t10 = latest_scale10(root)
     qs = queries()
     results: dict[str, dict] = {}
     failed = []
@@ -114,14 +130,16 @@ def main() -> int:
             sec = round(time.perf_counter() - t0, 1)
             row = {"sec": sec, "rows": n}
             base = t10.get(name, {}).get("sec")
-            if base and base > 0 and replicas > 10:
-                # exponent vs the 10x run: t ~ scale^e
-                row["sec_10x"] = base
-                row["exponent_vs_10x"] = round(
-                    math.log(sec / base) / math.log(replicas / 10.0), 2)
+            if base and base > 0 and replicas > base_replicas:
+                # exponent vs the baseline run: t ~ scale^e
+                row["sec_base"] = base
+                row["base_replicas"] = base_replicas
+                row["exponent_vs_base"] = round(
+                    math.log(sec / base)
+                    / math.log(replicas / base_replicas), 2)
             results[name] = row
             print(f"# {name}: {sec}s ({n} rows) "
-                  f"exp={row.get('exponent_vs_10x')}", file=sys.stderr)
+                  f"exp={row.get('exponent_vs_base')}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 — record, keep going
             results[name] = {"sec": round(time.perf_counter() - t0, 1),
                              "rows": None, "err": str(ex)[:300]}
@@ -130,6 +148,7 @@ def main() -> int:
 
     doc = {
         "base_sf_dir": scale_stress.BASE, "replicas": replicas,
+        "perturb": scale_stress.PERTURB,
         "effective_sf": replicas * 0.1, "build_sec": build_sec,
         "stage_rows": stages, "stage_rows_sec": stages_sec,
         "queries": results, "failed": failed,

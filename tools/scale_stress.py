@@ -40,6 +40,20 @@ from ozone_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+# Perturbed-replica mode (VERDICT r8 item 3): byte-identical replicas
+# zero out the capped near-dup pair stage at the top scale decades —
+# base shingles carry multiplicity ~2-6, so at 100x every bucket
+# exceeds the 200 cap and "zero failures" measured an EMPTY pair
+# stage.  With PERTURB on, each document gets (a) a doc-salted token
+# every 10 words, REPLICA-INVARIANT, so replicas of one base doc share
+# salted shingles in buckets of exactly N docs (under the cap at
+# N <= 200) and the pair generator emits real cross-replica near-dup
+# pairs (surviving-shingle Jaccard ~ 0.15 > the 0.1 threshold); and
+# (b) a replica-specific token every 50 words, so no two replicas are
+# EXACT duplicates and contraction cannot shortcut the quadratic
+# stage.  Unperturbed common shingles still saturate their buckets —
+# which is exactly what bucket_cap_report is gated to surface.
+PERTURB = os.environ.get("SPARK_GRAFT_SCALE_PERTURB", "0") == "1"
 
 # per-table primary-key shift columns; dims (region/nation/customer/
 # supplier/part) stay 1x — at 100 TB the dimension side is what you
@@ -159,6 +173,28 @@ STRESS_QUERIES = [
 ]
 
 
+def _perturb_text(rep):
+    """Insert a doc-salted token every 10 words (replica-invariant:
+    shared across a base doc's replicas only) and a replica token every
+    50 words (breaks exactness).  Runs BEFORE key shifting, so doc_id
+    is still the base id; pure per-row array work, no shuffle."""
+    tok = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w, j: F.concat(
+            w,
+            F.when((j % 10) == 9,
+                   F.concat(F.lit(" d"), F.col("doc_id").cast("string"),
+                            F.lit("x"))).otherwise(F.lit("")),
+            F.when((j % 50) == 49,
+                   F.concat(F.lit(" r"), F.col("_r").cast("string"),
+                            F.lit("x"))).otherwise(F.lit(""))))
+    # the replica token also terminates every doc: docs shorter than 50
+    # words would otherwise stay byte-identical across replicas
+    return rep.withColumn(
+        "text", F.concat(F.array_join(tok, " "), F.lit(" r"),
+                         F.col("_r").cast("string"), F.lit("xe")))
+
+
 def build_scaled_dir(spark, out_dir: str) -> None:
     for t in COPY:
         shutil.copyfile(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
@@ -170,6 +206,8 @@ def build_scaled_dir(spark, out_dir: str) -> None:
         shift = max(int(v) for v in hi) + 1
         rep = df.crossJoin(
             spark.range(REPLICAS).withColumnRenamed("id", "_r"))
+        if PERTURB and t == "documents":
+            rep = _perturb_text(rep)
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(shift))
         (rep.drop("_r")
@@ -210,7 +248,7 @@ def main() -> int:
             print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
 
     doc = {
-        "base_sf_dir": BASE, "replicas": REPLICAS,
+        "base_sf_dir": BASE, "replicas": REPLICAS, "perturb": PERTURB,
         "effective_sf": REPLICAS * 0.1, "build_sec": build_sec,
         "queries": results, "failed": failed,
     }
