@@ -318,6 +318,8 @@ _REWRITE_PENDING: dict[str, int] = {
     "record_linkage": 9, "linkage_degree_distribution": 9,
     # r9: per-type top-k rewritten to the salted two-phase window
     "events_top_users": 9,
+    # r9: refactored onto the shared ingest_corpus_index builder
+    "incremental_ingest_dedup": 9,
 }
 
 

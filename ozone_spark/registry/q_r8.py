@@ -55,6 +55,67 @@ def _hdr_est_sql(where: str) -> str:
 
 # Round-8 additions (registered with oracles in the same commit, per the
 # zero-debt gate discipline).
+_INGEST_DEDUP_ORACLE = f"""WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+), cfps AS (
+  SELECT DISTINCT md5({_NORM}) AS c_fp FROM corpus
+), bfp AS (
+  SELECT doc_id AS b_doc, md5({_NORM}) AS b_fp FROM batch
+), exact AS (
+  SELECT b_doc, c_fp IS NOT NULL AS is_exact
+  FROM bfp LEFT JOIN cfps ON b_fp = c_fp
+), cw AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM corpus
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), csh AS (
+  SELECT doc_id AS c_doc, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
+  FROM cw
+), csz AS (
+  SELECT c_doc, count(*) AS n_c FROM csh GROUP BY 1
+), ok AS (
+  SELECT sh FROM csh GROUP BY 1 HAVING count(*) <= 200
+), cidx AS (
+  SELECT csh.* FROM csh JOIN ok USING (sh)
+), bw AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM batch
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), bsh AS (
+  SELECT doc_id AS b_doc, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
+  FROM bw
+), bsz AS (
+  SELECT b_doc, count(*) AS n_b FROM bsh GROUP BY 1
+), com AS (
+  SELECT b_doc, c_doc, count(*) AS n_common
+  FROM bsh JOIN cidx USING (sh) GROUP BY 1, 2
+), scored AS (
+  SELECT b_doc, c_doc,
+    (n_common * 1000000) // (n_b + n_c - n_common) AS jac_ppm
+  FROM com JOIN bsz USING (b_doc) JOIN csz USING (c_doc)
+), best AS (
+  SELECT b_doc, CAST(count(*) AS BIGINT) AS n_candidates,
+    max(CASE WHEN rk = 1 THEN c_doc END) AS best_match_id,
+    max(CASE WHEN rk = 1 THEN jac_ppm END) AS best_jaccard_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY b_doc
+          ORDER BY jac_ppm DESC, c_doc) AS rk FROM scored)
+  GROUP BY 1
+)
+SELECT e.b_doc AS doc_id, e.is_exact AS is_exact_dup,
+  coalesce(n_candidates, 0) AS n_candidates,
+  CAST(coalesce(best_match_id, -1) AS BIGINT) AS best_match_id,
+  CAST(coalesce(best_jaccard_ppm, 0) AS BIGINT) AS best_jaccard_ppm,
+  CASE WHEN e.is_exact THEN 'exact_dup'
+       WHEN coalesce(best_jaccard_ppm, 0) >= 500000 THEN 'near_dup'
+       ELSE 'new' END AS verdict
+FROM exact e LEFT JOIN best ON e.b_doc = best.b_doc
+ORDER BY doc_id"""
+
+
 R8_QUERIES = [
     _q(
         "events_disorder_partitioned",
@@ -113,65 +174,7 @@ ORDER BY 1""",
         # against the resident corpus — exact fingerprint hit, best
         # capped-index Jaccard in integer ppm, or new; the 100 TB shape
         # where the corpus index is built once and batches probe it
-        f"""WITH corpus AS (
-  SELECT * FROM documents WHERE doc_id % 10 <> 0
-), batch AS (
-  SELECT * FROM documents WHERE doc_id % 10 = 0
-), cfps AS (
-  SELECT DISTINCT md5({_NORM}) AS c_fp FROM corpus
-), bfp AS (
-  SELECT doc_id AS b_doc, md5({_NORM}) AS b_fp FROM batch
-), exact AS (
-  SELECT b_doc, c_fp IS NOT NULL AS is_exact
-  FROM bfp LEFT JOIN cfps ON b_fp = c_fp
-), cw AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM corpus
-  WHERE len(string_split({_NORM}, ' ')) >= 3
-), csh AS (
-  SELECT doc_id AS c_doc, unnest(list_distinct(list_transform(
-    range(1, greatest(len(w) - 2, 0) + 1),
-    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
-  FROM cw
-), csz AS (
-  SELECT c_doc, count(*) AS n_c FROM csh GROUP BY 1
-), ok AS (
-  SELECT sh FROM csh GROUP BY 1 HAVING count(*) <= 200
-), cidx AS (
-  SELECT csh.* FROM csh JOIN ok USING (sh)
-), bw AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM batch
-  WHERE len(string_split({_NORM}, ' ')) >= 3
-), bsh AS (
-  SELECT doc_id AS b_doc, unnest(list_distinct(list_transform(
-    range(1, greatest(len(w) - 2, 0) + 1),
-    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
-  FROM bw
-), bsz AS (
-  SELECT b_doc, count(*) AS n_b FROM bsh GROUP BY 1
-), com AS (
-  SELECT b_doc, c_doc, count(*) AS n_common
-  FROM bsh JOIN cidx USING (sh) GROUP BY 1, 2
-), scored AS (
-  SELECT b_doc, c_doc,
-    (n_common * 1000000) // (n_b + n_c - n_common) AS jac_ppm
-  FROM com JOIN bsz USING (b_doc) JOIN csz USING (c_doc)
-), best AS (
-  SELECT b_doc, CAST(count(*) AS BIGINT) AS n_candidates,
-    max(CASE WHEN rk = 1 THEN c_doc END) AS best_match_id,
-    max(CASE WHEN rk = 1 THEN jac_ppm END) AS best_jaccard_ppm
-  FROM (SELECT *, row_number() OVER (PARTITION BY b_doc
-          ORDER BY jac_ppm DESC, c_doc) AS rk FROM scored)
-  GROUP BY 1
-)
-SELECT e.b_doc AS doc_id, e.is_exact AS is_exact_dup,
-  coalesce(n_candidates, 0) AS n_candidates,
-  CAST(coalesce(best_match_id, -1) AS BIGINT) AS best_match_id,
-  CAST(coalesce(best_jaccard_ppm, 0) AS BIGINT) AS best_jaccard_ppm,
-  CASE WHEN e.is_exact THEN 'exact_dup'
-       WHEN coalesce(best_jaccard_ppm, 0) >= 500000 THEN 'near_dup'
-       ELSE 'new' END AS verdict
-FROM exact e LEFT JOIN best ON e.b_doc = best.b_doc
-ORDER BY doc_id""",
+        _INGEST_DEDUP_ORACLE,
     ),
     _q(
         "media_bmp_features",

@@ -5,9 +5,41 @@ from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403 — shared registry namespace
 from .q_text import _NORM  # noqa: F401 — cross-domain helper
+from .q_r8 import _INGEST_DEDUP_ORACLE  # noqa: F401 — shared oracle
+
+_stream_seq9 = [0]
+
+
+def _streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain wrapper: resident corpus = doc_id % 10 <> 0, the ingest
+    set re-staged as FOUR parquet files so the availableNow drain runs
+    four genuine micro-batches (the single-file fixture would collapse
+    to one); classification is per-doc against the resident corpus, so
+    the drained union is gated against the SAME DuckDB oracle as the
+    batch incremental_ingest_dedup."""
+    import tempfile
+
+    from ozone_spark.streaming import windows as swin
+
+    _stream_seq9[0] += 1
+    docs = views(spark, sf_dir)["documents"]
+    staged = tempfile.mkdtemp(prefix="ozs_ingest_src_")
+    docs.where("doc_id % 10 = 0").repartition(4) \
+        .write.mode("overwrite").parquet(staged)
+    stream = swin.read_documents_stream(spark, staged)
+    return swin.streaming_ingest_dedup(
+        spark, stream, docs.where("doc_id % 10 <> 0"),
+        tempfile.mkdtemp(prefix="ozs_ingest_out_"),
+        tempfile.mkdtemp(prefix="ozs_ingest_ckpt_"),
+    ).orderBy("doc_id")
 
 
 R9_QUERIES = [
+    _q(
+        "streaming_ingest_dedup",
+        _streaming_ingest_dedup,
+        _INGEST_DEDUP_ORACLE,
+    ),
     _q(
         "bucket_cap_report",
         lambda spark, sf: dedup.bucket_cap_report(
@@ -80,5 +112,43 @@ FROM agg, dd, dt""",
 SELECT d.doc_id, CAST(13 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(13 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
 FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
+    ),
+    _q(
+        "dedup_saturated_sample",
+        # gate-scale knobs: the fixture's bucket tail tops out at 7 docs
+        # (sf0.01) / 25 docs (sf0.1), so the production defaults
+        # (cap 200, sample 50) would gate an empty result; cap 5 /
+        # sample 3 exercises every stage (saturation, Bernoulli
+        # thinning, bounded pair explode) with nonzero rows at BOTH SFs
+        lambda spark, sf: dedup.saturated_pair_sample(
+            views(spark, sf)["documents"], max_bucket=5, sample=3),
+        # buckets keyed on the raw shingle string (the documented
+        # hash60-equivalence the jaccard oracle already relies on); the
+        # thinning key is md5-derived, so it replays bit-identically
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sat AS (
+  SELECT shingle, count(*) AS s FROM sh GROUP BY 1 HAVING count(*) > 5
+), kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN sat USING (shingle)
+  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < 3 * (CAST(1 AS BIGINT) << 28)
+), ok AS (
+  SELECT shingle FROM kept GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 12
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(count(*) AS BIGINT) AS n_shared_saturated
+FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN ok ON ok.shingle = a.shingle
+GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY 1, 2""",
     ),
 ]

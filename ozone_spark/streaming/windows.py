@@ -323,3 +323,50 @@ def streaming_hdr_histogram(docs_stream: DataFrame,
                  .alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
+                           corpus: DataFrame, out_dir: str,
+                           checkpoint_dir: str, n: int = 3,
+                           threshold: float = 0.5,
+                           max_bucket: int = 200) -> DataFrame:
+    """Streaming twin of dedup.incremental_ingest_dedup — the
+    production ingest gate as a foreachBatch drain: the RESIDENT corpus
+    probe structures (fingerprint set + capped shingle inverted index)
+    are built and PERSISTED once, then every arriving micro-batch is
+    classified against that same copy with the exact batch program and
+    appended to `out_dir`.  Classification is per-document against the
+    resident corpus only, so the drained union is bit-identical to one
+    batch run over the whole ingest set regardless of micro-batch
+    boundaries (the registry gates it against the same DuckDB oracle
+    as the batch query).
+
+    Scale shape: foreachBatch, NOT a stream-static join inside the
+    streaming plan — a naive stream-static join re-reads and re-indexes
+    the static side per micro-batch; here the corpus index is resident
+    (in production: precomputed alongside the corpus), and per-batch
+    cost is batch-sized shingling + one probe join.  State lives in the
+    persisted index, not the state store, so it is corpus-bounded and
+    watermark-free by construction."""
+    from ozone_spark.functions import dedup as D
+
+    idx = D.ingest_corpus_index(corpus, n, max_bucket)
+    for df in idx:
+        df.persist()
+
+    def handle(bdf: DataFrame, _bid: int) -> None:
+        D.incremental_ingest_dedup(
+            None, bdf, n=n, threshold=threshold,
+            max_bucket=max_bucket, index=idx) \
+            .write.mode("append").parquet(out_dir)
+
+    q = (
+        ingest_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for df in idx:
+        df.unpersist()
+    return spark.read.parquet(out_dir)

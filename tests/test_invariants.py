@@ -2815,3 +2815,37 @@ def test_png_codec_round_trip_and_real_decode(spark, sf_dir):
         assert r.sum_r == int(flat[0::3].sum())
         assert r.sum_g == int(flat[1::3].sum())
         assert r.sum_b == int(flat[2::3].sum())
+
+
+def test_saturated_pair_sample_recovers_capped_signal(spark, t):
+    """The sampled recovery pass surfaces pairs from EXACTLY the
+    buckets the capped generator drops: on a copy-heavy corpus where
+    every bucket exceeds the cap (ngram_jaccard_pairs returns zero),
+    saturated_pair_sample returns a nonempty, deterministic pair list
+    whose members are all true copies; per-bucket survivor counts
+    respect the 4x safety bound; and on a corpus with NO saturated
+    bucket it returns nothing (it never duplicates the capped pass)."""
+    n_copies, cap, sample = 12, 5, 3
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n_copies)], "doc_id long, text string")
+    assert dedup.ngram_jaccard_pairs(
+        docs, threshold=0.1, max_bucket=cap, slot="sat_test").count() == 0
+    got = dedup.saturated_pair_sample(
+        docs, max_bucket=cap, sample=sample).collect()
+    assert got, "saturated buckets must yield recovered pairs"
+    ids = set(range(n_copies))
+    for r in got:
+        assert r.doc_a in ids and r.doc_b in ids and r.doc_a < r.doc_b
+        # 8 distinct shingles per copy = hard upper bound on sharing
+        assert 1 <= r.n_shared_saturated <= 8
+    # deterministic: same inputs -> identical rows
+    again = dedup.saturated_pair_sample(
+        docs, max_bucket=cap, sample=sample).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # no saturated buckets -> empty (distinct docs, tiny corpus)
+    uniq = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(8)],
+        "doc_id long, text string")
+    assert dedup.saturated_pair_sample(
+        uniq, max_bucket=cap, sample=sample).count() == 0

@@ -454,3 +454,26 @@ def test_streaming_hdr_histogram_equals_batch_sketch(spark, sf_dir, tmpdir):
     want_q = sorted(tuple(r) for r in sketch.hdr_quantiles_from_hist(
         sketch.hdr_histogram(docs)).collect())
     assert got_q == want_q
+
+
+def test_streaming_ingest_dedup_equals_batch(spark, sf_dir, tmpdir):
+    """The foreachBatch ingest-dedup drain over multi-file micro-batches
+    equals ONE batch classification of the whole ingest set: per-doc
+    verdicts depend only on the resident corpus (persisted once as the
+    probe index), so micro-batch boundaries are invisible in the
+    result — the property that makes the streaming gate safe to roll
+    out without re-verifying every batch split."""
+    from ozone_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("doc_id % 10 <> 0")
+    ingest = docs.where("doc_id % 10 = 0")
+    staged = f"{tmpdir}/ingest_src"
+    ingest.repartition(7).write.mode("overwrite").parquet(staged)
+    stream = windows.read_documents_stream(spark, staged)
+    got = windows.streaming_ingest_dedup(
+        spark, stream, corpus,
+        f"{tmpdir}/ingest_out", f"{tmpdir}/ingest_ckpt")
+    want = D.incremental_ingest_dedup(corpus, ingest)
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted(tuple(r) for r in want.collect())
