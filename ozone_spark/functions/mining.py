@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+from .dedup import bounded_window_key as _bwk
 from pyspark.sql.functions import broadcast
 
 # ------------------------------------------------------------------ PII
@@ -275,7 +277,8 @@ def zipf_curve(docs: DataFrame, k: int = 1000, top_n: int = 20) -> DataFrame:
         words.groupBy("word").agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "word").limit(k)
         .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.desc("cnt"), "word")))
+            Window.partitionBy(_bwk("word"))
+            .orderBy(F.desc("cnt"), "word")))
         .withColumn("lx", F.log("rank"))
         .withColumn("ly", F.log("cnt"))
     )
@@ -334,7 +337,7 @@ def bpe_merge_candidates(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("total_count"), "pair")
         .limit(k)
     )
-    w = Window.orderBy(F.desc("total_count"), "pair")  # k rows
+    w = Window.partitionBy(_bwk("pair")).orderBy(F.desc("total_count"), "pair")  # k rows
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "pair", "total_count", "n_words")

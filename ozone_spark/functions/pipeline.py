@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .dedup import bounded_window_key as _bwk
+
 from .dedup import (_norm_text, _slot_cache, _spread, connected_components,
                     contracted_pair_graph, hash28, hash60,
                     ngram_jaccard_pairs, word_shingles)
@@ -714,7 +716,7 @@ def domain_mixture(docs: DataFrame,
         .groupBy("domain")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
-    w = Window.partitionBy()  # over per-domain rows only
+    w = Window.partitionBy(_bwk("domain"))  # per-domain rows only
     share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
     target = F.lit(1.0) / F.count("*").over(w)
     weight = F.least(F.lit(1.0), target / share)
@@ -1264,7 +1266,7 @@ def mixture_waterfill(docs: DataFrame,
         .withColumn("cap", F.col("toks") * epoch_cap)
     )
     tot = cells.agg(F.sum("toks").alias("tt"), F.count("*").alias("n"))
-    rw = Window.orderBy("cap", "lang")
+    rw = Window.partitionBy(_bwk("lang")).orderBy("cap", "lang")
     cw = rw.rowsBetween(Window.unboundedPreceding, 0)
     j = (
         cells.crossJoin(F.broadcast(tot))
@@ -1290,6 +1292,49 @@ def mixture_waterfill(docs: DataFrame,
                 F.expr("(allocated * 1000000) div greatest(toks, 1)")
                 .alias("epochs_ppm"),
                 F.col("saturated").cast("long").alias("saturated"))
+        .orderBy("lang")
+    )
+
+
+def temperature_mixture(docs: DataFrame) -> DataFrame:
+    """Temperature-based multilingual sampling report — the p^alpha
+    rebalance (alpha = 1/2) of XLM-R-style pretraining (Conneau et al.
+    2020, public): sampling share q_l proportional to sqrt(tokens_l),
+    which boosts low-resource languages without flattening the mix
+    entirely.  Complements mixture_waterfill: the waterfill answers
+    "equal shares under epoch caps", temperature answers "smooth
+    rebalance by a power law".  Columns per language: doc/token counts,
+    the natural token share, the tempered share, and the boost ratio
+    (tempered over natural) — all exact integer ppm.
+
+    Determinism: alpha is fixed at 1/2 ON PURPOSE — IEEE-754 sqrt is
+    correctly rounded (bit-identical in Spark and DuckDB, unlike
+    general pow), and floor(sqrt(tokens)) then re-enters exact integer
+    arithmetic, so the whole report replays bit-identically with no
+    float-boundary hazard.  Token counts stay below 2^52, inside
+    double's exact-integer range.
+
+    Scale shape: ONE partial-aggregated groupBy(lang) over the corpus;
+    everything after runs on the language-cardinality table with the
+    totals folded in as a broadcast one-row scalar (the sanctioned
+    crossJoin)."""
+    cells = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+             .alias("tokens"))
+        .withColumn("w", F.floor(F.sqrt(F.col("tokens"))).cast("long"))
+    )
+    tot = cells.agg(F.sum("tokens").alias("tt"), F.sum("w").alias("tw"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_docs", "tokens",
+            F.expr("(tokens * 1000000) div greatest(tt, 1)")
+            .alias("natural_ppm"),
+            F.expr("(w * 1000000) div greatest(tw, 1)").alias("temp_ppm"))
+        .withColumn("boost_ppm", F.expr(
+            "(temp_ppm * 1000000) div greatest(natural_ppm, 1)"))
         .orderBy("lang")
     )
 

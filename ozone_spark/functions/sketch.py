@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .dedup import bounded_window_key as _bwk
+
 KMV_K = 256
 TWO_52 = float(1 << 52)
 
@@ -101,7 +103,7 @@ def weighted_sample(docs: DataFrame, k: int = SAMPLE_K,
         .orderBy("key", "doc_id")
         .limit(k)
     )
-    rn = Window.orderBy("key", "doc_id")  # k rows: single partition is fine
+    rn = Window.partitionBy(_bwk("key")).orderBy("key", "doc_id")  # k rows
     return top.withColumn("rank", F.row_number().over(rn).cast("long")) \
         .select("doc_id", "weight", F.round("key", 9).alias("sample_key"),
                 "rank")
@@ -392,8 +394,8 @@ def join_key_skew(df: DataFrame, key: str) -> DataFrame:
     all-integer row."""
     per = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
     hist = per.groupBy("c").agg(F.count("*").alias("n_keys"))
-    cw = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    tw = Window.orderBy("c").rowsBetween(Window.unboundedPreceding,
+    cw = Window.partitionBy(_bwk("c")).orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy(_bwk("c")).orderBy("c").rowsBetween(Window.unboundedPreceding,
                                          Window.unboundedFollowing)
     ranked = hist.select(
         "c", "n_keys",

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+from ozone_spark.functions.dedup import bounded_window_key as _bwk
 from pyspark.sql.functions import broadcast
 
 
@@ -274,7 +276,7 @@ def event_funnel(events: DataFrame,
         .withColumn("n_users",
                     F.coalesce("n_users", F.lit(0)).cast("long"))
     )
-    w = Window.orderBy("step_idx")
+    w = Window.partitionBy(_bwk("step_idx")).orderBy("step_idx")
     prev_n = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
     top_n = F.first("n_users").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -378,7 +380,8 @@ def power_users(events: DataFrame, k: int = 20) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"))
     total = events.agg(F.count("*").alias("_total"))
     topk = per.orderBy(F.desc("n_events"), F.asc("user_id")).limit(k)
-    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    w = Window.partitionBy(_bwk("user_id")) \
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .crossJoin(broadcast(total))
@@ -944,7 +947,7 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30,
     # unpartitioned window runs over the CALENDAR-BOUNDED bucket table
     # (hours in the retention window), never over data-sized rows.
     per_bucket = timeline.groupBy("bucket").agg(F.sum("w").alias("bw"))
-    off_w = Window.orderBy("bucket").rowsBetween(
+    off_w = Window.partitionBy(_bwk("bucket")).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
         "bucket", F.coalesce(F.sum("bw").over(off_w), F.lit(0)).alias("base"))

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+from ozone_spark.functions.dedup import bounded_window_key as _bwk
 from pyspark.sql.functions import broadcast
 
 from ozone_spark.functions.bins import (
@@ -107,7 +109,7 @@ def datanode_utilization(containers: DataFrame, replicas: DataFrame,
              F.sum("used_bytes").alias("used"))
     )
     j = datanodes.join(used, "datanode", "left").na.fill({"replica_count": 0, "used": 0})
-    w = Window.partitionBy(F.lit(1))
+    w = Window.partitionBy(_bwk("datanode"))
     cluster_avg = F.sum("used").over(w) / F.sum("capacity").over(w)
     util = F.col("used") / F.col("capacity")
     return (
@@ -141,7 +143,7 @@ def heatmap(events: DataFrame, keys: DataFrame) -> DataFrame:
         .groupBy("volume", "bucket")
         .agg(F.sum("hits").alias("access_count"))
     )
-    w = Window.partitionBy(F.lit(1))
+    w = Window.partitionBy(_bwk("volume"))
     mn, mx = F.min("access_count").over(w), F.max("access_count").over(w)
     heat = F.when(mx == mn, F.lit(1.0)).otherwise(
         (F.col("access_count") - mn).cast("double") / (mx - mn))
@@ -215,9 +217,9 @@ def blocks_pending_deletion(deleted_keys: DataFrame, locations: DataFrame,
     tx_page = (
         tx_ids.orderBy("tx_id").limit(max_records + 1)
         .withColumn("_rn", F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy("tx_id")))
+            Window.partitionBy(_bwk("tx_id")).orderBy("tx_id")))
         .withColumn("is_truncated",
-                    F.count("*").over(Window.partitionBy(F.lit(1)))
+                    F.count("*").over(Window.partitionBy(_bwk("tx_id")))
                     > max_records)
         .where(F.col("_rn") <= max_records)
         .drop("_rn")
@@ -334,7 +336,7 @@ def cluster_growth_daily(keys: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("new_keys"),
              F.sum("data_size").alias("new_bytes"))
     )
-    w = (Window.orderBy("day_idx")
+    w = (Window.partitionBy(_bwk("day_idx")).orderBy("day_idx")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return daily.select(
         (F.col("day_idx") * 86400000).alias("day_ms"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ozone_spark.functions.dedup import bounded_window_key
+
 
 def list_keys(
     keys: DataFrame,
@@ -39,8 +41,9 @@ def list_keys(
         .orderBy("db_key")
         .limit(max_keys + 1)
     )
-    w_all = Window.partitionBy(F.lit(1))
-    rn = Window.partitionBy(F.lit(1)).orderBy("db_key")
+    _k = bounded_window_key("db_key")
+    w_all = Window.partitionBy(_k)
+    rn = Window.partitionBy(_k).orderBy("db_key")
     return (
         page.withColumn("_rn", F.row_number().over(rn))
         .withColumn("is_truncated", F.count("*").over(w_all) > max_keys)
@@ -56,8 +59,9 @@ def _paged(df: DataFrame, order_cols: list[str], max_rows: int) -> DataFrame:
     TakeOrderedAndProject, so the single-partition window below only
     ever sees ≤ max_rows+1 rows — bounded by construction."""
     page = df.orderBy(*order_cols).limit(max_rows + 1)
-    rn = Window.partitionBy(F.lit(1)).orderBy(*order_cols)
-    w_all = Window.partitionBy(F.lit(1))
+    _k = bounded_window_key(order_cols[0])
+    rn = Window.partitionBy(_k).orderBy(*order_cols)
+    w_all = Window.partitionBy(_k)
     return (
         page.withColumn("_rn", F.row_number().over(rn))
         .withColumn("is_truncated", F.count("*").over(w_all) > max_rows)
@@ -136,7 +140,8 @@ def list_parts(
         locations.where(F.col("object_id") == object_id)
         .select(
             F.row_number()
-            .over(Window.orderBy("block_seq", "local_id"))
+            .over(Window.partitionBy(bounded_window_key("local_id"))
+                  .orderBy("block_seq", "local_id"))
             .alias("part_number"),
             F.md5(F.col("local_id").cast("string")).alias("etag"),
             F.col("block_len").alias("part_size"))
@@ -267,8 +272,12 @@ def list_objects_v2(
     if start_after:
         entries = entries.where(F.col("name") > start_after)
     page = entries.orderBy("name").limit(max_keys + 1)
-    rn = Window.partitionBy(F.lit(1)).orderBy("name")
-    w_all = Window.partitionBy(F.lit(1))
+    # lit partition keys get constant-folded OUT of the window spec and
+    # WindowExec then warns on every run of this page-bounded window —
+    # the column-derived zero keeps the spec non-empty (dedup.py:
+    # bounded_window_key rationale)
+    rn = Window.partitionBy(bounded_window_key("name")).orderBy("name")
+    w_all = Window.partitionBy(bounded_window_key("name"))
     return (
         page.withColumn("_rn", F.row_number().over(rn))
         .withColumn("is_truncated", F.count("*").over(w_all) > max_keys)

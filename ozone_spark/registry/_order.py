@@ -320,6 +320,16 @@ _REWRITE_PENDING: dict[str, int] = {
     "events_top_users": 9,
     # r9: refactored onto the shared ingest_corpus_index builder
     "incremental_ingest_dedup": 9,
+    # r9: bounded windows re-keyed with bounded_window_key (Catalyst
+    # folds literal partition keys, so WindowExec warned on every
+    # bounded page/spine window and buried real regressions) — values
+    # identical, but the driver should re-verify the touched family
+    "list_keys_page": 9, "list_keys_resume": 9,
+    "list_objects_v2_root": 9, "list_objects_v2_nested": 9,
+    "list_multipart_uploads_page": 9, "list_open_files_page": 9,
+    "list_parts_page": 9, "recon_list_keys": 9,
+    "datanode_utilization": 9, "heatmap": 9,
+    "blocks_pending_deletion": 9, "corpus_growth_curve": 9,
 }
 
 

@@ -151,4 +151,29 @@ FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 JOIN ok ON ok.shingle = a.shingle
 GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY 1, 2""",
     ),
+    _q(
+        "temperature_mixture",
+        lambda spark, sf: pipeline.temperature_mixture(
+            views(spark, sf)["documents"]),
+        # alpha = 1/2 on purpose: IEEE sqrt is correctly rounded (the
+        # only cross-engine-safe power), floor() re-enters exact
+        # integer ppm arithmetic
+        """WITH cells AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+  FROM cells
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS tt, CAST(sum(w) AS BIGINT) AS tw
+  FROM w
+)
+SELECT lang, n_docs, tokens,
+  (tokens * 1000000) // greatest(tt, 1) AS natural_ppm,
+  (w * 1000000) // greatest(tw, 1) AS temp_ppm,
+  (((w * 1000000) // greatest(tw, 1)) * 1000000)
+    // greatest((tokens * 1000000) // greatest(tt, 1), 1) AS boost_ppm
+FROM w, tot ORDER BY lang""",
+    ),
 ]

@@ -81,7 +81,8 @@ def synthesize_cdc_log(keys: DataFrame, deleted_object_ids: DataFrame,
     log = (
         puts.unionByName(deletes)
         .withColumn("seq", F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy("event_time", "op", "db_key")))
+            Window.partitionBy(F.pmod(F.xxhash64("db_key"), F.lit(1)))
+            .orderBy("event_time", "op", "db_key")))
         .select(*CDC_COLUMNS, *loc_cols)
     )
     n = log.count()

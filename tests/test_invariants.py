@@ -2849,3 +2849,26 @@ def test_saturated_pair_sample_recovers_capped_signal(spark, t):
         "doc_id long, text string")
     assert dedup.saturated_pair_sample(
         uniq, max_bucket=cap, sample=sample).count() == 0
+
+
+def test_temperature_mixture_compresses_toward_uniform(spark, t):
+    """The sqrt-tempered shares keep the language ORDER of the natural
+    shares but compress the spread: the highest-resource language's
+    share shrinks (boost <= 1e6 ppm), the lowest-resource language's
+    grows (boost >= 1e6 ppm), shares sum to ~1e6, and every tempered
+    share sits between min(natural, uniform) and max(natural, uniform)
+    — the defining property of a 0 < alpha < 1 temperature rebalance."""
+    from ozone_spark.functions import pipeline as P
+
+    rows = P.temperature_mixture(t["documents"]).collect()
+    assert len(rows) >= 2
+    by_nat = sorted(rows, key=lambda r: r.natural_ppm)
+    by_tmp = sorted(rows, key=lambda r: r.temp_ppm)
+    assert [r.lang for r in by_nat] == [r.lang for r in by_tmp]
+    assert by_nat[0].boost_ppm >= 1_000_000      # low-resource boosted
+    assert by_nat[-1].boost_ppm <= 1_000_000     # high-resource damped
+    assert abs(sum(r.temp_ppm for r in rows) - 1_000_000) <= len(rows)
+    uniform = 1_000_000 // len(rows)
+    for r in rows:
+        lo, hi = sorted((r.natural_ppm, uniform))
+        assert lo - len(rows) <= r.temp_ppm <= hi + len(rows), r

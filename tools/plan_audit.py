@@ -86,7 +86,51 @@ BNLJ_OK = {
     # r9: two one-row broadcast scalar crossJoins (dropped-doc reach
     # and corpus doc count) onto the one-row bucket aggregate
     "bucket_cap_report",
+    # r9: one-row broadcast totals crossJoined onto the |langs|-row
+    # cell table (mixture_waterfill's sibling)
+    "temperature_mixture",
 }
+
+
+def _split_args(s: str) -> list[str]:
+    out, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        if ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    out.append(cur)
+    return [a.strip() for a in out]
+
+
+def _has_unpartitioned_window(executed_plan: str) -> bool:
+    """True when any windowspecdefinition in the executed plan carries
+    an EMPTY partition list (its first top-level argument is already an
+    ordering expression or the frame).  As of round 9 the repo-wide
+    invariant is ZERO such specs: every bounded single-partition window
+    (post-limit top-k, calendar/bucket spines, page windows) carries a
+    bounded_window_key partition — Catalyst folds literal keys away —
+    so a WindowExec single-partition warning in any log is always a
+    genuine unbounded-window regression."""
+    import re
+    for m in re.finditer(r"windowspecdefinition\(", executed_plan):
+        i, depth, j = m.end(), 1, m.end()
+        while depth and j < len(executed_plan):
+            if executed_plan[j] == "(":
+                depth += 1
+            elif executed_plan[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_args(executed_plan[i:j - 1])
+        if args and (" ASC" in args[0] or " DESC" in args[0]
+                     or args[0].startswith("specifiedwindowframe")):
+            return True
+    return False
 
 
 def audit(spark, sf: str, verbose: bool = True) -> list[str]:
@@ -101,6 +145,7 @@ def audit(spark, sf: str, verbose: bool = True) -> list[str]:
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString("formatted"))
+            executed = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             flags.append(f"ERR {name}: {type(exc).__name__}: {exc}")
             if verbose:
@@ -112,6 +157,8 @@ def audit(spark, sf: str, verbose: bool = True) -> list[str]:
             issues.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in body and name not in BNLJ_OK:
             issues.append("BroadcastNestedLoopJoin(unlisted)")
+        if _has_unpartitioned_window(executed):
+            issues.append("unpartitioned-window")
         if issues:
             flags.append(f"FLAG {name}: {', '.join(issues)}")
             if verbose:
