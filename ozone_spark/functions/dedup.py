@@ -1086,6 +1086,62 @@ def bucket_cap_report(docs: DataFrame, n: int = 3,
     )
 
 
+BUCKET_CAP_SWEEP = (5, 10, 25, 50, 100, 200)
+
+
+def bucket_cap_sweep(docs: DataFrame, n: int = 3,
+                     caps: tuple = BUCKET_CAP_SWEEP) -> DataFrame:
+    """Cap-TUNING curve, the sizing table behind bucket_cap_report's
+    single-cap audit: for each candidate `max_bucket` value, how many
+    multi-doc shingle buckets survive and what share of the algebraic
+    C(s,2) pair mass the cap would drop — what a corpus team reads to
+    pick the cap BEFORE running the pair pass (too low: near-dup recall
+    silently collapses on copy-heavy corpora; too high: the in-bucket
+    explode goes quadratic on stopword shingles).
+
+    Scale shape: the per-bucket table collapses to the BUCKET-SIZE
+    HISTOGRAM first (groupBy(s): rows bounded by distinct bucket sizes,
+    a few hundred at any corpus scale), and the |caps| x |sizes| sweep
+    joins two bounded tables — the corpus-sized work is exactly one
+    groupBy(shingle) on the slot-cached hashed-shingle table that the
+    pair generators already built."""
+    sh = _slot_cache(
+        word_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        "ngram_sh")
+    hist = (
+        sh.groupBy("shingle").agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .groupBy("s").agg(F.count("*").alias("n_b"))
+        .select("s", "n_b",
+                F.expr("n_b * (s * (s - 1) div 2)").alias("pair_mass"))
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(int(c),) for c in caps], "cap int")
+    per = (
+        F.broadcast(spine).crossJoin(hist)
+        .groupBy("cap")
+        .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("n_buckets"),
+             F.coalesce(F.sum(F.when(F.col("s") > F.col("cap"),
+                                     F.col("n_b"))), F.lit(0))
+             .cast("long").alias("n_dropped_buckets"),
+             F.coalesce(F.sum("pair_mass"), F.lit(0)).alias("pairs_total"),
+             F.coalesce(F.sum(F.when(F.col("s") > F.col("cap"),
+                                     F.col("pair_mass"))), F.lit(0))
+             .cast("long").alias("pairs_dropped"))
+    )
+    return (
+        per.select(
+            "cap", "n_buckets", "n_dropped_buckets",
+            "pairs_total", "pairs_dropped",
+            F.expr("(pairs_dropped * 1000000) div greatest(pairs_total, 1)")
+            .alias("pairs_dropped_ppm"),
+            F.expr("((pairs_total - pairs_dropped) * 1000000) "
+                   "div greatest(pairs_total, 1)").alias("survivor_pair_ppm"))
+        .orderBy("cap")
+    )
+
+
 def saturated_pair_sample(docs: DataFrame, n: int = 3,
                           max_bucket: int = 200, sample: int = 50,
                           min_shared: int = 1) -> DataFrame:

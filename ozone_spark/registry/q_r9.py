@@ -176,4 +176,40 @@ SELECT lang, n_docs, tokens,
     // greatest((tokens * 1000000) // greatest(tt, 1), 1) AS boost_ppm
 FROM w, tot ORDER BY lang""",
     ),
+    _q(
+        "bucket_cap_sweep",
+        lambda spark, sf: dedup.bucket_cap_sweep(
+            views(spark, sf)["documents"]),
+        # the |caps| x |bucket-size-histogram| sweep: both sides are
+        # bounded, and the raw-string bucketing is the documented
+        # hash60-equivalence the whole jaccard family relies on
+        f"""WITH words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), hist AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_b,
+    CAST(count(*) * (s * (s - 1) // 2) AS BIGINT) AS pair_mass
+  FROM (SELECT count(*) AS s FROM sh GROUP BY shingle HAVING count(*) >= 2)
+  GROUP BY s
+), caps AS (SELECT unnest([5, 10, 25, 50, 100, 200]) AS cap), per AS (
+  SELECT cap, CAST(coalesce(sum(n_b), 0) AS BIGINT) AS n_buckets,
+    CAST(coalesce(sum(CASE WHEN s > cap THEN n_b END), 0) AS BIGINT)
+      AS n_dropped_buckets,
+    CAST(coalesce(sum(pair_mass), 0) AS BIGINT) AS pairs_total,
+    CAST(coalesce(sum(CASE WHEN s > cap THEN pair_mass END), 0) AS BIGINT)
+      AS pairs_dropped
+  FROM caps, hist GROUP BY cap
+)
+SELECT cap, n_buckets, n_dropped_buckets, pairs_total, pairs_dropped,
+  (pairs_dropped * 1000000) // greatest(pairs_total, 1)
+    AS pairs_dropped_ppm,
+  ((pairs_total - pairs_dropped) * 1000000) // greatest(pairs_total, 1)
+    AS survivor_pair_ppm
+FROM per ORDER BY cap""",
+    ),
 ]

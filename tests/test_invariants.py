@@ -2872,3 +2872,24 @@ def test_temperature_mixture_compresses_toward_uniform(spark, t):
     for r in rows:
         lo, hi = sorted((r.natural_ppm, uniform))
         assert lo - len(rows) <= r.temp_ppm <= hi + len(rows), r
+
+
+def test_bucket_cap_sweep_reconciles_with_report(spark, t):
+    """The sweep's cap=200 row must equal bucket_cap_report's bucket and
+    pair-mass accounting exactly (same histogram, same algebra), and the
+    curve is monotone: raising the cap never drops MORE buckets or more
+    pair mass."""
+    docs = t["documents"]
+    sweep = {r.cap: r for r in dedup.bucket_cap_sweep(docs).collect()}
+    rep = dedup.bucket_cap_report(docs).collect()[0]
+    row200 = sweep[200]
+    assert row200.n_buckets == rep.n_buckets
+    assert row200.n_dropped_buckets == rep.n_dropped_buckets
+    assert row200.pairs_total == rep.pairs_total
+    assert row200.pairs_dropped == rep.pairs_dropped
+    assert row200.survivor_pair_ppm == rep.survivor_pair_ppm
+    caps = sorted(sweep)
+    for lo, hi in zip(caps, caps[1:]):
+        assert sweep[lo].n_dropped_buckets >= sweep[hi].n_dropped_buckets
+        assert sweep[lo].pairs_dropped >= sweep[hi].pairs_dropped
+        assert sweep[lo].pairs_total == sweep[hi].pairs_total

@@ -66,6 +66,19 @@ def main() -> int:
             "unnest(flatten(list_transform(range(1, 41), k -> "
             "[2**k - 1, 2**k, 2**k + 1]))) AS x) ORDER BY b, x",
         ),
+        # r9: temperature_mixture rests on floor(sqrt(BIGINT)) being
+        # engine-identical (IEEE sqrt is correctly rounded); probe the
+        # perfect-square boundaries k^2-1 / k^2 / k^2+1 across the long
+        # range including near-2^52 magnitudes
+        "floor_sqrt": (
+            "SELECT CAST(floor(sqrt(x)) AS BIGINT) AS s FROM (SELECT "
+            "explode(flatten(transform(sequence(1, 26), k -> "
+            "array(pow(4, k) - 1, pow(4, k), pow(4, k) + 1)))) AS x) "
+            "ORDER BY s, x",
+            "SELECT CAST(floor(sqrt(x)) AS BIGINT) AS s FROM (SELECT "
+            "unnest(flatten(list_transform(range(1, 27), k -> "
+            "[4**k - 1, 4**k, 4**k + 1]))) AS x) ORDER BY s, x",
+        ),
         "md5_int": (
             "SELECT conv(substring(md5(CAST(x AS STRING)), 1, 15), 16, 10)"
             " AS h FROM (SELECT explode(sequence(1, 100)) AS x) ORDER BY h",

@@ -89,6 +89,9 @@ BNLJ_OK = {
     # r9: one-row broadcast totals crossJoined onto the |langs|-row
     # cell table (mixture_waterfill's sibling)
     "temperature_mixture",
+    # r9: broadcast 6-row caps spine crossJoined with the bounded
+    # bucket-size histogram (distinct sizes, a few hundred rows max)
+    "bucket_cap_sweep",
 }
 
 
