@@ -325,7 +325,8 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_bucket: int = 200,
-                        slot: str = "ngram_sh") -> DataFrame:
+                        slot: str = "ngram_sh",
+                        recover_saturated: int = 0) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard similarity.
 
     Shape: build the shingle->docs inverted index (one shuffle), explode
@@ -339,6 +340,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     NOT mean "no near-dups"; run `bucket_cap_report` alongside (it
     rides this operator's cached shingle table) and read
     pairs_dropped_ppm before trusting a zero.
+
+    `recover_saturated` > 0 turns on the production remedy (VERDICT r9
+    item 3): `saturated_pair_sample` thins each SATURATED bucket to an
+    expected `recover_saturated` survivors and pairs those, yielding a
+    bounded candidate set from exactly the buckets the cap silenced;
+    the candidates are then re-scored with their TRUE n_common by
+    probing the full (uncapped) shingle table — two joins bounded by
+    the candidate docs' shingles, never a corpus self-join — and the
+    same `threshold` applies to the exact ratio.  Recovered pairs
+    REPLACE any capped-path twin (the capped n_common undercounts by
+    the saturated shingles); since jaccard is monotone in n_common, no
+    capped-green pair can be lost by the swap.
 
     Deliberately NOT exact-duplicate-contracted (unlike
     `duplicate_clusters`): this operator's contract is the raw member-
@@ -376,13 +389,50 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # threshold applies to the UNROUNDED ratio (rounding is display-
     # only), matching the oracle's WHERE — the same cross-engine cutoff
     # divergence ADVICE r4 flagged on the chunk-dedup path
-    return (
+    capped = (
         common.join(sa, "doc_a").join(sb, "doc_b")
         .where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
         .select("doc_a", "doc_b", "n_common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    if recover_saturated > 0:
+        # slot-cached: referenced three times below (two semi-filters +
+        # the pair join) — Spark re-executes unshared lazy subplans per
+        # reference (the r8 duplicate_clusters lesson), and this one
+        # re-shingles the corpus
+        cand = _slot_cache(
+            saturated_pair_sample(
+                docs, n=n, max_bucket=max_bucket,
+                sample=recover_saturated).select("doc_a", "doc_b"),
+            slot + "_satcand")
+        # exact re-score: true shared-shingle count from the UNCAPPED
+        # index, restricted to candidate docs (left-semi prunes the
+        # corpus-sized side before the shingle-keyed join)
+        a_sh = sh.join(
+            F.broadcast(cand.select(F.col("doc_a").alias("doc_id"))
+                        .distinct()), "doc_id", "left_semi") \
+            .select(F.col("doc_id").alias("doc_a"), "shingle")
+        b_sh = sh.join(
+            F.broadcast(cand.select(F.col("doc_b").alias("doc_id"))
+                        .distinct()), "doc_id", "left_semi") \
+            .select(F.col("doc_id").alias("doc_b"), "shingle")
+        exact = (
+            F.broadcast(cand).join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+        )
+        # slot-cached for the same reason: the union and the anti-join
+        # both reference it
+        recovered = _slot_cache(
+            exact.join(sa, "doc_a").join(sb, "doc_b")
+            .where(jac >= threshold)
+            .withColumn("jaccard", F.round(jac, 6))
+            .select("doc_a", "doc_b", "n_common", "jaccard"),
+            slot + "_recovered")
+        capped = recovered.unionByName(
+            capped.join(F.broadcast(recovered.select("doc_a", "doc_b")),
+                        ["doc_a", "doc_b"], "left_anti"))
+    return capped.orderBy("doc_a", "doc_b")
 
 
 def containment_pairs(docs: DataFrame, n: int = 3,
@@ -1195,6 +1245,11 @@ def saturated_pair_sample(docs: DataFrame, n: int = 3,
     )
     return (
         buckets.select(F.explode(pair_expr).alias("p"))
+        # strict guard: if two DISTINCT shingles of one doc hash60-
+        # collide into a single bucket, the sorted ds holds that doc
+        # twice and positional pairing would emit a self-pair; the
+        # string-keyed oracle can never produce one (ADVICE r9 low #1)
+        .where(F.col("p.a") < F.col("p.b"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_saturated"))
         .where(F.col("n_shared_saturated") >= min_shared)
@@ -1253,7 +1308,16 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     )
 
 
-LOCAL_CC_MAX_EDGES = 1_000_000
+# Single-executor CC bound, in SYMMETRIZED edges.  Raised 1M -> 64M in
+# r10 (VERDICT r9 item 4) on a memory argument: the numpy label-
+# propagation pass below holds two int64 edge columns plus two label
+# arrays — 64M edges is ~1 GB of arrays plus the np.unique temps,
+# comfortably inside one executor's Python worker — and the 100x
+# perturbed probe's 23.7M-pair graph (47.4M symmetrized) was spending
+# ~6 shuffle rounds of the full edge list in the distributed loop for
+# a graph one worker folds in seconds.  Beyond this bound the
+# distributed pointer-jumping loop is the right shape anyway.
+LOCAL_CC_MAX_EDGES = 64_000_000
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -1326,10 +1390,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
 def _cc_single_pass(edges: DataFrame) -> DataFrame:
     """Exact connected components of a single-partition edge list in one
-    executor-side pass: path-halving union-find over the Arrow batches
-    of the (sole) partition, components labeled with their minimum
-    node id — bit-identical to the pointer-jumping fixpoint.  Bounded
-    by connected_components' local_max_edges guard."""
+    executor-side pass, components labeled with their minimum node id —
+    bit-identical to the pointer-jumping fixpoint.  Bounded by
+    connected_components' local_max_edges guard.
+
+    r10: the per-edge Python union-find loop became the bottleneck once
+    the local bound covered probe-scale graphs (a 47M-edge fold is
+    ~60s of dict ops); replaced with VECTORIZED min-label propagation —
+    dense-index the nodes (np.unique), then alternate scatter-min over
+    the edge arrays (np.minimum.at) with pointer jumps (label[label])
+    until fixpoint.  Every pass is O(E) numpy kernels, O(log n) passes;
+    labels only ever decrease to a component member's index, so the
+    fixpoint is the component minimum — the same labels union-find by
+    min produces (the loop-vs-local pytest still asserts equality)."""
     from pyspark.sql.types import LongType, StructField, StructType
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("cluster_id", LongType())])
@@ -1337,38 +1410,34 @@ def _cc_single_pass(edges: DataFrame) -> DataFrame:
     # NOTE: self-contained closure (locals + builtins only) — workers on
     # a real cluster do not have ozone_spark importable.
     def batches(it):
+        import numpy as _np
         import pandas as _pd
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
+        chunks_a, chunks_b = [], []
         for pdf in it:
-            for a, b in zip(pdf["a"], pdf["b"]):
-                a, b = int(a), int(b)
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union by MIN id keeps every root the component min,
-                    # so labels read off roots directly
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-        if parent:
-            nodes = list(parent)
-            yield _pd.DataFrame({
-                "doc_id": nodes,
-                "cluster_id": [find(n) for n in nodes],
-            })
+            chunks_a.append(pdf["a"].to_numpy(dtype="int64"))
+            chunks_b.append(pdf["b"].to_numpy(dtype="int64"))
+        if not chunks_a:
+            return
+        a = _np.concatenate(chunks_a)
+        b = _np.concatenate(chunks_b)
+        nodes, inv = _np.unique(_np.concatenate([a, b]),
+                                return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        del a, b, inv, chunks_a, chunks_b
+        label = _np.arange(len(nodes), dtype="int64")
+        while True:
+            prev = label.copy()
+            m = _np.minimum(label[ai], label[bi])
+            _np.minimum.at(label, ai, m)
+            _np.minimum.at(label, bi, m)
+            # two pointer jumps per round: long chains collapse in
+            # O(log diameter) rounds, same as the distributed loop
+            label = _np.minimum(label, label[label])
+            label = _np.minimum(label, label[label])
+            if _np.array_equal(label, prev):
+                break
+        yield _pd.DataFrame({"doc_id": nodes,
+                             "cluster_id": nodes[label]})
 
     return edges.mapInPandas(batches, schema=schema)
 
@@ -1678,6 +1747,57 @@ def minhash_recall(docs: DataFrame, truth_threshold: float = 0.5,
         F.expr("(n_hit * 1000000) div n_truth").alias("recall_ppm"),
         F.expr("(n_hit * 1000000) div n_cand").alias("precision_ppm"),
     )
+
+def saturation_recall(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.1, cap: int = 5,
+                      sample: int = 3,
+                      sample_n: int = MINRECALL_SAMPLE_N) -> DataFrame:
+    """Prices the bucket cap (VERDICT r9 item 3b): on a deterministic
+    fixed-COUNT doc slice, compare the capped near-dup pair set and the
+    capped+saturated-recovery set against the UNCAPPED exact truth.
+    One row: truth size, each arm's pair count and hit count, and
+    recall in exact integer ppm — the number that says how much of the
+    silently-dropped pair mass (`bucket_cap_report`) the sampled
+    recovery actually buys back at a given (cap, sample).
+
+    Scale shape: like `minhash_recall`, the truth pass runs only on the
+    fixed-count slice (corpus-size-independent — at the gate fixtures
+    the slice IS the corpus); within the slice all three arms are the
+    existing bounded generators.  The arms share one slot-cached
+    shingle table (the slot key is arm-invariant), so the corpus is
+    shingled once."""
+    samp = _fixed_count_sample(docs, sample_n, "satrec")
+    key = ["doc_a", "doc_b"]
+    truth = ngram_jaccard_pairs(
+        samp, n=n, threshold=threshold, max_bucket=1 << 40,
+        slot="satrec_sh").select(*key, F.lit(1).alias("in_truth"))
+    capped = ngram_jaccard_pairs(
+        samp, n=n, threshold=threshold, max_bucket=cap,
+        slot="satrec_sh").select(*key, F.lit(1).alias("in_capped"))
+    rec = ngram_jaccard_pairs(
+        samp, n=n, threshold=threshold, max_bucket=cap,
+        slot="satrec_sh",
+        recover_saturated=sample).select(*key, F.lit(1).alias("in_rec"))
+    joined = truth.join(capped, key, "full_outer").join(rec, key, "full_outer")
+    return joined.agg(
+        F.sum("in_truth").alias("n_truth"),
+        F.sum("in_capped").alias("n_capped"),
+        F.sum(F.when(F.col("in_truth").isNotNull()
+                     & F.col("in_capped").isNotNull(), 1).otherwise(0))
+        .alias("n_capped_hit"),
+        F.sum("in_rec").alias("n_recovered"),
+        F.sum(F.when(F.col("in_truth").isNotNull()
+                     & F.col("in_rec").isNotNull(), 1).otherwise(0))
+        .alias("n_recovered_hit"),
+    ).select(
+        "n_truth", "n_capped", "n_capped_hit", "n_recovered",
+        "n_recovered_hit",
+        F.expr("(n_capped_hit * 1000000) div greatest(n_truth, 1)")
+        .alias("capped_recall_ppm"),
+        F.expr("(n_recovered_hit * 1000000) div greatest(n_truth, 1)")
+        .alias("recovered_recall_ppm"),
+    )
+
 
 def dedup_savings(docs: DataFrame) -> DataFrame:
     """Per-source exact-dedup savings forecast: how many documents and

@@ -31,6 +31,7 @@ from .q_r6 import R6_QUERIES
 from .q_r7 import R7_QUERIES
 from .q_r8 import R8_QUERIES
 from .q_r9 import R9_QUERIES
+from .q_r10 import R10_QUERIES
 
 
 
@@ -43,6 +44,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
     + R5_QUERIES + R6_QUERIES + R7_QUERIES + R8_QUERIES + R9_QUERIES
+    + R10_QUERIES
 )
 
 
@@ -330,6 +332,30 @@ _REWRITE_PENDING: dict[str, int] = {
     "list_parts_page": 9, "recon_list_keys": 9,
     "datanode_utilization": 9, "heatmap": 9,
     "blocks_pending_deletion": 9, "corpus_growth_curve": 9,
+    # r10 (VERDICT r9 item 2): the r9 pin above was REPRESENTATIVE; this
+    # makes it EXHAUSTIVE.  Derived from the 7d20722 diff: every query
+    # whose implementing function gained a bounded_window_key/_bwk call
+    # (mapped call-site -> enclosing def -> registry name).  Note
+    # lsh_bucket_stats — named as an example in VERDICT r9 — is NOT a
+    # _bwk call site (its windows were already column-keyed), so it is
+    # deliberately not pinned.
+    "dedup_threshold_sweep": 9, "frequent_ngrams": 9,
+    "lsh_band_yield": 9, "ngram_novelty_curve": 9,
+    "zipf_curve": 9, "bpe_merge_candidates": 9,
+    "domain_mixture": 9, "mixture_waterfill": 9,
+    "ivf_list_balance": 9, "weighted_sample": 9,
+    "join_key_skew": 9, "event_funnel": 9, "cluster_growth_daily": 9,
+    # r10: synthesize_cdc_log's global seq rewritten from a masked
+    # unpartitioned window to the exact per-op decomposition (ADVICE r9
+    # medium #2) — every query that replays the synthesized log
+    "cdc_task_status": 10, "cdc_overflow_reprocess": 10,
+    "cdc_incremental_quota": 10, "cdc_incremental_histogram": 10,
+    "cdc_incremental_namespace_dist": 10,
+    "cdc_incremental_container_index": 10,
+    # r10: foreachBatch sink rewritten to per-batch-id overwrite
+    # (ADVICE r9 medium #1); self-pair guard added to the sampler
+    # (ADVICE r9 low #1)
+    "streaming_ingest_dedup": 10, "dedup_saturated_sample": 10,
 }
 
 

@@ -254,6 +254,7 @@ SELECT est.g AS source, est.n,
   (abs(p99_est - p99_exact) * 1000000) // greatest(p99_exact, 1) AS p99_err_ppm,
   CAST(31250 AS BIGINT) AS bound_ppm
 FROM est JOIN ex ON est.g = ex.g ORDER BY source""",
+        bench=True,
     ),
     _q(
         "session_concurrency",
@@ -286,6 +287,7 @@ FROM est JOIN ex ON est.g = ex.g ORDER BY source""",
   GROUP BY 1, 2
 )
 SELECT concurrent, count(*) AS n_sessions FROM cnt GROUP BY 1 ORDER BY 1""",
+        bench=True,
     ),
     _q(
         "record_linkage",
@@ -338,6 +340,7 @@ SELECT b_class, n_entities, n_candidates, n_matched, n_true,
   (2 * precision_ppm * recall_ppm)
     // greatest(precision_ppm + recall_ppm, 1) AS f1_ppm
 FROM m ORDER BY b_class""",
+        bench=True,
     ),
     _q(
         "prototype_pruning",

@@ -7,9 +7,6 @@ from ._base import *  # noqa: F401,F403 — shared registry namespace
 from .q_text import _NORM  # noqa: F401 — cross-domain helper
 from .q_r8 import _INGEST_DEDUP_ORACLE  # noqa: F401 — shared oracle
 
-_stream_seq9 = [0]
-
-
 def _streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain wrapper: resident corpus = doc_id % 10 <> 0, the ingest
     set re-staged as FOUR parquet files so the availableNow drain runs
@@ -21,7 +18,6 @@ def _streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ozone_spark.streaming import windows as swin
 
-    _stream_seq9[0] += 1
     docs = views(spark, sf_dir)["documents"]
     staged = tempfile.mkdtemp(prefix="ozs_ingest_src_")
     docs.where("doc_id % 10 = 0").repartition(4) \
@@ -39,6 +35,7 @@ R9_QUERIES = [
         "streaming_ingest_dedup",
         _streaming_ingest_dedup,
         _INGEST_DEDUP_ORACLE,
+        bench=True,
     ),
     _q(
         "bucket_cap_report",
@@ -85,6 +82,7 @@ SELECT n_buckets, n_dropped_buckets,
   ((pairs_total - pairs_dropped) * 1000000) // greatest(pairs_total, 1)
     AS survivor_pair_ppm
 FROM agg, dd, dt""",
+        bench=True,
     ),
     _q(
         "media_png_features",

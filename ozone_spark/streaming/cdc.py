@@ -78,11 +78,23 @@ def synthesize_cdc_log(keys: DataFrame, deleted_object_ids: DataFrame,
             *loc_cols,
         )
     )
+    # The global seq decomposes EXACTLY into two per-op sequences:
+    # every DELETE event_time is > max(PUT creation_time) by
+    # construction, so "order by (event_time, op, db_key)" == all PUTs
+    # by (event_time, db_key) followed by all DELETEs by the same —
+    # i.e. a row_number per op partition plus a constant offset of
+    # n_puts for the DELETE half.  This keeps the window partitioned by
+    # a real column (no unpartitioned corpus-sized window, no masked
+    # WindowExec warning — ADVICE r9) and stays fully deterministic:
+    # db_key is unique within each op half, so the sort key is a total
+    # order.
+    n_puts = puts.count()
+    per_op = Window.partitionBy("op").orderBy("event_time", "db_key")
     log = (
         puts.unionByName(deletes)
-        .withColumn("seq", F.row_number().over(
-            Window.partitionBy(F.pmod(F.xxhash64("db_key"), F.lit(1)))
-            .orderBy("event_time", "op", "db_key")))
+        .withColumn("seq", F.row_number().over(per_op)
+                    + F.when(F.col("op") == "DELETE",
+                             F.lit(n_puts)).otherwise(F.lit(0)))
         .select(*CDC_COLUMNS, *loc_cols)
     )
     n = log.count()

@@ -354,11 +354,17 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
     for df in idx:
         df.persist()
 
-    def handle(bdf: DataFrame, _bid: int) -> None:
+    def handle(bdf: DataFrame, bid: int) -> None:
+        # Exactly-once sink: each micro-batch overwrites its OWN
+        # deterministic batch=<id> subdirectory, so a batch retried
+        # after a partial failure (checkpoint restart re-delivers the
+        # same batch_id) replaces its half-written output instead of
+        # appending it twice (ADVICE r9 medium #1 — blind append broke
+        # the "drained union == one batch run" contract under retry).
         D.incremental_ingest_dedup(
             None, bdf, n=n, threshold=threshold,
             max_bucket=max_bucket, index=idx) \
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
 
     q = (
         ingest_stream.writeStream.foreachBatch(handle)
@@ -369,4 +375,6 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
     q.awaitTermination()
     for df in idx:
         df.unpersist()
-    return spark.read.parquet(out_dir)
+    # batch=<id> reads back as a partition column; drop it — batch
+    # boundaries are an execution detail, not part of the result.
+    return spark.read.parquet(out_dir).drop("batch")

@@ -2893,3 +2893,102 @@ def test_bucket_cap_sweep_reconciles_with_report(spark, t):
         assert sweep[lo].n_dropped_buckets >= sweep[hi].n_dropped_buckets
         assert sweep[lo].pairs_dropped >= sweep[hi].pairs_dropped
         assert sweep[lo].pairs_total == sweep[hi].pairs_total
+
+
+def test_recovery_supersets_capped_and_rescoring_is_exact(spark, t):
+    """recover_saturated must only ADD or RE-SCORE pairs, never lose
+    one: every capped-green pair key survives in the recovering run,
+    and any pair present in both carries n_common >= its capped count
+    (the exact re-score includes the saturated shingles the capped
+    index dropped).  Recovered-only pairs must touch at least one
+    saturated bucket by construction — on a corpus where nothing
+    saturates, the two runs are identical."""
+    docs = t["documents"]
+    capped = {(r.doc_a, r.doc_b): r.n_common
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, threshold=0.1, max_bucket=5).collect()}
+    rec = {(r.doc_a, r.doc_b): r.n_common
+           for r in dedup.ngram_jaccard_pairs(
+               docs, threshold=0.1, max_bucket=5,
+               recover_saturated=3).collect()}
+    assert set(capped) <= set(rec)
+    for k, n in capped.items():
+        assert rec[k] >= n, k
+    # no-saturation corpus: cap above the fixture's bucket tail makes
+    # recovery a no-op (the candidate set is empty)
+    hi = {(r.doc_a, r.doc_b, r.n_common, r.jaccard)
+          for r in dedup.ngram_jaccard_pairs(
+              docs, threshold=0.1, max_bucket=10**6).collect()}
+    hi_rec = {(r.doc_a, r.doc_b, r.n_common, r.jaccard)
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, threshold=0.1, max_bucket=10**6,
+                  recover_saturated=3).collect()}
+    assert hi == hi_rec
+
+
+def test_saturation_recall_orders_the_arms(spark, t):
+    """The recall report's defining inequalities: hits never exceed arm
+    size or truth, and the recovering arm's recall is >= the capped
+    arm's (recovery is a superset by the previous invariant)."""
+    r = dedup.saturation_recall(t["documents"]).collect()[0]
+    assert r.n_capped_hit <= min(r.n_capped, r.n_truth)
+    assert r.n_recovered_hit <= min(r.n_recovered, r.n_truth)
+    assert r.n_recovered >= r.n_capped
+    assert r.recovered_recall_ppm >= r.capped_recall_ppm
+    assert 0 <= r.recovered_recall_ppm <= 1_000_000
+
+
+def test_jpeg_codec_round_trip_and_errors():
+    """The JPEG codec is REAL (numpy-only baseline sequential, VERDICT
+    r9 item 6): block-CONSTANT rasters round-trip EXACTLY (DC-only
+    blocks under the all-ones quant table — the gate fixture's
+    replayability trick), general random rasters round-trip within the
+    DCT coefficient-rounding bound while exercising the AC Huffman
+    path (nonzero runs, ZRL, mid-block EOB), the scan survives byte
+    stuffing (0xFF bytes occur in real scans), and malformed streams
+    raise; decode_media dispatches on the SOI marker with fake=True
+    still winning."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ozone_spark.functions.multimodal import (decode_jpeg, decode_media,
+                                                  encode_jpeg)
+
+    # exact path: block-constant rasters (the jpeg_media_table shape)
+    for doc_id, h in [(0, 16), (4217, 24), (255, 16), (99999, 40)]:
+        w, bw, bh = 24, 3, h // 8
+        bi = np.arange(bw * bh)
+        vals = ((doc_id + 3 * bi[:, None] + np.arange(3)) % 256) \
+            .astype(np.uint8)
+        raster = (np.broadcast_to(vals[:, None, None, :],
+                                  (bi.size, 8, 8, 3))
+                  .reshape(bh, bw, 8, 8, 3).transpose(0, 2, 1, 3, 4)
+                  .reshape(h, w, 3))
+        payload = encode_jpeg(w, h, raster.reshape(-1))
+        w2, h2, out = decode_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, raster)
+        assert np.array_equal(decode_media(payload, "image"), out)
+        assert decode_media(payload, "image", fake=True) == list(payload)
+    # general rasters: the only loss is DCT coefficient rounding;
+    # coefficient recovery itself is exact, so error stays tiny
+    rng = np.random.RandomState(11)
+    for _ in range(4):
+        w = 8 * int(rng.randint(1, 5))
+        h = 8 * int(rng.randint(1, 5))
+        flat = rng.randint(0, 256, w * h * 3).astype(np.uint8)
+        _, _, out = decode_jpeg(encode_jpeg(w, h, flat))
+        err = np.abs(out.reshape(-1).astype(int) - flat.astype(int)).max()
+        assert err <= 2, err
+    p = encode_jpeg(24, 16, (np.arange(24 * 16 * 3) % 256))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"XX" + p[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(p[:40])
+    with _pytest.raises(ValueError, match="block-aligned"):
+        encode_jpeg(23, 16, np.zeros(23 * 16 * 3))
+    with _pytest.raises(ValueError, match="baseline"):
+        bad = bytearray(p)
+        i = bytes(bad).index(b"\xFF\xC0")
+        bad[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        decode_jpeg(bytes(bad))

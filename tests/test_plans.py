@@ -784,7 +784,7 @@ def test_top_users_per_type_salted_two_phase(spark, sf_dir):
     assert "pmod" in plan  # the salt reached a partitioning expression
 
 
-def test_whole_registry_plan_audit_zero_flags(spark):
+def test_whole_registry_plan_audit_zero_flags(spark, sf_dir):
     """CI twin of tools/plan_audit.py (VERDICT r8 item 6): the audit
     must return ZERO flags over the whole registry, so a shipped
     CartesianProduct or unsanctioned BroadcastNestedLoopJoin fails the
@@ -796,7 +796,7 @@ def test_whole_registry_plan_audit_zero_flags(spark):
                                    "..", "tools", "plan_audit.py"))
     pa = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pa)
-    flags = pa.audit(spark, "/root/testdata/sf0.001", verbose=False)
+    flags = pa.audit(spark, sf_dir, verbose=False)
     assert flags == [], flags
 
 

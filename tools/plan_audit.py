@@ -136,13 +136,26 @@ def _has_unpartitioned_window(executed_plan: str) -> bool:
     return False
 
 
-def audit(spark, sf: str, verbose: bool = True) -> list[str]:
+# Drain-style queries: their registry fn fully EXECUTES a streaming
+# drain (staging parquet + checkpoint + awaitTermination) at
+# construction time just to hand back a read-back DataFrame, so the
+# plan the audit would see is a bare parquet scan of the drained
+# output — zero signal — at the cost of running the whole stream
+# (ADVICE r9 low #2).  Their streaming plans are covered by dedicated
+# pytests (micro-batch-boundary invariance, state-bound checks).
+DRAIN_STYLE = {"streaming_ingest_dedup"}
+
+
+def audit(spark, sf: str, verbose: bool = True,
+          skip_drains: bool = True) -> list[str]:
     """Explain every registered query at `sf` and return the list of
     flag/error strings (empty = clean).  Callable from pytest
     (tests/test_plans.py asserts zero flags so a shipped flag fails the
     suite instead of riding in an artifact — VERDICT r8 item 6)."""
     flags: list[str] = []
     for name, fn in e.queries().items():
+        if skip_drains and name in DRAIN_STYLE:
+            continue
         try:
             df = fn(spark, sf)
             plan = df._jdf.queryExecution().explainString(

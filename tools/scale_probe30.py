@@ -123,6 +123,35 @@ def main() -> int:
     qs = queries()
     results: dict[str, dict] = {}
     failed = []
+    # r10 recovery arm (VERDICT r9 item 3a): price the production
+    # saturated-bucket recovery next to the capped default — same
+    # query, recover_saturated=<env> survivors per saturated bucket at
+    # the production cap.  Where nothing saturates (e.g. 30x perturbed:
+    # families of 30 x multiplicity 2-6 stay under the 200 cap) the arm
+    # shows the no-op overhead; at 100x (26.5k saturated buckets,
+    # 96.5% of pair mass cap-dropped in r9) it shows what the bounded
+    # remedy costs and yields.
+    recover = int(os.environ.get("SPARK_GRAFT_SCALE_RECOVER", "0"))
+    if recover:
+        from ozone_spark.functions import dedup as D
+        from ozone_spark import tables as T
+        t0 = time.perf_counter()
+        try:
+            docs = T.load_table(spark, work, "documents")
+            n = D.ngram_jaccard_pairs(
+                docs, threshold=0.1, recover_saturated=recover,
+                slot="probe_rec").count()
+            results["dedup_ngram_jaccard_recovered"] = {
+                "sec": round(time.perf_counter() - t0, 1), "rows": n,
+                "recover_saturated": recover}
+            print(f"# dedup_ngram_jaccard_recovered: "
+                  f"{results['dedup_ngram_jaccard_recovered']}",
+                  file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            results["dedup_ngram_jaccard_recovered"] = {
+                "sec": round(time.perf_counter() - t0, 1),
+                "rows": None, "err": str(ex)[:300]}
+            failed.append("dedup_ngram_jaccard_recovered")
     for name in HEAVY_FIVE:
         t0 = time.perf_counter()
         try:
