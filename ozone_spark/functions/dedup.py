@@ -1221,14 +1221,7 @@ def saturated_pair_sample(docs: DataFrame, n: int = 3,
     table against the (small) saturated-bucket list, the same in-bucket
     pair explode as ngram_jaccard_pairs over <= 4*sample-doc buckets,
     one pair-keyed count.  Text is hashed once and never shuffled."""
-    base = word_shingles(docs, n)
-    sh = base.select(
-        "doc_id", hash60(F.col("shingle")).alias("h"),
-        hash28(F.concat_ws(
-            ":", F.col("shingle"),
-            F.col("doc_id").cast("string"))).alias("skey"))
-    sat = (sh.groupBy("h").agg(F.count("*").alias("s"))
-           .where(F.col("s") > max_bucket))
+    sh, sat = _saturated_buckets(docs, n, max_bucket)
     kept = (
         sh.join(sat, "h")
         .where(F.col("skey") * F.col("s")
@@ -1254,6 +1247,196 @@ def saturated_pair_sample(docs: DataFrame, n: int = 3,
         .agg(F.count("*").alias("n_shared_saturated"))
         .where(F.col("n_shared_saturated") >= min_shared)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+RECOVERY_SWEEP_SAMPLES = (1, 2, 3, 5, 8, 12)
+
+
+def _saturated_buckets(docs: DataFrame, n: int,
+                       max_bucket: int) -> tuple:
+    """Shared front half of the saturated-bucket recovery family
+    (`saturated_pair_sample` / `recovery_sample_sweep` /
+    `recovery_yield_by_size`): the full shingle-key table (lazy — one
+    corpus pass per consumer; consumers slot-cache their bounded
+    derivations, not this) and the SMALL saturated (h, s) bucket list,
+    slot-cached because every consumer joins or aggregates it and it is
+    |saturated buckets| rows regardless of corpus size."""
+    sh = word_shingles(docs, n).select(
+        "doc_id", hash60(F.col("shingle")).alias("h"),
+        hash28(F.concat_ws(
+            ":", F.col("shingle"),
+            F.col("doc_id").cast("string"))).alias("skey"))
+    sat = _slot_cache(
+        sh.groupBy("h").agg(F.count("*").alias("s"))
+        .where(F.col("s") > max_bucket),
+        f"satbk_{n}_{max_bucket}")
+    return sh, sat
+
+
+def _sat_pair_expr() -> Column:
+    # built lazily: F.expr needs an active SparkContext, and this module
+    # imports before any session exists
+    return F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+
+
+def recovery_sample_sweep(docs: DataFrame, n: int = 3,
+                          max_bucket: int = 200,
+                          samples: tuple = RECOVERY_SWEEP_SAMPLES,
+                          ) -> DataFrame:
+    """Tuning curve for the `recover_saturated` knob — the sample-axis
+    twin of `bucket_cap_sweep`'s cap axis (round 9 gave the cap its
+    curve; the recovery sample deserves the same first-class
+    observability instead of a hidden constant).  One row per candidate
+    `sample` value: surviving thinned rows, buckets in the pairable
+    2..4*sample range, distinct candidate pairs, and distinct docs
+    reached — the numbers RECALL_r10.json prices in seconds/recall,
+    here as a single bounded query an operator can run before choosing
+    the knob.
+
+    Scale shape: the corpus-sized work is ONE groupBy(shingle) + one
+    join against the (small) saturated-bucket list, thinned ONCE at
+    max(samples) — the keep rule `skey * s < sample * 2^28` is monotone
+    in `sample`, so the per-sample survivor sets are nested and the
+    6-row spine fans out over only ~max(samples) expected rows per
+    saturated bucket, never the corpus.  Pair counting reuses the same
+    bounded in-bucket explode as `saturated_pair_sample` (O(sample^2)
+    per bucket).  All keys are md5-derived: the DuckDB oracle replays
+    the sweep bit-identically."""
+    spark = docs.sparkSession
+    smax = max(samples)
+    sh, sat = _saturated_buckets(docs, n, max_bucket)
+    # thinned ONCE at the largest sample: one corpus pass, survivor set
+    # ~smax expected rows per saturated bucket — the bounded table the
+    # 6-row spine fans out over
+    kept_max = _slot_cache(
+        sh.join(sat, "h")
+        .where(F.col("skey") * F.col("s")
+               < F.lit(smax * (1 << 28)).cast("long")),
+        "recsweep_kept")
+    spine = spark.createDataFrame(
+        [(int(x),) for x in sorted(samples)], "sample int")
+    sat_count = sat.agg(F.count("*").alias("n_saturated_buckets"))
+    kept = (
+        F.broadcast(spine).crossJoin(kept_max)
+        .where(F.col("skey") * F.col("s")
+               < F.col("sample").cast("long") * F.lit(1 << 28).cast("long"))
+    )
+    per_bucket = (kept.groupBy("sample", "h")
+                  .agg(F.collect_list("doc_id").alias("ds")))
+    buckets_ok = (per_bucket
+                  .where((F.size("ds") >= 2)
+                         & (F.size("ds") <= 4 * F.col("sample")))
+                  .select("sample", F.array_sort("ds").alias("ds")))
+    pairs = _slot_cache(
+        buckets_ok.select("sample", F.explode(_sat_pair_expr()).alias("p"))
+        .where(F.col("p.a") < F.col("p.b"))
+        .select("sample", F.col("p.a").alias("doc_a"),
+                F.col("p.b").alias("doc_b"))
+        .distinct(),
+        "recsweep_pairs")
+    agg_rows = kept.groupBy("sample").agg(
+        F.count("*").alias("n_kept_rows"))
+    agg_ok = buckets_ok.groupBy("sample").agg(
+        F.count("*").alias("n_ok_buckets"))
+    agg_pairs = pairs.groupBy("sample").agg(
+        F.count("*").alias("n_candidate_pairs"))
+    agg_docs = (pairs.select(
+        "sample", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("sample").agg(
+            F.countDistinct("d").alias("n_candidate_docs")))
+    return (
+        spine.crossJoin(F.broadcast(sat_count))  # one-row scalar attach
+        .join(agg_rows, "sample", "left")
+        .join(agg_ok, "sample", "left")
+        .join(agg_pairs, "sample", "left")
+        .join(agg_docs, "sample", "left")
+        .select(
+            "sample",
+            F.col("n_saturated_buckets").cast("long")
+            .alias("n_saturated_buckets"),
+            F.coalesce("n_kept_rows", F.lit(0)).cast("long")
+            .alias("n_kept_rows"),
+            F.coalesce("n_ok_buckets", F.lit(0)).cast("long")
+            .alias("n_ok_buckets"),
+            F.coalesce("n_candidate_pairs", F.lit(0)).cast("long")
+            .alias("n_candidate_pairs"),
+            F.coalesce("n_candidate_docs", F.lit(0)).cast("long")
+            .alias("n_candidate_docs"))
+        .orderBy("sample")
+    )
+
+
+def recovery_yield_by_size(docs: DataFrame, n: int = 3,
+                           max_bucket: int = 200,
+                           sample: int = 50) -> DataFrame:
+    """WHERE the sampled recovery's yield lives along the saturation
+    spectrum: per power-of-two bucket-size bin (the exact A1/A2 bin
+    math — smallest i with 2^i >= s), the saturated-bucket count, the
+    algebraic pair mass the cap dropped there (sum C(s,2)), and what
+    the Bernoulli thinning harvests back — surviving rows, pairable
+    buckets, distinct candidate pairs (within-bin distinct; a pair can
+    recur across bins through different shingles, so the bin column is
+    part of the key, same convention as `lsh_band_yield` per band).
+    Together with `recovery_sample_sweep` (how much per sample) and
+    `bucket_cap_report` (how much was lost), this answers the operator
+    question the r9 artifacts left open: is the dropped mass in a few
+    mega-buckets (raise `sample`) or a long tail just over the cap
+    (raise the cap)?
+
+    Scale shape: identical to `saturated_pair_sample` — the histogram
+    side collapses to |distinct bins| rows, the explode is bounded at
+    O(sample^2) per bucket; the thinned survivor table is slot-cached
+    because three aggregates below consume it."""
+    from . import bins as _bins
+    sh, sat = _saturated_buckets(docs, n, max_bucket)
+    binned = sat.withColumn(
+        "size_bin", _bins.size_bin_index(F.col("s"), 0, 40))
+    per_bucket_mass = binned.groupBy("size_bin").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("s * (s - 1) div 2")).alias("pair_mass_dropped"))
+    kept = _slot_cache(
+        sh.join(binned.select("h", "s", "size_bin"), "h")
+        .where(F.col("skey") * F.col("s")
+               < F.lit(sample * (1 << 28)).cast("long")),
+        f"recyield_kept_{sample}")
+    agg_rows = kept.groupBy("size_bin").agg(
+        F.count("*").alias("n_kept_rows"))
+    buckets_ok = (
+        kept.groupBy("size_bin", "h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= 4 * sample))
+        .select("size_bin", F.array_sort("ds").alias("ds")))
+    agg_ok = buckets_ok.groupBy("size_bin").agg(
+        F.count("*").alias("n_ok_buckets"))
+    agg_pairs = (
+        buckets_ok.select("size_bin", F.explode(_sat_pair_expr()).alias("p"))
+        .where(F.col("p.a") < F.col("p.b"))
+        .select("size_bin", F.col("p.a").alias("doc_a"),
+                F.col("p.b").alias("doc_b"))
+        .distinct()
+        .groupBy("size_bin").agg(F.count("*").alias("n_candidate_pairs")))
+    return (
+        per_bucket_mass
+        .join(agg_rows, "size_bin", "left")
+        .join(agg_ok, "size_bin", "left")
+        .join(agg_pairs, "size_bin", "left")
+        .select(
+            F.col("size_bin").cast("int").alias("size_bin"),
+            F.expr("cast(pow(2, size_bin) as bigint)").alias("bin_max_size"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("pair_mass_dropped").cast("long")
+            .alias("pair_mass_dropped"),
+            F.coalesce("n_kept_rows", F.lit(0)).cast("long")
+            .alias("n_kept_rows"),
+            F.coalesce("n_ok_buckets", F.lit(0)).cast("long")
+            .alias("n_ok_buckets"),
+            F.coalesce("n_candidate_pairs", F.lit(0)).cast("long")
+            .alias("n_candidate_pairs"))
+        .orderBy("size_bin")
     )
 
 

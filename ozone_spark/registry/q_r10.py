@@ -224,4 +224,118 @@ SELECT d.doc_id, CAST(24 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(24 * h AS BIGINT) AS n_pixels, sum_r, sum_g, sum_b
 FROM d JOIN s USING (doc_id) ORDER BY doc_id""",
     ),
+    _q(
+        "recovery_sample_sweep",
+        # gate knobs: cap 5 (fixture bucket tail 7 at sf0.01 / 25 at
+        # sf0.1, so saturation is nonzero at both SFs); the default
+        # 6-value sample spine exercises thinning from sub-survivor
+        # (sample 1) to effectively-uncapped (sample 12 > tail)
+        lambda spark, sf: dedup.recovery_sample_sweep(
+            views(spark, sf)["documents"], max_bucket=5),
+        # replay: bs (bucket sizes) is already in the spine; sat is its
+        # > cap slice; the thinning keep-rule, ok-bucket range and
+        # distinct-pair join replay the Spark plan bit-identically on
+        # raw shingle strings (the documented hash60 equivalence)
+        f"""WITH {_SH_SPINE}, spine(sample) AS (
+  VALUES (1), (2), (3), (5), (8), (12)
+), sat AS (
+  SELECT shingle, s FROM bs WHERE s > 5
+), satn AS (
+  SELECT count(*) AS n_sat FROM sat
+), kept AS (
+  SELECT sp.sample, sh.doc_id, sh.shingle
+  FROM sh JOIN sat USING (shingle) CROSS JOIN spine sp
+  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < sp.sample * (CAST(1 AS BIGINT) << 28)
+), okb AS (
+  SELECT sample, shingle FROM kept GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 4 * sample
+), pairs AS (
+  SELECT DISTINCT a.sample, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a
+  JOIN kept b ON a.sample = b.sample AND a.shingle = b.shingle
+    AND a.doc_id < b.doc_id
+  JOIN okb ON okb.sample = a.sample AND okb.shingle = a.shingle
+), aggr AS (
+  SELECT sample, count(*) AS n_kept_rows FROM kept GROUP BY 1
+), aggo AS (
+  SELECT sample, count(*) AS n_ok_buckets FROM okb GROUP BY 1
+), aggp AS (
+  SELECT sample, count(*) AS n_candidate_pairs FROM pairs GROUP BY 1
+), aggd AS (
+  SELECT sample, count(DISTINCT d) AS n_candidate_docs FROM (
+    SELECT sample, doc_a AS d FROM pairs
+    UNION ALL SELECT sample, doc_b FROM pairs) GROUP BY 1
+)
+SELECT sp.sample,
+  CAST(satn.n_sat AS BIGINT) AS n_saturated_buckets,
+  CAST(coalesce(aggr.n_kept_rows, 0) AS BIGINT) AS n_kept_rows,
+  CAST(coalesce(aggo.n_ok_buckets, 0) AS BIGINT) AS n_ok_buckets,
+  CAST(coalesce(aggp.n_candidate_pairs, 0) AS BIGINT)
+    AS n_candidate_pairs,
+  CAST(coalesce(aggd.n_candidate_docs, 0) AS BIGINT)
+    AS n_candidate_docs
+FROM spine sp CROSS JOIN satn
+LEFT JOIN aggr USING (sample)
+LEFT JOIN aggo USING (sample)
+LEFT JOIN aggp USING (sample)
+LEFT JOIN aggd USING (sample)
+ORDER BY sample""",
+    ),
+    _q(
+        "recovery_yield_by_size",
+        # gate knobs match dedup_saturated_sample (cap 5, sample 3) so
+        # the two gated views of the same thinning are cross-checkable
+        lambda spark, sf: dedup.recovery_yield_by_size(
+            views(spark, sf)["documents"], max_bucket=5, sample=3),
+        # power-of-two bin = smallest i with 2^i >= s (the A1/A2 bin
+        # math, exact across engines at boundaries per bins.py)
+        f"""WITH {_SH_SPINE}, sat AS (
+  SELECT shingle, s FROM bs WHERE s > 5
+), binned AS (
+  SELECT shingle, s,
+    CAST(CASE WHEN s <= 1 THEN 0
+      ELSE least(CAST(ceil(log2(CAST(s AS DOUBLE) / 1.0)) AS BIGINT), 40)
+      END AS INT) AS size_bin
+  FROM sat
+), mass AS (
+  SELECT size_bin, count(*) AS n_buckets,
+    sum((s * (s - 1)) // 2) AS pair_mass_dropped
+  FROM binned GROUP BY 1
+), kept AS (
+  SELECT b.size_bin, sh.doc_id, sh.shingle
+  FROM sh JOIN binned b USING (shingle)
+  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < 3 * (CAST(1 AS BIGINT) << 28)
+), okb AS (
+  SELECT size_bin, shingle FROM kept GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 12
+), pairs AS (
+  SELECT DISTINCT a.size_bin, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a
+  JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN okb ON okb.shingle = a.shingle
+), aggr AS (
+  SELECT size_bin, count(*) AS n_kept_rows FROM kept GROUP BY 1
+), aggo AS (
+  SELECT size_bin, count(*) AS n_ok_buckets FROM okb GROUP BY 1
+), aggp AS (
+  SELECT size_bin, count(*) AS n_candidate_pairs FROM pairs GROUP BY 1
+)
+SELECT mass.size_bin,
+  CAST(pow(2, mass.size_bin) AS BIGINT) AS bin_max_size,
+  CAST(mass.n_buckets AS BIGINT) AS n_buckets,
+  CAST(mass.pair_mass_dropped AS BIGINT) AS pair_mass_dropped,
+  CAST(coalesce(aggr.n_kept_rows, 0) AS BIGINT) AS n_kept_rows,
+  CAST(coalesce(aggo.n_ok_buckets, 0) AS BIGINT) AS n_ok_buckets,
+  CAST(coalesce(aggp.n_candidate_pairs, 0) AS BIGINT)
+    AS n_candidate_pairs
+FROM mass
+LEFT JOIN aggr USING (size_bin)
+LEFT JOIN aggo USING (size_bin)
+LEFT JOIN aggp USING (size_bin)
+ORDER BY size_bin""",
+    ),
 ]

@@ -92,6 +92,11 @@ BNLJ_OK = {
     # r9: broadcast 6-row caps spine crossJoined with the bounded
     # bucket-size histogram (distinct sizes, a few hundred rows max)
     "bucket_cap_sweep",
+    # r10: broadcast 6-row sample spine crossJoined with the bounded
+    # max-thinned survivor table (~max(samples) expected rows per
+    # saturated bucket), plus the one-row saturated-bucket-count
+    # scalar attach — bucket_cap_sweep's sample-axis twin
+    "recovery_sample_sweep",
 }
 
 
