@@ -407,17 +407,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             slot + "_satcand")
         # exact re-score: true shared-shingle count from the UNCAPPED
         # index, restricted to candidate docs (left-semi prunes the
-        # corpus-sized side before the shingle-keyed join)
+        # corpus-sized side before the shingle-keyed join).  NO forced
+        # broadcast hints anywhere on this path: the candidate pair set
+        # grows with the saturated-bucket count (30x perturbed already
+        # OOM'd the measured 8g heap under a forced broadcast of it),
+        # and AQE picks broadcast on its own whenever a side is
+        # actually small — the hint only removes its ability to say no.
         a_sh = sh.join(
-            F.broadcast(cand.select(F.col("doc_a").alias("doc_id"))
-                        .distinct()), "doc_id", "left_semi") \
+            cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id", "left_semi") \
             .select(F.col("doc_id").alias("doc_a"), "shingle")
         b_sh = sh.join(
-            F.broadcast(cand.select(F.col("doc_b").alias("doc_id"))
-                        .distinct()), "doc_id", "left_semi") \
+            cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id", "left_semi") \
             .select(F.col("doc_id").alias("doc_b"), "shingle")
         exact = (
-            F.broadcast(cand).join(a_sh, "doc_a")
+            cand.join(a_sh, "doc_a")
             .join(b_sh, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
         )
@@ -430,7 +435,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_common", "jaccard"),
             slot + "_recovered")
         capped = recovered.unionByName(
-            capped.join(F.broadcast(recovered.select("doc_a", "doc_b")),
+            capped.join(recovered.select("doc_a", "doc_b"),
                         ["doc_a", "doc_b"], "left_anti"))
     return capped.orderBy("doc_a", "doc_b")
 
