@@ -344,7 +344,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     `recover_saturated` > 0 turns on the production remedy (VERDICT r9
     item 3): `saturated_pair_sample` thins each SATURATED bucket to an
     expected `recover_saturated` survivors and pairs those, yielding a
-    bounded candidate set from exactly the buckets the cap silenced;
+    bounded candidate set from exactly the buckets the cap silenced.
+    PRICE THE KNOB BEFORE CHOOSING IT: candidate volume is
+    O(n_saturated_buckets x recover_saturated^2) — run
+    `recovery_sample_sweep` (and `bucket_cap_report` for the bucket
+    count) first; on a corpus where every doc shares stopword shingles
+    (30x perturbed probe: 17.8k saturated buckets) sample=50 is ~350M
+    raw candidates — a cluster-scale job, not a single-node one —
+    while sample=10 prices the same recall curve at ~1/25 the volume;
     the candidates are then re-scored with their TRUE n_common by
     probing the full (uncapped) shingle table — two joins bounded by
     the candidate docs' shingles, never a corpus self-join — and the
