@@ -548,7 +548,11 @@ def _png_impl():
         concatenated IDAT stream, and un-filters every scanline (all five
         PNG filter types: None, Sub, Up, Average, Paeth — Sub via
         per-channel cumulative sum; Average/Paeth via their serial
-        recurrences over the row).  Returns (width, height,
+        recurrences over the row, which are per-byte Python loops by
+        NECESSITY: each output byte feeds the next byte's predictor, so
+        they cannot vectorize — fine inside Arrow batches at fixture
+        scale, but a production decoder would JIT (numba) or
+        C-extension exactly these two filters).  Returns (width, height,
         ndarray[h, w, 3] of uint8); raises ValueError on bad signature,
         CRC mismatch, unsupported IHDR, or truncated/oversized raster.
         Reference semantics: the public PNG spec (RFC 2083 / W3C)."""
