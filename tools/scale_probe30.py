@@ -152,6 +152,15 @@ def main() -> int:
                 "sec": round(time.perf_counter() - t0, 1),
                 "rows": None, "err": str(ex)[:300]}
             failed.append("dedup_ngram_jaccard_recovered")
+        # the arm slot-caches several probe-scale tables (thinned
+        # shingle index, candidate pairs, recovered pairs); left
+        # resident they squeeze execution memory for every query below
+        # and the round-over-round comparison stops measuring the
+        # queries (first 100x run with the arm: centrality_reps
+        # 149.7 -> 256.9s, streaming_session_stats 58.6 -> 119.5s,
+        # both code-untouched).  Clear to the same cold-cache state the
+        # armless r9 probes measured.
+        spark.catalog.clearCache()
     for name in HEAVY_FIVE:
         t0 = time.perf_counter()
         try:
