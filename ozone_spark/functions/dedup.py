@@ -153,6 +153,21 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     return df
 
 
+def release_slots(*prefixes: str) -> list:
+    """Unpersist and forget every cache slot whose name starts with one
+    of `prefixes` (all slots if none given).  For harnesses that run a
+    cache-hungry pass before timed work and must return ONLY that
+    pass's tables to cold — a blanket catalog.clearCache() also evicts
+    slots the timed queries legitimately share (the scale probe's
+    stage-rows pass warms ngram_sh exactly like a resident production
+    index would), changing what the timings measure."""
+    hit = [s for s in _CACHE_SLOTS
+           if not prefixes or any(s.startswith(p) for p in prefixes)]
+    for s in hit:
+        _CACHE_SLOTS.pop(s).unpersist()
+    return hit
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via normalized-text fingerprint groupBy; returns
     fingerprint groups with >1 member."""

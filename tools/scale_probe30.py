@@ -152,15 +152,19 @@ def main() -> int:
                 "sec": round(time.perf_counter() - t0, 1),
                 "rows": None, "err": str(ex)[:300]}
             failed.append("dedup_ngram_jaccard_recovered")
-        # the arm slot-caches several probe-scale tables (thinned
+        # the arm slot-caches several probe-scale tables (its private
         # shingle index, candidate pairs, recovered pairs); left
         # resident they squeeze execution memory for every query below
         # and the round-over-round comparison stops measuring the
         # queries (first 100x run with the arm: centrality_reps
         # 149.7 -> 256.9s, streaming_session_stats 58.6 -> 119.5s,
-        # both code-untouched).  Clear to the same cold-cache state the
-        # armless r9 probes measured.
-        spark.catalog.clearCache()
+        # both code-untouched).  Release ONLY the arm's slots: a
+        # blanket clearCache also evicted the ngram_sh table the
+        # stage-rows pass warms — which the armless r9 series measured
+        # WARM (dedup_ngram_jaccard read 82->212s purely from that) —
+        # so neither extreme reproduces the r9 regime; selective
+        # release does.
+        D.release_slots("probe_rec", "satbk_")
     for name in HEAVY_FIVE:
         t0 = time.perf_counter()
         try:
