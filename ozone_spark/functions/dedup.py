@@ -143,11 +143,28 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     if old is not None:
         try:
             if df.sameSemantics(old):
+                # External-uncache hazard (ADVICE r10 medium): Spark's
+                # CacheManager is PLAN-keyed, so two slots holding
+                # sameSemantics twins share ONE cache entry — an
+                # unpersist on either frame (release_slots on the twin's
+                # slot, or a caller's own) silently de-caches the
+                # survivor too.  Re-persist on hit when the matched
+                # frame's storage level dropped to NONE; without this
+                # the r10 armed scale probe measured its "warm" ngram_sh
+                # queries cold AND recomputing the shingle stage per
+                # consumer (SCALE100_r10 armed 128.9s vs 27.0s armless
+                # at identical rows).
+                sl = old.storageLevel
+                if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+                    old.persist()
                 return old
         except Exception:
             pass  # e.g. old frame's session is gone — fall through
         _CACHE_SLOTS.pop(slot, None)
-        old.unpersist()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # dead session — the frame is already gone
     df.persist()
     _CACHE_SLOTS[slot] = df
     return df
@@ -163,8 +180,31 @@ def release_slots(*prefixes: str) -> list:
     index would), changing what the timings measure."""
     hit = [s for s in _CACHE_SLOTS
            if not prefixes or any(s.startswith(p) for p in prefixes)]
+    kept = [f for s, f in _CACHE_SLOTS.items() if s not in set(hit)]
     for s in hit:
-        _CACHE_SLOTS.pop(s).unpersist()
+        f = _CACHE_SLOTS.pop(s)
+        # Plan-keyed twin guard (ADVICE r10 medium): if a RETAINED slot
+        # holds a sameSemantics twin, both frames map to the same
+        # CacheManager entry and unpersisting the released one would
+        # de-cache the survivor (the r10 armed probe's 'probe_rec'
+        # release did exactly this to 'ngram_sh', turning the warm-
+        # regime measurements cold).  Skip the unpersist — the entry
+        # stays owned by the surviving slot.
+        twin = False
+        for k in kept:
+            try:
+                if f.sameSemantics(k):
+                    twin = True
+                    break
+            except Exception:
+                continue  # a dead kept frame can't be anyone's twin
+        if twin:
+            continue
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # dead session frame (ADVICE r10 low #1): one broken
+            # unpersist must not abort the release of the rest
     return hit
 
 
@@ -1339,11 +1379,15 @@ def recovery_sample_sweep(docs: DataFrame, n: int = 3,
     # thinned ONCE at the largest sample: one corpus pass, survivor set
     # ~smax expected rows per saturated bucket — the bounded table the
     # 6-row spine fans out over
+    # slot names carry the knobs (ADVICE r10 low #2): alternating calls
+    # with different (n, max_bucket, samples) must not thrash one slot,
+    # and prefix-based release_slots can target a single configuration
+    sweep_key = f"{n}_{max_bucket}_{'-'.join(str(s) for s in sorted(samples))}"
     kept_max = _slot_cache(
         sh.join(sat, "h")
         .where(F.col("skey") * F.col("s")
                < F.lit(smax * (1 << 28)).cast("long")),
-        "recsweep_kept")
+        f"recsweep_kept_{sweep_key}")
     spine = spark.createDataFrame(
         [(int(x),) for x in sorted(samples)], "sample int")
     sat_count = sat.agg(F.count("*").alias("n_saturated_buckets"))
@@ -1364,7 +1408,7 @@ def recovery_sample_sweep(docs: DataFrame, n: int = 3,
         .select("sample", F.col("p.a").alias("doc_a"),
                 F.col("p.b").alias("doc_b"))
         .distinct(),
-        "recsweep_pairs")
+        f"recsweep_pairs_{sweep_key}")
     agg_rows = kept.groupBy("sample").agg(
         F.count("*").alias("n_kept_rows"))
     agg_ok = buckets_ok.groupBy("sample").agg(
@@ -1429,7 +1473,7 @@ def recovery_yield_by_size(docs: DataFrame, n: int = 3,
         sh.join(binned.select("h", "s", "size_bin"), "h")
         .where(F.col("skey") * F.col("s")
                < F.lit(sample * (1 << 28)).cast("long")),
-        f"recyield_kept_{sample}")
+        f"recyield_kept_{n}_{max_bucket}_{sample}")
     agg_rows = kept.groupBy("size_bin").agg(
         F.count("*").alias("n_kept_rows"))
     buckets_ok = (

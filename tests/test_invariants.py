@@ -3038,3 +3038,34 @@ def test_jpeg_codec_round_trip_and_errors():
         i = bytes(bad).index(b"\xFF\xC0")
         bad[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
         decode_jpeg(bytes(bad))
+
+
+def test_slot_cache_twin_release_keeps_survivor_warm(spark):
+    """ADVICE r10 medium: Spark's CacheManager is PLAN-keyed, so two
+    slots holding sameSemantics twins share ONE cache entry.  Releasing
+    either slot must leave the retained twin's entry cached (r10's
+    armed scale probe released 'probe_rec' and silently de-cached the
+    stage-warmed 'ngram_sh', turning its warm-regime timings cold), and
+    a slot HIT on an externally uncached frame must re-persist it."""
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    a = dedup._slot_cache(df, "twin_test_a")
+    b = dedup._slot_cache(
+        spark.range(100).selectExpr("id", "id * 2 as v"), "twin_test_b")
+    assert a.sameSemantics(b)
+    a.count()
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    # releasing one slot must NOT de-cache the retained twin
+    assert dedup.release_slots("twin_test_a") == ["twin_test_a"]
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    # releasing the survivor really releases the shared entry
+    assert dedup.release_slots("twin_test_b") == ["twin_test_b"]
+    assert not (b.storageLevel.useMemory or b.storageLevel.useDisk)
+    # self-heal: a slot hit on an externally uncached frame re-persists
+    c = dedup._slot_cache(df, "twin_test_c")
+    c.unpersist()
+    assert not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+    c2 = dedup._slot_cache(
+        spark.range(100).selectExpr("id", "id * 2 as v"), "twin_test_c")
+    assert c2 is c
+    assert c2.storageLevel.useMemory or c2.storageLevel.useDisk
+    dedup.release_slots("twin_test_c")
