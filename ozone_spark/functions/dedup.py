@@ -1562,22 +1562,36 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3,
     )
 
 
-# Single-executor CC bound, in SYMMETRIZED edges.  Raised 1M -> 64M in
-# r10 (VERDICT r9 item 4) on a memory argument: the numpy label-
-# propagation pass below holds two int64 edge columns plus two label
-# arrays — 64M edges is ~1 GB of arrays plus the np.unique temps,
-# comfortably inside one executor's Python worker — and the 100x
-# perturbed probe's 23.7M-pair graph (47.4M symmetrized) was spending
-# ~6 shuffle rounds of the full edge list in the distributed loop for
-# a graph one worker folds in seconds.  Beyond this bound the
-# distributed pointer-jumping loop is the right shape anyway.
+# Single-executor CC bound, in edge rows entering the one-partition
+# fold.  Raised 1M -> 64M in r10 (VERDICT r9 item 4) on a memory
+# argument: the numpy label-propagation pass below holds two int64 edge
+# columns plus two label arrays — 64M edges is ~1 GB of arrays plus the
+# np.unique temps, comfortably inside one executor's Python worker.
+# r11 (VERDICT r10 item 1): the bound now applies to the PARTIAL star
+# edges reaching the final fold, not the raw edge list — the per-
+# partition union-find reduce below shrinks each partition's edges to
+# one star edge per node BEFORE anything moves, so graphs whose raw
+# edge count dwarfs this bound still fold locally as long as their
+# NODE count (x partition coverage) fits; only >64M-node graphs fall
+# through to the distributed pointer-jumping loop.
 LOCAL_CC_MAX_EDGES = 64_000_000
+
+# Below this many raw symmetrized edges the single coalesce(1) fold's
+# funnel is already trivial and a partials pre-reduce would only add a
+# stage of scheduler latency — board-scale pair graphs (1e3-1e6 edges)
+# stay on the one-stage shape; the probe decades (1e7+) take the
+# reduce-first shape, whose funnel carries O(nodes) instead of
+# O(edges).  The r10 stage breakdown that motivated this: 112s of the
+# 100x dedup_clusters' 289s was pure movement of the 47.4M-edge list
+# into the one fold task.
+CC_DIRECT_FOLD_EDGES = 2_000_000
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iters: int = 25,
-                         local_max_edges: int = LOCAL_CC_MAX_EDGES
+                         local_max_edges: int = LOCAL_CC_MAX_EDGES,
+                         direct_fold_edges: int | None = None
                          ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components of the pair graph, labeling every member with the
@@ -1588,26 +1602,42 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     the keeper is chosen per group, not per pair.
 
     ADAPTIVE algorithm choice (same spirit as AQE's single-partition
-    re-plans): the edge list of a bucket-capped, exact-contracted pair
-    graph is usually TINY relative to the corpus — when it fits one
-    partition (<= local_max_edges after symmetrization), the components
-    are computed in ONE executor-side pass (union-find over
-    mapInPandas, `_cc_single_pass`) instead of ~6 shuffle rounds whose
-    cost at toy scale is pure scheduler latency (the r7 profile
-    measured 43 jobs ≈ 5 s at sf0.1 with the loop, BENCH_NOTES.md).
-    No driver collect: the fold runs where the data is.
+    re-plans), three tiers by edge/node volume:
 
-    Scale path (edge lists beyond the single-partition bound):
-    iterative min-label propagation — each round takes the min label
-    across neighbors (join + groupBy), then pointer-jumps (label :=
-    label's label) so long chains collapse in O(log diameter) rounds
-    rather than O(diameter).  Each round is a bounded number of
-    hash-partition shuffles of (id, label) pairs and the result is
-    `localCheckpoint`ed to truncate lineage — without that, round k
-    re-executes rounds 1..k-1 and the plan grows without bound.  LSH
-    pair graphs are sparse (bucket-capped upstream), so the edge list
-    is O(pairs), never O(n^2).  Both paths produce identical labels
-    (pytest asserts equality on the same graph)."""
+    1. Direct fold (raw edges <= direct_fold_edges): the whole
+       symmetrized edge list coalesces to one partition and ONE
+       executor-side vectorized union-find pass labels it
+       (`_cc_single_pass`) — at board scale the distributed loop's ~6
+       shuffle rounds are pure scheduler latency (the r7 profile
+       measured 43 jobs ≈ 5 s at sf0.1, BENCH_NOTES.md).  No driver
+       collect: the fold runs where the data is.
+
+    2. Partials tree-reduce (VERDICT r10 item 1; raw edges above the
+       direct bound): each PARTITION first reduces its own edges with
+       the same vectorized union-find, emitting one (node -> local
+       component min) star edge per distinct node — a connectivity-
+       preserving spanning reduction, so the funnel into the final
+       one-partition fold moves O(nodes x partition coverage) star
+       edges instead of the raw edge list (the r10 stage breakdown
+       measured 112s of the 100x dedup_clusters' 289s as pure movement
+       of 47.4M edges into that one task).  If even the star list
+       exceeds `local_max_edges`, re-reduce at geometrically fewer
+       hash(node) partitions (tree reduce) until it fits.
+
+    3. Distributed loop (star edges still beyond the bound — a >64M-
+       NODE graph): iterative min-label propagation over the REDUCED
+       star graph — each round takes the min label across neighbors
+       (join + groupBy), then pointer-jumps (label := label's label) so
+       long chains collapse in O(log diameter) rounds.  Each round is a
+       bounded number of hash-partition shuffles of (id, label) pairs,
+       `localCheckpoint`ed to truncate lineage — without that, round k
+       re-executes rounds 1..k-1 and the plan grows without bound.
+
+    LSH pair graphs are sparse (bucket-capped upstream), so the edge
+    list is O(pairs), never O(n^2).  All paths produce identical labels
+    (pytest asserts equality on the same graph; the reduce preserves
+    component minima exactly because star targets are always original
+    node ids)."""
     spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -1615,13 +1645,47 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct().persist()
     )
     n_edges = edges.count()
-    if n_edges <= local_max_edges:
+    direct = (CC_DIRECT_FOLD_EDGES if direct_fold_edges is None
+              else direct_fold_edges)
+    if n_edges <= min(direct, local_max_edges):
         labels = _cc_single_pass(edges.coalesce(1))
         # labels is lazy — localCheckpoint(eager) materializes it so the
         # edge cache can be dropped now instead of leaking
         labels = labels.localCheckpoint()
         edges.unpersist()
         return labels
+    if local_max_edges > 0:
+        # tier 2: per-partition union-find partials, tree-reduced.
+        # The reduce runs where each cached edge partition already is;
+        # only star edges ever move.
+        frontier = _cc_partial_fold(edges).persist()
+        n_star = frontier.count()
+        edges.unpersist()
+        nparts = frontier.rdd.getNumPartitions()
+        while n_star > local_max_edges and nparts > 1:
+            nparts = max(1, nparts // 8)
+            nxt = _cc_partial_fold(
+                frontier.repartition(nparts, "a")).persist()
+            n_nxt = nxt.count()
+            frontier.unpersist()
+            frontier = nxt
+            if n_nxt >= n_star:
+                break  # no shrink — stars are at their node floor
+            n_star = n_nxt
+        if n_star <= local_max_edges:
+            labels = _cc_single_pass(frontier.coalesce(1)).localCheckpoint()
+            frontier.unpersist()
+            return labels
+        # tier 3 on the REDUCED graph: star edges are directed, and the
+        # loop's neighbor-min step needs both directions present
+        st = frontier.where(F.col("a") != F.col("b"))
+        edges = (
+            frontier.select("a", "b")
+            .union(st.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct().persist()
+        )
+        n_edges = edges.count()
+        frontier.unpersist()
     # Size the loop's parallelism to the GRAPH, not the session default:
     # each round is a couple of shuffles over (id, label) pairs, which is
     # latency-bound (per-task overhead) when the pair graph is sparse
@@ -1642,38 +1706,40 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     return labels
 
 
-def _cc_single_pass(edges: DataFrame) -> DataFrame:
-    """Exact connected components of a single-partition edge list in one
-    executor-side pass, components labeled with their minimum node id —
-    bit-identical to the pointer-jumping fixpoint.  Bounded by
-    connected_components' local_max_edges guard.
+def _cc_partial_fold(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find REDUCE over an (a, b) edge list: each
+    partition's edges collapse to one (a=node, b=partition-local
+    component minimum) star edge per distinct node — a connectivity-
+    preserving spanning reduction (the union of per-partition spanning
+    stars has exactly the same components as the union of the
+    partition subgraphs).  On ONE partition this IS exact connected
+    components; on many it is the reduce stage of the tree-reduce, and
+    its output is O(nodes in partition) rows regardless of edge count.
 
-    r10: the per-edge Python union-find loop became the bottleneck once
-    the local bound covered probe-scale graphs (a 47M-edge fold is
-    ~60s of dict ops); replaced with VECTORIZED min-label propagation —
-    dense-index the nodes (np.unique), then alternate scatter-min over
-    the edge arrays (np.minimum.at) with pointer jumps (label[label])
-    until fixpoint.  Every pass is O(E) numpy kernels, O(log n) passes;
-    labels only ever decrease to a component member's index, so the
-    fixpoint is the component minimum — the same labels union-find by
-    min produces (the loop-vs-local pytest still asserts equality)."""
-    from pyspark.sql.types import LongType, StructField, StructType
-    schema = StructType([StructField("doc_id", LongType()),
-                         StructField("cluster_id", LongType())])
+    r10 made the fold vectorized (VECTORIZED min-label propagation:
+    dense-index the nodes with np.unique, then alternate scatter-min
+    over the edge arrays — np.minimum.at — with pointer jumps
+    label[label] until fixpoint; every pass is O(E) numpy kernels,
+    O(log n) passes).  r11 moved it from mapInPandas to mapInArrow
+    (VERDICT r10 item 1): int64 Arrow columns view as numpy zero-copy,
+    so the per-partition reduce skips the pandas materialization both
+    ways.  Labels only ever decrease to a component member's index, so
+    the fixpoint is the component minimum — the same labels union-find
+    by min produces (the loop-vs-local pytest asserts equality)."""
 
     # NOTE: self-contained closure (locals + builtins only) — workers on
     # a real cluster do not have ozone_spark importable.
-    def batches(it):
+    def fold(batches):
         import numpy as _np
-        import pandas as _pd
+        import pyarrow as _pa
         chunks_a, chunks_b = [], []
-        for pdf in it:
-            chunks_a.append(pdf["a"].to_numpy(dtype="int64"))
-            chunks_b.append(pdf["b"].to_numpy(dtype="int64"))
+        for rb in batches:
+            chunks_a.append(rb.column(0).to_numpy(zero_copy_only=False))
+            chunks_b.append(rb.column(1).to_numpy(zero_copy_only=False))
         if not chunks_a:
             return
-        a = _np.concatenate(chunks_a)
-        b = _np.concatenate(chunks_b)
+        a = _np.concatenate(chunks_a).astype("int64", copy=False)
+        b = _np.concatenate(chunks_b).astype("int64", copy=False)
         nodes, inv = _np.unique(_np.concatenate([a, b]),
                                 return_inverse=True)
         ai, bi = inv[: len(a)], inv[len(a):]
@@ -1690,10 +1756,20 @@ def _cc_single_pass(edges: DataFrame) -> DataFrame:
             label = _np.minimum(label, label[label])
             if _np.array_equal(label, prev):
                 break
-        yield _pd.DataFrame({"doc_id": nodes,
-                             "cluster_id": nodes[label]})
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array(nodes), _pa.array(nodes[label])], ["a", "b"])
 
-    return edges.mapInPandas(batches, schema=schema)
+    return edges.select("a", "b").mapInArrow(fold, schema="a long, b long")
+
+
+def _cc_single_pass(edges: DataFrame) -> DataFrame:
+    """Exact connected components of a single-partition edge list in one
+    executor-side pass (`_cc_partial_fold` on one partition), components
+    labeled with their minimum node id — bit-identical to the
+    pointer-jumping fixpoint.  Bounded by connected_components'
+    local_max_edges guard."""
+    return _cc_partial_fold(edges).select(
+        F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
 
 
 def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
