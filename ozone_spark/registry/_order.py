@@ -32,6 +32,7 @@ from .q_r7 import R7_QUERIES
 from .q_r8 import R8_QUERIES
 from .q_r9 import R9_QUERIES
 from .q_r10 import R10_QUERIES
+from .q_r11 import R11_QUERIES
 
 
 
@@ -44,7 +45,7 @@ _REGISTRY_ORDER: list[QuerySpec] = (
     + MULTIMODAL_QUERIES + FSO_QUERIES + ADMIN_QUERIES + STREAMING_QUERIES
     + ACL_GROWTH_QUERIES + COMPACTION_QUERIES + SCM_QUERIES + R4_QUERIES
     + R5_QUERIES + R6_QUERIES + R7_QUERIES + R8_QUERIES + R9_QUERIES
-    + R10_QUERIES
+    + R10_QUERIES + R11_QUERIES
 )
 
 

@@ -1,0 +1,78 @@
+"""Round-11 additions — QuerySpecs + DuckDB oracle SQL twins.
+
+Closing the recovery-knob loop (VERDICT r10 items 2 and 4): round 10
+priced the `recover_saturated` knob (`recovery_sample_sweep`); this
+round makes the price load-bearing — `recovery_autosize_curve` is the
+declarative argmax an operator (and the scale probes, via
+`autosize_recover_saturated`) reads to choose the knob under a
+candidate-pair budget, and `ingest_dedup_recovered` threads the same
+saturated-bucket recovery through the incremental-ingest probe path,
+whose capped resident index otherwise suppresses exactly the
+duplicates ingest exists to catch on a copy-heavy corpus.
+
+Gate knobs mirror q_r10's recovery family (cap 5 against the fixture
+bucket tail of 7 at sf0.01 / 25 at sf0.1) so saturation is nonzero at
+both gate SFs.
+"""
+
+from __future__ import annotations
+
+from ._base import *  # noqa: F401,F403 — shared registry namespace
+from .q_r10 import _SH_SPINE  # noqa: F401 — shared shingle spine
+
+# Budget spine for the autosize curve: spans the measured bills at
+# every gate SF (sf0.01 bills 16..433; sf0.1 bills 10.9k..977k at cap
+# 5), so different budgets choose different samples at both scales —
+# including 0 (recovery off) and the everything-fits top end.
+_AUTOSIZE_BUDGETS = (0, 50, 120, 400, 50_000, 700_000, 2_000_000)
+
+R11_QUERIES: list[QuerySpec] = [
+    _q(
+        "recovery_autosize_curve",
+        lambda spark, sf: dedup.recovery_autosize_curve(
+            views(spark, sf)["documents"],
+            budgets=_AUTOSIZE_BUDGETS, max_bucket=5),
+        # replay: the q_r10 sweep CTEs reduced to the per-sample
+        # candidate bill, a budget spine, and the largest-fitting-
+        # sample argmax (samples with a zero bill fit every budget,
+        # matching the Spark side's coalesced sweep)
+        f"""WITH {_SH_SPINE}, spine(sample) AS (
+  VALUES (1), (2), (3), (5), (8), (12)
+), sat AS (
+  SELECT shingle, s FROM bs WHERE s > 5
+), kept AS (
+  SELECT sp.sample, sh.doc_id, sh.shingle
+  FROM sh JOIN sat USING (shingle) CROSS JOIN spine sp
+  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < sp.sample * (CAST(1 AS BIGINT) << 28)
+), okb AS (
+  SELECT sample, shingle FROM kept GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 4 * sample
+), pairs AS (
+  SELECT DISTINCT a.sample, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a
+  JOIN kept b ON a.sample = b.sample AND a.shingle = b.shingle
+    AND a.doc_id < b.doc_id
+  JOIN okb ON okb.sample = a.sample AND okb.shingle = a.shingle
+), bill AS (
+  SELECT sp.sample, coalesce(p.n, 0) AS n_candidate_pairs
+  FROM spine sp LEFT JOIN (
+    SELECT sample, count(*) AS n FROM pairs GROUP BY 1) p
+  USING (sample)
+), budgets(budget_pairs) AS (
+  VALUES (0), (50), (120), (400), (50000), (700000), (2000000)
+), fits AS (
+  SELECT b.budget_pairs, max(a.sample) AS chosen_sample
+  FROM budgets b JOIN bill a ON a.n_candidate_pairs <= b.budget_pairs
+  GROUP BY 1
+)
+SELECT CAST(b.budget_pairs AS BIGINT) AS budget_pairs,
+  CAST(coalesce(f.chosen_sample, 0) AS INT) AS chosen_sample,
+  CAST(coalesce(a2.n_candidate_pairs, 0) AS BIGINT) AS bill_pairs
+FROM budgets b
+LEFT JOIN fits f USING (budget_pairs)
+LEFT JOIN bill a2 ON a2.sample = f.chosen_sample
+ORDER BY budget_pairs""",
+    ),
+]

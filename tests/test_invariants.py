@@ -3110,3 +3110,47 @@ def test_connected_components_partials_tree_reduce_paths(spark):
                     pairs, local_max_edges=1,
                     direct_fold_edges=0).collect()}
     assert got_star == expect
+
+
+def test_autosize_recover_saturated_monotone_and_budgeted(spark):
+    """VERDICT r10 item 2: the sizing helper must consume the sweep's
+    priced candidate bill — monotone in budget, never choosing a swept
+    sample whose measured bill exceeds the budget, 0 when even the
+    smallest sample is over budget, and quadratic-capped when
+    extrapolating beyond the swept range."""
+    n_copies, cap = 12, 5
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n_copies)], "doc_id long, text string")
+    sweep = {r["sample"]: r["n_candidate_pairs"]
+             for r in dedup.recovery_sample_sweep(
+                 docs, max_bucket=cap).collect()}
+    assert any(v > 0 for v in sweep.values())  # saturation present
+    budgets = [0, 1, 5, 20, 100, 10_000]
+    picks = [dedup.autosize_recover_saturated(docs, b, max_bucket=cap)
+             for b in budgets]
+    # monotone in budget
+    assert picks == sorted(picks)
+    # respects the measured bill wherever the pick is a swept sample
+    for b, p in zip(budgets, picks):
+        if p in sweep:
+            assert sweep[p] <= b
+        elif p > 0:
+            # extrapolated: quadratic prediction from the top swept
+            # point must fit the budget
+            top = max(sweep)
+            assert sweep[top] * (p / top) ** 2 <= b * 1.01
+    # a budget below the smallest sample's bill turns recovery OFF
+    min_bill = sweep[min(sweep)]
+    if min_bill > 0:
+        assert dedup.autosize_recover_saturated(
+            docs, min_bill - 1, max_bucket=cap) == 0
+    # the declarative curve agrees with the scalar helper on swept picks
+    curve = {r["budget_pairs"]: (r["chosen_sample"], r["bill_pairs"])
+             for r in dedup.recovery_autosize_curve(
+                 docs, budgets=tuple(budgets), max_bucket=cap).collect()}
+    for b in budgets:
+        chosen, bill = curve[b]
+        fits = [s for s in sorted(sweep) if sweep[s] <= b]
+        assert chosen == (fits[-1] if fits else 0)
+        assert bill == (sweep.get(chosen, 0))

@@ -139,7 +139,27 @@ def main() -> int:
     # shows the no-op overhead; at 100x (26.5k saturated buckets,
     # 96.5% of pair mass cap-dropped in r9) it shows what the bounded
     # remedy costs and yields.
-    recover = int(os.environ.get("SPARK_GRAFT_SCALE_RECOVER", "0"))
+    recover_env = os.environ.get("SPARK_GRAFT_SCALE_RECOVER", "0")
+    autosize_sec = None
+    if recover_env == "auto":
+        # VERDICT r10 item 2: size the arm from the PRICED sweep
+        # instead of a hand-picked constant (the hand-picked 50 OOM'd
+        # the 8g heap at 30x; 10 was picked by eye).  Budget default
+        # 20M candidate pairs: ~2 int64 columns + agg state well inside
+        # one executor's share of the 8g probe heap.
+        from ozone_spark.functions import dedup as D
+        from ozone_spark import tables as T
+        budget = int(os.environ.get(
+            "SPARK_GRAFT_SCALE_RECOVER_BUDGET", "20000000"))
+        t0 = time.perf_counter()
+        recover = D.autosize_recover_saturated(
+            T.load_table(spark, work, "documents"), budget)
+        autosize_sec = round(time.perf_counter() - t0, 1)
+        D.release_slots("recsweep_", "satbk_")
+        print(f"# autosized recover_saturated={recover} "
+              f"(budget {budget} pairs, {autosize_sec}s)", file=sys.stderr)
+    else:
+        recover = int(recover_env)
     if recover:
         from ozone_spark.functions import dedup as D
         from ozone_spark import tables as T
@@ -222,6 +242,8 @@ def main() -> int:
         # an armed run is only comparable to another armed run
         "arm": "recovered" if recover else "armless",
         "recover_saturated": recover,
+        "recover_autosized": recover_env == "auto",
+        "autosize_sec": autosize_sec,
         "exponent_baseline": baseline_desc,
         "base_replicas": base_replicas,
         "effective_sf": replicas * 0.1, "build_sec": build_sec,
