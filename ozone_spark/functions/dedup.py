@@ -669,7 +669,8 @@ def contracted_pair_graph(docs: DataFrame, n: int = 3,
 
 
 def ingest_corpus_index(corpus: DataFrame, n: int = 3,
-                        max_bucket: int = 200):
+                        max_bucket: int = 200,
+                        recover_saturated: int = 0):
     """The resident-corpus probe structures of incremental ingest
     dedup: (distinct fingerprint set, capped shingle inverted index,
     per-doc shingle counts).  In production these are precomputed and
@@ -677,7 +678,22 @@ def ingest_corpus_index(corpus: DataFrame, n: int = 3,
     (streaming/windows.py: streaming_ingest_dedup) persists them ONCE
     and probes every micro-batch against the same copy — rebuilding a
     100 TB index per micro-batch would be the classic stream-static
-    join mistake."""
+    join mistake.
+
+    `recover_saturated` > 0 (VERDICT r10 item 4) extends the tuple with
+    two more resident frames so the ingest probe stops being blind to
+    exactly the duplication the cap silences on a copy-heavy corpus —
+    the same blindness r9 item 3 fixed for the batch pair path:
+      * a thinned SATURATED probe index (h -> expected
+        `recover_saturated` surviving corpus docs per saturated
+        shingle, the deterministic md5-keyed Bernoulli rule of
+        `saturated_pair_sample`), giving batch docs whose only shared
+        shingles are cap-dropped a bounded candidate set;
+      * the UNCAPPED corpus shingle table, from which recovered
+        candidates are re-scored with their TRUE n_common (left-semi
+        pruned to candidate docs at probe time — never a corpus join).
+    Both are corpus-sized-once structures that in production live next
+    to the capped index (the uncapped table IS the pre-cap index)."""
     fp = F.md5(_norm_text(F.col("text")))
     corpus_fps = corpus.select(fp.alias("c_fp")).distinct()
     c_sh = word_shingles(
@@ -687,13 +703,31 @@ def ingest_corpus_index(corpus: DataFrame, n: int = 3,
     ok = (c_sh.groupBy("sh").agg(F.count("*").alias("df"))
           .where(F.col("df") <= max_bucket).select("sh"))
     c_idx = c_sh.join(ok, "sh")
-    return corpus_fps, c_idx, c_sizes
+    if recover_saturated <= 0:
+        return corpus_fps, c_idx, c_sizes
+    # raw-string-keyed (hash60/md5) saturated rows, so the thinning
+    # replays bit-identically in the DuckDB oracle — same key algebra
+    # as _saturated_buckets
+    craw = word_shingles(corpus.select("doc_id", "text"), n).select(
+        F.col("doc_id").alias("c_doc"),
+        hash60(F.col("shingle")).alias("h"),
+        hash28(F.concat_ws(":", F.col("shingle"),
+                           F.col("doc_id").cast("string"))).alias("skey"))
+    sat = (craw.groupBy("h").agg(F.count("*").alias("s"))
+           .where(F.col("s") > max_bucket))
+    c_sat_probe = (
+        craw.join(sat, "h")
+        .where(F.col("skey") * F.col("s")
+               < F.lit(recover_saturated * (1 << 28)).cast("long"))
+        .select("h", "c_doc"))
+    return corpus_fps, c_idx, c_sizes, c_sat_probe, c_sh
 
 
 def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
                              n: int = 3, threshold: float = 0.5,
                              max_bucket: int = 200,
-                             index=None) -> DataFrame:
+                             index=None,
+                             recover_saturated: int = 0) -> DataFrame:
     """Incremental ingestion dedup: classify each NEW batch document
     against the EXISTING corpus — `exact_dup` (normalized-text
     fingerprint already present), `near_dup` (capped n-gram Jaccard vs
@@ -719,11 +753,28 @@ def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
     `index` (optional): a prebuilt ingest_corpus_index tuple — pass it
     when the SAME resident corpus is probed repeatedly (the streaming
     micro-batch drain) so the fingerprint set and capped inverted
-    index persist once instead of rebuilding per call."""
+    index persist once instead of rebuilding per call.
+
+    `recover_saturated` > 0 (VERDICT r10 item 4): candidates are ALSO
+    drawn from the thinned saturated probe index (expected that many
+    surviving corpus docs per cap-dropped shingle, deterministic
+    md5-keyed Bernoulli — `saturated_pair_sample`'s rule), and every
+    recovered (batch, corpus) candidate is re-scored with its TRUE
+    shingle overlap from the uncapped corpus table, REPLACING the
+    capped-path twin (whose n_common undercounts by the saturated
+    shingles; jaccard is monotone in n_common, so no capped near-dup
+    verdict can be lost by the swap).  Cost: one batch-sized join
+    against the (bounded) saturated probe index plus two left-semi-
+    pruned joins sized by the candidate docs' shingles — never a
+    corpus self-join.  Price the knob with `recovery_sample_sweep` /
+    `autosize_recover_saturated` exactly as on the batch pair path."""
     fp = F.md5(_norm_text(F.col("text")))
     if index is None:
-        index = ingest_corpus_index(corpus, n, max_bucket)
-    corpus_fps, c_idx, c_sizes = index
+        index = ingest_corpus_index(corpus, n, max_bucket,
+                                    recover_saturated=recover_saturated)
+    corpus_fps, c_idx, c_sizes = index[:3]
+    c_sat_probe = index[3] if len(index) > 3 else None
+    c_sh_full = index[4] if len(index) > 4 else None
     b_fp = batch.select(F.col("doc_id").alias("b_doc"), fp.alias("b_fp"))
     exact = (
         b_fp.join(corpus_fps, F.col("b_fp") == F.col("c_fp"), "left")
@@ -737,6 +788,31 @@ def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
         b_sh.join(c_idx, "sh")
         .groupBy("b_doc", "c_doc").agg(F.count("*").alias("n_common"))
     )
+    if c_sat_probe is not None and recover_saturated > 0:
+        # recovered candidates: batch shingles keyed the same raw-
+        # string hash60 way as the resident saturated probe index
+        b_sat = word_shingles(
+            batch.select("doc_id", "text"), n).select(
+            F.col("doc_id").alias("b_doc"),
+            hash60(F.col("shingle")).alias("h"))
+        cand = (b_sat.join(c_sat_probe, "h")
+                .select("b_doc", "c_doc").distinct())
+        # exact re-score from the UNCAPPED corpus table, both sides
+        # left-semi pruned to candidate docs before the shingle join
+        b_sub = b_sh.join(cand.select("b_doc").distinct(),
+                          "b_doc", "left_semi")
+        c_sub = c_sh_full.join(cand.select("c_doc").distinct(),
+                               "c_doc", "left_semi")
+        rec_common = (
+            cand.join(b_sub, "b_doc")
+            .join(c_sub, ["c_doc", "sh"])
+            .groupBy("b_doc", "c_doc").agg(F.count("*").alias("n_common"))
+        )
+        # recovered rows REPLACE capped twins (capped n_common
+        # undercounts by the saturated shingles)
+        common = rec_common.unionByName(
+            common.join(rec_common.select("b_doc", "c_doc"),
+                        ["b_doc", "c_doc"], "left_anti"))
     ppm = F.expr(
         "(n_common * 1000000) div (n_b + n_c - n_common)")
     scored = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from ._base import *  # noqa: F401,F403 — shared registry namespace
 from .q_r10 import _SH_SPINE  # noqa: F401 — shared shingle spine
+from .q_text import _NORM  # noqa: F401 — cross-domain helper
 
 # Budget spine for the autosize curve: spans the measured bills at
 # every gate SF (sf0.01 bills 16..433; sf0.1 bills 10.9k..977k at cap
@@ -74,5 +75,96 @@ FROM budgets b
 LEFT JOIN fits f USING (budget_pairs)
 LEFT JOIN bill a2 ON a2.sample = f.chosen_sample
 ORDER BY budget_pairs""",
+    ),
+    _q(
+        "ingest_dedup_recovered",
+        # the recovering ingest variant (VERDICT r10 item 4): cap 5
+        # saturates on the fixtures, sample 3 recovers — candidates
+        # also drawn from the thinned saturated corpus index, recovered
+        # (batch, corpus) pairs re-scored with their TRUE n_common from
+        # the uncapped corpus table, replacing capped twins
+        lambda spark, sf: dedup.incremental_ingest_dedup(
+            views(spark, sf)["documents"].where("doc_id % 10 <> 0"),
+            views(spark, sf)["documents"].where("doc_id % 10 = 0"),
+            max_bucket=5, recover_saturated=3),
+        f"""WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+), cfps AS (
+  SELECT DISTINCT md5({_NORM}) AS c_fp FROM corpus
+), bfp AS (
+  SELECT doc_id AS b_doc, md5({_NORM}) AS b_fp FROM batch
+), exact AS (
+  SELECT b_doc, c_fp IS NOT NULL AS is_exact
+  FROM bfp LEFT JOIN cfps ON b_fp = c_fp
+), cw AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM corpus
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), csh AS (
+  SELECT doc_id AS c_doc, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
+  FROM cw
+), csz AS (
+  SELECT c_doc, count(*) AS n_c FROM csh GROUP BY 1
+), ok AS (
+  SELECT sh FROM csh GROUP BY 1 HAVING count(*) <= 5
+), cidx AS (
+  SELECT csh.* FROM csh JOIN ok USING (sh)
+), bw AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM batch
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), bsh AS (
+  SELECT doc_id AS b_doc, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS sh
+  FROM bw
+), bsz AS (
+  SELECT b_doc, count(*) AS n_b FROM bsh GROUP BY 1
+), com AS (
+  SELECT b_doc, c_doc, count(*) AS n_common
+  FROM bsh JOIN cidx USING (sh) GROUP BY 1, 2
+), satb AS (
+  SELECT sh, count(*) AS s FROM csh GROUP BY 1 HAVING count(*) > 5
+), cthin AS (
+  SELECT csh.c_doc, csh.sh FROM csh JOIN satb USING (sh)
+  WHERE CAST('0x' || substr(md5(csh.sh || ':'
+        || CAST(csh.c_doc AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < 3 * (CAST(1 AS BIGINT) << 28)
+), cand AS (
+  SELECT DISTINCT b_doc, c_doc FROM bsh JOIN cthin USING (sh)
+), reccom AS (
+  SELECT cand.b_doc, cand.c_doc, count(*) AS n_common
+  FROM cand
+  JOIN bsh USING (b_doc)
+  JOIN csh ON csh.c_doc = cand.c_doc AND csh.sh = bsh.sh
+  GROUP BY 1, 2
+), com2 AS (
+  SELECT * FROM reccom
+  UNION ALL
+  SELECT com.* FROM com
+  ANTI JOIN reccom USING (b_doc, c_doc)
+), scored AS (
+  SELECT b_doc, c_doc,
+    (n_common * 1000000) // (n_b + n_c - n_common) AS jac_ppm
+  FROM com2 JOIN bsz USING (b_doc) JOIN csz USING (c_doc)
+), best AS (
+  SELECT b_doc, CAST(count(*) AS BIGINT) AS n_candidates,
+    max(CASE WHEN rk = 1 THEN c_doc END) AS best_match_id,
+    max(CASE WHEN rk = 1 THEN jac_ppm END) AS best_jaccard_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY b_doc
+          ORDER BY jac_ppm DESC, c_doc) AS rk FROM scored)
+  GROUP BY 1
+)
+SELECT e.b_doc AS doc_id, e.is_exact AS is_exact_dup,
+  coalesce(n_candidates, 0) AS n_candidates,
+  CAST(coalesce(best_match_id, -1) AS BIGINT) AS best_match_id,
+  CAST(coalesce(best_jaccard_ppm, 0) AS BIGINT) AS best_jaccard_ppm,
+  CASE WHEN e.is_exact THEN 'exact_dup'
+       WHEN coalesce(best_jaccard_ppm, 0) >= 500000 THEN 'near_dup'
+       ELSE 'new' END AS verdict
+FROM exact e LEFT JOIN best ON e.b_doc = best.b_doc
+ORDER BY doc_id""",
     ),
 ]
