@@ -309,54 +309,14 @@ def _gate_priority_order(specs: list[QuerySpec],
 # records a green row in a round >= the stated value, the pin is inert
 # (safe to prune on any later registry edit).
 _REWRITE_PENDING: dict[str, int] = {
-    # r8: rewritten onto the contracted pair graph; driver rows are r7
-    "keeper_policy_audit": 9, "quality_by_dup_degree": 9,
-    "dedup_source_affinity": 9, "near_dup_leakage": 9,
-    # r9: top-k rank rewritten to orderBy+limit (VERDICT r8 item 1)
-    "dup_graph_centrality": 9, "dup_graph_centrality_reps": 9,
-    "events_power_users": 9,
-    # r9: NULL-user filter / post-hash distinct / slot-cached blocking
-    # stage (ADVICE r8 items 1, 3, 4)
-    "session_concurrency": 9, "shard_dedup_leakage": 9,
-    "record_linkage": 9, "linkage_degree_distribution": 9,
-    # r9: per-type top-k rewritten to the salted two-phase window
-    "events_top_users": 9,
-    # r9: refactored onto the shared ingest_corpus_index builder
-    "incremental_ingest_dedup": 9,
-    # r9: bounded windows re-keyed with bounded_window_key (Catalyst
-    # folds literal partition keys, so WindowExec warned on every
-    # bounded page/spine window and buried real regressions) — values
-    # identical, but the driver should re-verify the touched family
-    "list_keys_page": 9, "list_keys_resume": 9,
-    "list_objects_v2_root": 9, "list_objects_v2_nested": 9,
-    "list_multipart_uploads_page": 9, "list_open_files_page": 9,
-    "list_parts_page": 9, "recon_list_keys": 9,
-    "datanode_utilization": 9, "heatmap": 9,
-    "blocks_pending_deletion": 9, "corpus_growth_curve": 9,
-    # r10 (VERDICT r9 item 2): the r9 pin above was REPRESENTATIVE; this
-    # makes it EXHAUSTIVE.  Derived from the 7d20722 diff: every query
-    # whose implementing function gained a bounded_window_key/_bwk call
-    # (mapped call-site -> enclosing def -> registry name).  Note
-    # lsh_bucket_stats — named as an example in VERDICT r9 — is NOT a
-    # _bwk call site (its windows were already column-keyed), so it is
-    # deliberately not pinned.
-    "dedup_threshold_sweep": 9, "frequent_ngrams": 9,
-    "lsh_band_yield": 9, "ngram_novelty_curve": 9,
-    "zipf_curve": 9, "bpe_merge_candidates": 9,
-    "domain_mixture": 9, "mixture_waterfill": 9,
-    "ivf_list_balance": 9, "weighted_sample": 9,
-    "join_key_skew": 9, "event_funnel": 9, "cluster_growth_daily": 9,
-    # r10: synthesize_cdc_log's global seq rewritten from a masked
-    # unpartitioned window to the exact per-op decomposition (ADVICE r9
-    # medium #2) — every query that replays the synthesized log
-    "cdc_task_status": 10, "cdc_overflow_reprocess": 10,
-    "cdc_incremental_quota": 10, "cdc_incremental_histogram": 10,
-    "cdc_incremental_namespace_dist": 10,
-    "cdc_incremental_container_index": 10,
-    # r10: foreachBatch sink rewritten to per-batch-id overwrite
-    # (ADVICE r9 medium #1); self-pair guard added to the sampler
-    # (ADVICE r9 low #1)
-    "streaming_ingest_dedup": 10, "dedup_saturated_sample": 10,
+    # r11: EMPTY — every r8-r10 pin has a post-rewrite driver-green
+    # row (CORRECTNESS_r09/r10 cover the full bounded-window re-key
+    # family, the CDC-seq and foreachBatch rewrites, and the earlier
+    # member-grain/top-k/ingest refactors; VERDICT r10 confirmed the
+    # cumulative 269/269 union), so the pins are inert and pruned per
+    # VERDICT r10 item 5.  The mechanism stays: map a rewritten query
+    # name to the first driver round whose green row counts as
+    # post-rewrite verification.
 }
 
 
