@@ -27,6 +27,37 @@ from .q_text import _NORM  # noqa: F401 — cross-domain helper
 # including 0 (recovery off) and the everything-fits top end.
 _AUTOSIZE_BUDGETS = (0, 50, 120, 400, 50_000, 700_000, 2_000_000)
 
+# Shared per-sample candidate-bill CTE block (cap 5, the default
+# 6-value sample spine): the sweep's thinning / ok-bucket / distinct-
+# pair derivation reduced to (sample, n_candidate_pairs) — consumed by
+# the autosize curve and by the self-tuned pair query's chosen-sample
+# scalar.  Expects the q_r10 _SH_SPINE CTEs (sh, bs) upstream.
+_BILL_CTES = """spine(sample) AS (
+  VALUES (1), (2), (3), (5), (8), (12)
+), sat AS (
+  SELECT shingle, s FROM bs WHERE s > 5
+), skept AS (
+  SELECT sp.sample, sh.doc_id, sh.shingle
+  FROM sh JOIN sat USING (shingle) CROSS JOIN spine sp
+  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < sp.sample * (CAST(1 AS BIGINT) << 28)
+), sokb AS (
+  SELECT sample, shingle FROM skept GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 4 * sample
+), spairs AS (
+  SELECT DISTINCT a.sample, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM skept a
+  JOIN skept b ON a.sample = b.sample AND a.shingle = b.shingle
+    AND a.doc_id < b.doc_id
+  JOIN sokb ON sokb.sample = a.sample AND sokb.shingle = a.shingle
+), bill AS (
+  SELECT sp.sample, coalesce(p.n, 0) AS n_candidate_pairs
+  FROM spine sp LEFT JOIN (
+    SELECT sample, count(*) AS n FROM spairs GROUP BY 1) p
+  USING (sample)
+)"""
+
 R11_QUERIES: list[QuerySpec] = [
     _q(
         "recovery_autosize_curve",
@@ -37,31 +68,7 @@ R11_QUERIES: list[QuerySpec] = [
         # candidate bill, a budget spine, and the largest-fitting-
         # sample argmax (samples with a zero bill fit every budget,
         # matching the Spark side's coalesced sweep)
-        f"""WITH {_SH_SPINE}, spine(sample) AS (
-  VALUES (1), (2), (3), (5), (8), (12)
-), sat AS (
-  SELECT shingle, s FROM bs WHERE s > 5
-), kept AS (
-  SELECT sp.sample, sh.doc_id, sh.shingle
-  FROM sh JOIN sat USING (shingle) CROSS JOIN spine sp
-  WHERE CAST('0x' || substr(md5(sh.shingle || ':'
-        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
-        < sp.sample * (CAST(1 AS BIGINT) << 28)
-), okb AS (
-  SELECT sample, shingle FROM kept GROUP BY 1, 2
-  HAVING count(*) BETWEEN 2 AND 4 * sample
-), pairs AS (
-  SELECT DISTINCT a.sample, a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM kept a
-  JOIN kept b ON a.sample = b.sample AND a.shingle = b.shingle
-    AND a.doc_id < b.doc_id
-  JOIN okb ON okb.sample = a.sample AND okb.shingle = a.shingle
-), bill AS (
-  SELECT sp.sample, coalesce(p.n, 0) AS n_candidate_pairs
-  FROM spine sp LEFT JOIN (
-    SELECT sample, count(*) AS n FROM pairs GROUP BY 1) p
-  USING (sample)
-), budgets(budget_pairs) AS (
+        f"""WITH {_SH_SPINE}, {_BILL_CTES}, budgets(budget_pairs) AS (
   VALUES (0), (50), (120), (400), (50000), (700000), (2000000)
 ), fits AS (
   SELECT b.budget_pairs, max(a.sample) AS chosen_sample
@@ -75,6 +82,76 @@ FROM budgets b
 LEFT JOIN fits f USING (budget_pairs)
 LEFT JOIN bill a2 ON a2.sample = f.chosen_sample
 ORDER BY budget_pairs""",
+    ),
+    _q(
+        "ngram_jaccard_autotuned",
+        # the closed loop end-to-end (VERDICT r10 items 2+3 composed):
+        # near-dup pairs whose recovery sample is CHOSEN by the priced
+        # autosizer under a 400-candidate-pair budget — at sf0.01 that
+        # picks sample 5 (bill 284), at sf0.1 every sample is over
+        # budget so recovery turns OFF (chosen 0) and the result is
+        # the capped pair list; the oracle replays the argmax itself,
+        # so the gate verifies the tuning DECISION at both scales, not
+        # just one outcome
+        lambda spark, sf: dedup.ngram_jaccard_pairs(
+            views(spark, sf)["documents"], threshold=0.1, max_bucket=5,
+            recover_saturated=dedup.autosize_recover_saturated(
+                views(spark, sf)["documents"], 400, max_bucket=5)),
+        f"""WITH {_SH_SPINE}, {_BILL_CTES}, chosen AS (
+  SELECT coalesce(max(sample) FILTER (
+    WHERE n_candidate_pairs <= 400), 0) AS cs
+  FROM bill
+), shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN bs USING (shingle)
+  WHERE s BETWEEN 2 AND 5
+), cappedc AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), capped AS (
+  SELECT doc_a, doc_b, n_common,
+    round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM cappedc
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN bs USING (shingle)
+  CROSS JOIN chosen
+  WHERE s > 5
+    AND CAST('0x' || substr(md5(sh.shingle || ':'
+        || CAST(sh.doc_id AS VARCHAR)), 1, 7) AS BIGINT) * s
+        < chosen.cs * (CAST(1 AS BIGINT) << 28)
+), okb AS (
+  SELECT shingle FROM kept CROSS JOIN chosen
+  GROUP BY shingle, chosen.cs
+  HAVING count(*) BETWEEN 2 AND 4 * chosen.cs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN okb ON okb.shingle = a.shingle
+), rexact AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), recovered AS (
+  SELECT doc_a, doc_b, n_common,
+    round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM rexact
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
+FROM recovered
+UNION ALL
+SELECT c.doc_a, c.doc_b, CAST(c.n_common AS BIGINT) AS n_common, c.jaccard
+FROM capped c
+WHERE NOT EXISTS (SELECT 1 FROM recovered r
+                  WHERE r.doc_a = c.doc_a AND r.doc_b = c.doc_b)
+ORDER BY 1, 2""",
     ),
     _q(
         "ingest_dedup_recovered",
