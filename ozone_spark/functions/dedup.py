@@ -1984,6 +1984,48 @@ def _cc_loop(edges: DataFrame, max_iters: int) -> DataFrame:
     return labels
 
 
+def dedup_graph_summary(docs: DataFrame, threshold: float = 0.1,
+                        n: int = 3, max_bucket: int = 200) -> DataFrame:
+    """One-row observability of the member-level near-dup pair graph
+    and the adaptive connected-components tier it would take (r11):
+    pair count, node count, component count, largest component, and
+    the tier — 'direct' (one coalesce(1) vectorized fold), 'partials'
+    (per-partition union-find stars tree-reduced), or 'loop'
+    (distributed pointer jumping) — decided by the same symmetrized-
+    edge thresholds `connected_components` uses, so an operator can
+    read WHICH execution shape a corpus's graph lands in before
+    running the full cluster resolution.
+
+    Scale shape: the pair graph is the standard capped two-shuffle
+    pipeline; everything after is aggregates over the (sparse) pair
+    list and its labels — three scalar aggregates cross-joined into
+    one row, no collect."""
+    p = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                            max_bucket=max_bucket).select("doc_a", "doc_b")
+    labels = connected_components(p)
+    s1 = p.agg(F.count("*").alias("n_pairs"))
+    s2 = labels.agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("cluster_id").alias("n_components"))
+    s3 = (labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+          .agg(F.coalesce(F.max("sz"), F.lit(0))
+               .alias("largest_component")))
+    sym = F.col("n_pairs") * 2
+    tier = (
+        F.when(sym <= CC_DIRECT_FOLD_EDGES, "direct")
+        .when(sym <= LOCAL_CC_MAX_EDGES, "partials")
+        .otherwise("loop"))
+    return (
+        s1.crossJoin(s2).crossJoin(s3)
+        .select(F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.col("n_components").cast("long").alias("n_components"),
+                F.col("largest_component").cast("long")
+                .alias("largest_component"),
+                tier.alias("cc_tier"))
+    )
+
+
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
                        n: int = 3, max_bucket: int = 200) -> DataFrame:
     """End-to-end dedup resolution: exact-duplicate CONTRACTION ->

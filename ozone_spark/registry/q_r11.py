@@ -154,6 +154,64 @@ WHERE NOT EXISTS (SELECT 1 FROM recovered r
 ORDER BY 1, 2""",
     ),
     _q(
+        "dedup_graph_summary",
+        lambda spark, sf: dedup.dedup_graph_summary(
+            views(spark, sf)["documents"]),
+        # member pair graph (threshold 0.1, cap 200 — the gated
+        # dedup_ngram_jaccard semantics), recursive transitive closure
+        # for components, and the tier CASE on the same symmetrized-
+        # edge thresholds connected_components dispatches on
+        f"""WITH RECURSIVE words AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  WHERE len(string_split({_NORM}, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), ok AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200
+), shf AS (
+  SELECT sh.* FROM sh JOIN ok USING (shingle)
+), com AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM com
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS doc_id, a AS root FROM edges
+  UNION
+  SELECT e.b AS doc_id, r.root FROM reach r JOIN edges e ON e.a = r.doc_id
+), lab AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY 1
+), np AS (SELECT count(*) AS n_pairs FROM pairs),
+nn AS (
+  SELECT count(*) AS n_nodes,
+    count(DISTINCT cluster_id) AS n_components
+  FROM lab
+), lc AS (
+  SELECT coalesce(max(sz), 0) AS largest_component
+  FROM (SELECT count(*) AS sz FROM lab GROUP BY cluster_id)
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(n_nodes AS BIGINT) AS n_nodes,
+  CAST(n_components AS BIGINT) AS n_components,
+  CAST(largest_component AS BIGINT) AS largest_component,
+  CASE WHEN n_pairs * 2 <= {dedup.CC_DIRECT_FOLD_EDGES} THEN 'direct'
+       WHEN n_pairs * 2 <= {dedup.LOCAL_CC_MAX_EDGES} THEN 'partials'
+       ELSE 'loop' END AS cc_tier
+FROM np CROSS JOIN nn CROSS JOIN lc""",
+    ),
+    _q(
         "ingest_dedup_recovered",
         # the recovering ingest variant (VERDICT r10 item 4): cap 5
         # saturates on the fixtures, sample 3 recovers — candidates
