@@ -1800,9 +1800,21 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     component minima exactly because star targets are always original
     node ids)."""
     spark = pairs.sparkSession
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Symmetrize with a MAP-SIDE explode, not union(e, e.swap): the
+    # union's two branches each hold the caller's full (usually
+    # un-persisted) pair lineage, and Spark executes common subplans
+    # per reference — at the 100x probe the pair-generation pipeline
+    # ran TWICE inside the one distinct job (r11 cc_breakdown: the
+    # whole CC resolution is ~16s on a materialized pair list, while
+    # the operator measured ~150s more than one pipeline pass).  The
+    # explode fans each pair to both directions inside the same task:
+    # one pass over the input, one distinct shuffle, nothing to cache.
     edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+            .alias("p"))
+        .select("p.a", "p.b")
         .distinct().persist()
     )
     n_edges = edges.count()
@@ -2081,18 +2093,21 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    # k exact copies emit identical (g, shingle-hash) rows; instead of
-    # a dedicated distinct exchange over the full shingle-instance
-    # stream, collect_set dedups them INSIDE the bucket aggregation's
-    # own exchange (one big shuffle, not two).  Per-content shingle
-    # counts never need that stream at all: every copy carries the
-    # identical distinct-shingle array, so n_sh is the array size
-    # reduced per group map-side.
-    sh_raw = (
+    # ONE corpus text scan feeds both shingle consumers (r11
+    # cc_breakdown: sizes and buckets each re-ran the split+shingle
+    # build, 34.7s + 36.5s of the 100x probe's budget): the hashed
+    # exploded stream persists once — the same corpus-shingle-sized
+    # cache the member-level path already holds in its ngram_sh slot,
+    # MEMORY_AND_DISK so at real scale it spills rather than evicts —
+    # and sizes/buckets are then two aggregations over the cache.
+    # k exact copies emit identical (g, shingle-hash) rows;
+    # collect_set / count(DISTINCT) dedup them INSIDE each
+    # aggregation's own exchange (no dedicated distinct exchange).
+    sh_raw = _slot_cache(
         base.where(F.size("ws") >= n)
         .select("g", F.explode(shingles).alias("shingle"))
-        .select("g", F.xxhash64("shingle").alias("shingle"))
-    )
+        .select("g", F.xxhash64("shingle").alias("shingle")),
+        "clusters_shraw")
     # The post-aggregation tables are DISTINCT-CONTENT-sized (thousands
     # of rows), not corpus-sized — slot-caching them means a SECOND
     # duplicate_clusters call in the same session (keeper_policy_audit,
@@ -2100,11 +2115,12 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     # corpus-sized shingle explode + collect_set exchange entirely.
     # Measured at the 30x probe order (clusters -> reps -> ngram ->
     # keeper): the keeper's inner re-run cost 80 s without these slots
-    # and the tables themselves are < 1 MB.
+    # and the tables themselves are < 1 MB.  n_sh = per-content
+    # distinct-shingle count via count(DISTINCT hash) — the documented
+    # xxhash64 collision-equivalence class, same as the bucket keys.
     sizes = _slot_cache(
-        base.where(F.size("ws") >= n)
-        .select("g", F.size(shingles).alias("n_sh"))
-        .groupBy("g").agg(F.min("n_sh").alias("n_sh")),
+        sh_raw.groupBy("g").agg(
+            F.countDistinct("shingle").alias("n_sh")),
         "clusters_sizes")
     buckets = _slot_cache(
         sh_raw.groupBy("shingle").agg(F.collect_set("g").alias("ds"))
@@ -2122,17 +2138,24 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.1,
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # sizes and reps attach in ONE pre-joined map per side instead of
+    # four separate joins (r11 cc_breakdown: the pair stream is 23.7M
+    # rows at the 100x probe, and each extra equi-join is another full
+    # shuffle of it; meta is distinct-content-sized, so AQE broadcasts
+    # it when it is genuinely small and hash-joins when it is not — no
+    # forced hint, the meta table GROWS with distinct content).
+    meta = _slot_cache(
+        groups.join(sizes, "g").select("g", "rep", "n_sh"),
+        "clusters_meta")
     gpairs = (
         common
-        .join(sizes.select(F.col("g").alias("g_a"),
-                           F.col("n_sh").alias("n_a")), "g_a")
-        .join(sizes.select(F.col("g").alias("g_b"),
-                           F.col("n_sh").alias("n_b")), "g_b")
+        .join(meta.select(F.col("g").alias("g_a"),
+                          F.col("rep").alias("doc_a"),
+                          F.col("n_sh").alias("n_a")), "g_a")
+        .join(meta.select(F.col("g").alias("g_b"),
+                          F.col("rep").alias("doc_b"),
+                          F.col("n_sh").alias("n_b")), "g_b")
         .where(jac >= threshold)
-        .join(groups.select(F.col("g").alias("g_a"),
-                            F.col("rep").alias("doc_a")), "g_a")
-        .join(groups.select(F.col("g").alias("g_b"),
-                            F.col("rep").alias("doc_b")), "g_b")
         .select("doc_a", "doc_b")
     )
     cc = connected_components(gpairs)
