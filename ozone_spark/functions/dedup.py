@@ -2012,8 +2012,14 @@ def dedup_graph_summary(docs: DataFrame, threshold: float = 0.1,
     pipeline; everything after is aggregates over the (sparse) pair
     list and its labels — three scalar aggregates cross-joined into
     one row, no collect."""
-    p = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
-                            max_bucket=max_bucket).select("doc_a", "doc_b")
+    # slot-cached: the pair list is referenced three times below (the
+    # pair count, the CC edge build, and nothing else shares it) and
+    # Spark re-executes unshared lazy subplans per reference
+    p = _slot_cache(
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                            max_bucket=max_bucket)
+        .select("doc_a", "doc_b"),
+        "graph_summary_pairs")
     labels = connected_components(p)
     s1 = p.agg(F.count("*").alias("n_pairs"))
     s2 = labels.agg(

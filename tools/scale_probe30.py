@@ -145,12 +145,20 @@ def main() -> int:
         # VERDICT r10 item 2: size the arm from the PRICED sweep
         # instead of a hand-picked constant (the hand-picked 50 OOM'd
         # the 8g heap at 30x; 10 was picked by eye).  Budget default
-        # 20M candidate pairs: ~2 int64 columns + agg state well inside
-        # one executor's share of the 8g probe heap.
+        # 5M DISTINCT candidate pairs — NOT 20M: the first r11 armed
+        # 100x run chose sample 38 under a 20M budget and OOM'd the
+        # probe JVM, because the budget prices the distinct pair list
+        # while the heap also carries (a) the pre-distinct in-bucket
+        # explode (sum over saturated buckets of C(survivors, 2) SLOTS,
+        # ~4-20x the distinct count on shared-shingle pairs) and (b)
+        # the stage-warmed resident indexes, which grow with the
+        # decade.  5M keeps the whole re-score comfortably spillable
+        # next to those; the same 30x arm ran green at sample 47 /
+        # ~20M bill only because the 30x residents are 3x smaller.
         from ozone_spark.functions import dedup as D
         from ozone_spark import tables as T
         budget = int(os.environ.get(
-            "SPARK_GRAFT_SCALE_RECOVER_BUDGET", "20000000"))
+            "SPARK_GRAFT_SCALE_RECOVER_BUDGET", "5000000"))
         t0 = time.perf_counter()
         recover = D.autosize_recover_saturated(
             T.load_table(spark, work, "documents"), budget)
