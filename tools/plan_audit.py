@@ -97,6 +97,14 @@ BNLJ_OK = {
     # saturated bucket), plus the one-row saturated-bucket-count
     # scalar attach — bucket_cap_sweep's sample-axis twin
     "recovery_sample_sweep",
+    # r11: broadcast 7-row budget spine inequality-joined against the
+    # 6-row per-sample bill table (42 candidate rows total) — the
+    # autosize argmax; both sides bounded by construction
+    "recovery_autosize_curve",
+    # r11: three one-row scalar aggregates (pair count / node+component
+    # counts / largest component) crossJoined into the single report
+    # row — the sanctioned one-row-scalar class
+    "dedup_graph_summary",
 }
 
 
