@@ -90,11 +90,29 @@ def main() -> int:
         arm(f"capped_recover_{s}", D.ngram_jaccard_pairs(
             docs, threshold=THRESHOLD, max_bucket=CAP,
             recover_saturated=s, slot="recall_sh"))
+    # r11 (VERDICT r10 item 2 closed-loop): the AUTOSIZED arm — the
+    # sample the production sizing helper actually picks under the
+    # probe-default 5M candidate-pair budget, so the recall curve
+    # prices the knob setting operators will really run, not only the
+    # hand-swept points
+    budget = int(os.environ.get("SPARK_GRAFT_SCALE_RECOVER_BUDGET",
+                                "5000000"))
+    t0 = time.perf_counter()
+    auto_s = D.autosize_recover_saturated(docs, budget, max_bucket=CAP)
+    autosize_sec = round(time.perf_counter() - t0, 1)
+    print(f"# autosized sample={auto_s} (budget {budget}, "
+          f"{autosize_sec}s)", file=sys.stderr)
+    if auto_s > 0:
+        arm(f"capped_recover_auto_{auto_s}", D.ngram_jaccard_pairs(
+            docs, threshold=THRESHOLD, max_bucket=CAP,
+            recover_saturated=auto_s, slot="recall_sh"))
 
     doc = {
         "base_sf_dir": scale_stress.BASE, "replicas": replicas,
         "perturb": scale_stress.PERTURB, "threshold": THRESHOLD,
         "cap": CAP, "build_sec": build_sec,
+        "recover_budget": budget, "autosized_sample": auto_s,
+        "autosize_sec": autosize_sec,
         "n_truth": n_truth, "truth_sec": truth_sec, "arms": arms,
     }
     print(json.dumps(doc))
