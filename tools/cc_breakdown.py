@@ -78,23 +78,25 @@ def main() -> int:
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
-    sh_raw = (
+    # r11 structure: ONE persisted hashed shingle stream feeds both
+    # aggregations (the r11 fix this tool's first run motivated)
+    sh_raw = D._slot_cache(
         base.where(F.size("ws") >= n)
         .select("g", F.explode(shingles).alias("shingle"))
-        .select("g", F.xxhash64("shingle").alias("shingle"))
-    )
+        .select("g", F.xxhash64("shingle").alias("shingle")),
+        "clusters_shraw")
+    clock("shingle stream (scan+explode)", lambda: sh_raw.count())
     sizes = D._slot_cache(
-        base.where(F.size("ws") >= n)
-        .select("g", F.size(shingles).alias("n_sh"))
-        .groupBy("g").agg(F.min("n_sh").alias("n_sh")),
+        sh_raw.groupBy("g").agg(
+            F.countDistinct("shingle").alias("n_sh")),
         "clusters_sizes")
-    clock("sizes", lambda: sizes.count())
+    clock("sizes(from stream)", lambda: sizes.count())
     buckets = D._slot_cache(
         sh_raw.groupBy("shingle").agg(F.collect_set("g").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= 200))
         .select(F.array_sort("ds").alias("ds")),
         "clusters_buckets")
-    clock("buckets(shingle agg)", lambda: buckets.count())
+    clock("buckets(from stream)", lambda: buckets.count())
     pair_expr = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
@@ -106,17 +108,18 @@ def main() -> int:
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    meta = D._slot_cache(
+        groups.join(sizes, "g").select("g", "rep", "n_sh"),
+        "clusters_meta")
     gpairs = (
         common
-        .join(sizes.select(F.col("g").alias("g_a"),
-                           F.col("n_sh").alias("n_a")), "g_a")
-        .join(sizes.select(F.col("g").alias("g_b"),
-                           F.col("n_sh").alias("n_b")), "g_b")
+        .join(meta.select(F.col("g").alias("g_a"),
+                          F.col("rep").alias("doc_a"),
+                          F.col("n_sh").alias("n_a")), "g_a")
+        .join(meta.select(F.col("g").alias("g_b"),
+                          F.col("rep").alias("doc_b"),
+                          F.col("n_sh").alias("n_b")), "g_b")
         .where(jac >= 0.1)
-        .join(groups.select(F.col("g").alias("g_a"),
-                            F.col("rep").alias("doc_a")), "g_a")
-        .join(groups.select(F.col("g").alias("g_b"),
-                            F.col("rep").alias("doc_b")), "g_b")
         .select("doc_a", "doc_b")
     ).persist()
     clock("pair explode+jaccard+rekey", lambda: gpairs.count())
