@@ -2511,25 +2511,44 @@ def _centrality_propagate(edges: DataFrame,
     edge list.  Scores start at 1e6 per node; each iteration sends
     score DIV degree along every edge, then applies damping as
     base + damp * inflow DIV 1e6 — floor division throughout, so the
-    loop replays bit-identically in the DuckDB oracle."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    scores = deg.select(F.col("src").alias("node"),
-                        F.lit(1_000_000).cast("long").alias("score"))
+    loop replays bit-identically in the DuckDB oracle.
+
+    Shape (r11 optimization round): (node, deg, score) travel as ONE
+    state frame, so each iteration is a single edges⋈state join plus
+    the inflow aggregate — the previous form joined edges⋈deg⋈scores
+    and rebuilt deg's lineage per round, which unrolled to a ~200-
+    Exchange / 68-SortMergeJoin physical plan at iters=3 (3-8 s of
+    driver-side analysis per invocation before any task ran, measured
+    at sf0.1).  The state frame is localCheckpoint'ed each round: the
+    per-node table is tiny (one (long,long,long) row per graph node)
+    while the lineage it would otherwise accumulate grows by the whole
+    edge subtree per iteration, so truncating is the same
+    plan-size-bounding move the CC pointer-jumping loop already uses.
+    The integer arithmetic is unchanged — same join keys, same floor
+    divisions — so both engines still replay bit-identically."""
+    state = (
+        edges.groupBy("src").agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg",
+                F.lit(1_000_000).cast("long").alias("score"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(scores, edges.src == F.col("node"))
+            edges.join(state, edges.src == state.node)
             .select("dst", F.expr("score div deg").alias("c"))
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
-        scores = (
-            deg.select(F.col("src").alias("node"))
+        state = (
+            state.select("node", "deg")
             .join(inflow, F.col("node") == F.col("dst"), "left")
-            .select("node", F.expr(
+            .select("node", "deg", F.expr(
                 f"{1_000_000 - CENTRALITY_DAMP_PPM} + "
                 f"({CENTRALITY_DAMP_PPM} * coalesce(inflow, 0))"
                 f" div 1000000").cast("long").alias("score"))
+            .localCheckpoint(eager=True)
         )
+    deg = state.select(F.col("node").alias("src"), "deg")
+    scores = state.select("node", "score")
     return deg, scores
 
 
