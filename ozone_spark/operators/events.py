@@ -933,9 +933,22 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30,
         )).alias("q")
     ).select("user_id", "session_id", "q.t", "q.qsign")
 
+    # ONE timeline carries both prefix sums (r11 optimization round):
+    # events keep their real user_id so the global (bucket-partitioned)
+    # and own-user (user-partitioned) running counts are two windows
+    # over the SAME union, instead of two separately-built unions whose
+    # per-branch results re-join on (user_id, session_id).  Query-row
+    # values are identical: among rows tied on (t, is_q) the w=1 event
+    # rows still all sort before the w=0 query rows, the relative order
+    # of w=0 rows cannot change any running sum, and event-row p values
+    # are discarded by the is_q filter — so the tie-break switch from
+    # NULL to real user_id on event rows is invisible in the output.
+    # This halves the plan (session_intervals computed once, no
+    # global⋈own sort-merge join; the post-window groupBy rides the
+    # user-hash partitioning the own-window already established).
     timeline = (
         ev.select("t", F.lit(1).alias("w"), F.lit(0).alias("is_q"),
-                  F.lit(None).cast("long").alias("user_id"),
+                  F.col("u").alias("user_id"),
                   F.lit(None).cast("long").alias("session_id"),
                   F.lit(0).alias("qsign"))
         .unionByName(qpts.select(
@@ -956,34 +969,19 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30,
     run_w = Window.partitionBy("bucket").orderBy(
         "t", "is_q", "qsign", "user_id", "session_id"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    global_p = (
-        timeline.join(broadcast(offsets), "bucket")
-        .withColumn("p", F.col("base") + F.sum("w").over(run_w))
-        .where(F.col("is_q") == 1)
-        .groupBy("user_id", "session_id")
-        .agg(F.sum(F.col("qsign") * F.col("p")).alias("n_all"))
-    )
-    # own-user correction: same union-window trick partitioned by user
-    own_tl = (
-        ev.select(F.col("u").alias("user_id"), "t", F.lit(1).alias("w"),
-                  F.lit(0).alias("is_q"),
-                  F.lit(None).cast("long").alias("session_id"),
-                  F.lit(0).alias("qsign"))
-        .unionByName(qpts.select(
-            "user_id", "t", F.lit(0).alias("w"), F.lit(1).alias("is_q"),
-            "session_id", "qsign"))
-    )
+    # own-user correction: same union-window trick partitioned by user,
+    # applied as a SECOND window over the same timeline frame
     own_w = Window.partitionBy("user_id").orderBy(
         "t", "is_q", "qsign", "session_id"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    own_p = (
-        own_tl.withColumn("p", F.sum("w").over(own_w))
+    per_session = (
+        timeline.join(broadcast(offsets), "bucket")
+        .withColumn("p", F.col("base") + F.sum("w").over(run_w))
+        .withColumn("p_own", F.sum("w").over(own_w))
         .where(F.col("is_q") == 1)
         .groupBy("user_id", "session_id")
-        .agg(F.sum(F.col("qsign") * F.col("p")).alias("n_own"))
-    )
-    per_session = (
-        global_p.join(own_p, ["user_id", "session_id"])
+        .agg(F.sum(F.col("qsign") * F.col("p")).alias("n_all"),
+             F.sum(F.col("qsign") * F.col("p_own")).alias("n_own"))
         .select((F.col("n_all") - F.col("n_own")).alias("concurrent"))
     )
     return (
