@@ -670,7 +670,8 @@ def contracted_pair_graph(docs: DataFrame, n: int = 3,
 
 def ingest_corpus_index(corpus: DataFrame, n: int = 3,
                         max_bucket: int = 200,
-                        recover_saturated: int = 0):
+                        recover_saturated: int = 0,
+                        materialize: bool = False):
     """The resident-corpus probe structures of incremental ingest
     dedup: (distinct fingerprint set, capped shingle inverted index,
     per-doc shingle counts).  In production these are precomputed and
@@ -693,29 +694,44 @@ def ingest_corpus_index(corpus: DataFrame, n: int = 3,
         candidates are re-scored with their TRUE n_common (left-semi
         pruned to candidate docs at probe time — never a corpus join).
     Both are corpus-sized-once structures that in production live next
-    to the capped index (the uncapped table IS the pre-cap index)."""
+    to the capped index (the uncapped table IS the pre-cap index).
+
+    `materialize=True` (one-shot multi-probe callers) computes each
+    structure NOW and truncates its lineage via localCheckpoint — the
+    shared shingle table is checkpointed first so the capped index and
+    the per-doc sizes derive from ONE shingle pass instead of
+    re-shingling the corpus each, and every returned frame embeds as a
+    plain scan in a consumer's plan instead of the whole corpus-shingle
+    subtree.  The streaming drain instead slot-caches the LAZY frames
+    (plan-keyed residency across drains of the same corpus) and
+    checkpoints the cached copies per drain — see
+    streaming/windows.py:streaming_ingest_dedup."""
     fp = F.md5(_norm_text(F.col("text")))
-    corpus_fps = corpus.select(fp.alias("c_fp")).distinct()
-    c_sh = word_shingles(
+
+    def keep(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    corpus_fps = keep(corpus.select(fp.alias("c_fp")).distinct())
+    c_sh = keep(word_shingles(
         corpus.select("doc_id", "text"), n).select(
-        F.col("doc_id").alias("c_doc"), F.xxhash64("shingle").alias("sh"))
-    c_sizes = c_sh.groupBy("c_doc").agg(F.count("*").alias("n_c"))
+        F.col("doc_id").alias("c_doc"), F.xxhash64("shingle").alias("sh")))
+    c_sizes = keep(c_sh.groupBy("c_doc").agg(F.count("*").alias("n_c")))
     ok = (c_sh.groupBy("sh").agg(F.count("*").alias("df"))
           .where(F.col("df") <= max_bucket).select("sh"))
-    c_idx = c_sh.join(ok, "sh")
+    c_idx = keep(c_sh.join(ok, "sh"))
     if recover_saturated <= 0:
         return corpus_fps, c_idx, c_sizes
     # raw-string-keyed (hash60/md5) saturated rows, so the thinning
     # replays bit-identically in the DuckDB oracle — same key algebra
     # as _saturated_buckets
-    craw = word_shingles(corpus.select("doc_id", "text"), n).select(
+    craw = keep(word_shingles(corpus.select("doc_id", "text"), n).select(
         F.col("doc_id").alias("c_doc"),
         hash60(F.col("shingle")).alias("h"),
         hash28(F.concat_ws(":", F.col("shingle"),
-                           F.col("doc_id").cast("string"))).alias("skey"))
+                           F.col("doc_id").cast("string"))).alias("skey")))
     sat = (craw.groupBy("h").agg(F.count("*").alias("s"))
            .where(F.col("s") > max_bucket))
-    c_sat_probe = (
+    c_sat_probe = keep(
         craw.join(sat, "h")
         .where(F.col("skey") * F.col("s")
                < F.lit(recover_saturated * (1 << 28)).cast("long"))

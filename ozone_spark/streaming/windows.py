@@ -357,10 +357,20 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
     # duplication the cap silences — same recipe, same persisted-once
     # cost model (both extra frames are corpus-sized-once structures
     # that in production live next to the capped index)
+    # materialize=True: every index frame is computed once NOW (the
+    # shared shingle table checkpointed first, so one shingle pass
+    # feeds the capped index and the per-doc sizes) and its lineage
+    # truncated, so each micro-batch's plan embeds plain scans instead
+    # of the corpus-shingle subtrees — per-batch analysis of the deep
+    # persisted lineages was the larger half of the drain's fixed
+    # per-batch wall (r11 measurement: batches 2.4/2.0/1.8/1.5 s ->
+    # 1.7/1.1/1.0/1.05 s at sf0.1).  A cross-drain slot-cached variant
+    # was measured and REJECTED: re-checkpointing the cached frames
+    # per drain accumulated block-manager copies and regressed rep
+    # wall 10->26 s across three drains.
     idx = D.ingest_corpus_index(corpus, n, max_bucket,
-                                recover_saturated=recover_saturated)
-    for df in idx:
-        df.persist()
+                                recover_saturated=recover_saturated,
+                                materialize=True)
 
     def handle(bdf: DataFrame, bid: int) -> None:
         # Exactly-once sink: each micro-batch overwrites its OWN
@@ -382,8 +392,10 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
         .start()
     )
     q.awaitTermination()
-    for df in idx:
-        df.unpersist()
+    # (checkpointed index blocks are freed by the ContextCleaner once
+    # the frames go out of scope — no explicit unpersist hook exists
+    # for localCheckpoint, and the drain-bounded footprint is the same
+    # corpus-sized index the persist path held)
     # batch=<id> reads back as a partition column; drop it — batch
     # boundaries are an execution detail, not part of the result.
     return spark.read.parquet(out_dir).drop("batch")
