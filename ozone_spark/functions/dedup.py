@@ -1003,13 +1003,15 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n))))
     d = d.select("doc_id", F.transform(shingles, hash28).alias("hs"))
 
-    def _perm(a: int, b: int):
-        # single-arg lambda: pyspark passes (element, index) to 2-arg ones
-        return lambda h: (h * a + b) % MERSENNE31
-
-    sig = F.array(*[
-        F.array_min(F.transform("hs", _perm(a, b)))
-        for a, b in perm_consts()])
+    # ONE F.expr parse for the 32-permutation array (r11 optimization
+    # round): the Column-builder form issued py4j calls per permutation
+    # lambda, a measurable slice of per-invocation build time; the SQL
+    # string is the identical integer arithmetic ((h*a+b) mod M31 on
+    # BIGINTs, array_min over the transform), so signatures are
+    # bit-identical.
+    sig = F.expr("array(" + ",".join(
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {MERSENNE31}L))"
+        for a, b in perm_consts()) + ")")
     return d.select("doc_id", sig.alias("signature"))
 
 
@@ -1017,14 +1019,16 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) rows: the signature banded into N_BANDS
     md5 band-buckets — the shared banding stage of minhash_lsh_pairs
     and lsh_bucket_stats."""
+    # one F.expr parse (same shape/typing as the former Column builder:
+    # band stays INT, bucket the md5 of the comma-joined row casts)
+    bands_sql = "array(" + ",".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws(',', {rows})))"
+        .format(b=b, rows=",".join(
+            f"CAST(signature[{b * ROWS_PER_BAND + r}] AS STRING)"
+            for r in range(ROWS_PER_BAND)))
+        for b in range(N_BANDS)) + ")"
     return sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[
-                         F.col("signature")[b * ROWS_PER_BAND + r].cast("string")
-                         for r in range(ROWS_PER_BAND)])).alias("bucket"))
-            for b in range(N_BANDS)])).alias("bb"),
+        "doc_id", F.explode(F.expr(bands_sql)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
