@@ -55,7 +55,7 @@ def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # tables of ozone_spark.layout instead)
         for name in ("keys", "locations", "containers", "replicas",
                      "datanodes", "directories", "snap1", "snap2",
-                     "open_keys", "deleted_keys",
+                     "open_keys", "deleted_keys", "acl_entries",
                      "documents", "embeddings", "events"):
             v[name] = v[name].persist()
         _view_cache[key] = v
