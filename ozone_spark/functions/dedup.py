@@ -26,6 +26,8 @@ operator is value-checked against SQL, not just row-counted.
 
 from __future__ import annotations
 
+import weakref
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -85,6 +87,9 @@ def bounded_window_key(col: str) -> Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(1))
 
 
+_NPARTS_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; fan out before
     CPU-heavy per-row transforms so all cores work.  (At real scale the
@@ -94,11 +99,30 @@ def _spread(df: DataFrame) -> DataFrame:
     heuristic is wrong in both directions (maxPartitionBytes bin-packs
     many tiny files into few partitions -> UDF runs near-serially; one
     big splittable file scans as many partitions -> needless shuffle).
-    df.rdd.getNumPartitions() is a driver-side plan translation — the
-    split computation it triggers is the same FileIndex work the scan
-    itself performs and is cached — no job runs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    df.rdd.getNumPartitions() is a driver-side plan translation (no job
+    runs) but NOT free: it runs full physical planning + RDD DAG
+    construction, measured at 0.2-0.4 s per call.  The count is a pure
+    function of the analyzed plan and the session's split conf, so it is
+    memoized per (session, semanticHash, target) — semanticHash needs
+    only analysis (~0.5 ms) and is stable across rebuilds of the same
+    plan.  The memo stores a partition COUNT, never data or results, and
+    lives only for the session (WeakKeyDictionary)."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    n = None
+    memo = None
+    key = None
+    try:
+        memo = _NPARTS_MEMO.setdefault(sess, {})
+        key = (df.semanticHash(), target)
+        n = memo.get(key)
+    except Exception:
+        memo = None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if memo is not None and len(memo) < 1024:
+            memo[key] = n
+    return df if n >= target else df.repartition(target)
 
 
 def _norm_text(text: Column) -> Column:
