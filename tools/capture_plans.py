@@ -1,5 +1,6 @@
 """Dump .explain('formatted') for every bench-board query into
-plans/r11/<query>_<tag>.txt — the optimization round's before/after plan
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r12) — the
+optimization round's before/after plan
 evidence (the judge reads these files instead of running Spark).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
@@ -17,14 +18,14 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ozone_spark.registry import bench_queries  # noqa: E402
+from ozone_spark.registry import bench_queries, queries  # noqa: E402
 from ozone_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r11")
+                   "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
 
 
 def main() -> int:
@@ -33,7 +34,10 @@ def main() -> int:
     os.makedirs(OUT, exist_ok=True)
     spark = get_spark("ozone-spark-plan-capture")
     board = bench_queries()
-    todo = {n: board[n] for n in names} if names else board
+    # named queries may come from the FULL registry (r12: plans are
+    # also captured for touched off-board queries like dup_graph_centrality)
+    full = queries()
+    todo = {n: full[n] for n in names} if names else board
     for name, fn in todo.items():
         t0 = time.perf_counter()
         try:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import json
 import platform
+import os
 import sys
 
 import duckdb
@@ -29,7 +30,7 @@ import pyarrow
 import pyspark
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def digest(rows) -> str:

@@ -19,13 +19,14 @@ driver does).  Exit is non-zero on any failure either way.
 """
 import json
 import math
+import os
 import sys
 import time
 
 import duckdb
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e  # noqa: E402
 
 SF = "/root/testdata/sf0.01"

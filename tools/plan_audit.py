@@ -8,9 +8,10 @@ tail the targeted tests don't cover.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 

@@ -51,6 +51,9 @@ def main() -> int:
     spark = get_spark("ozone-spark-recall",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
                       (os.cpu_count() or 8))
+    from ozone_spark.session import jvm_calibrate
+    calib_start = jvm_calibrate(spark)
+    print(f"# calibration probe (start): {calib_start}s", file=sys.stderr)
     work = tempfile.mkdtemp(prefix="ozs_recall_")
     t0 = time.perf_counter()
     scale_stress.REPLICAS = replicas
@@ -114,6 +117,7 @@ def main() -> int:
         "recover_budget": budget, "autosized_sample": auto_s,
         "autosize_sec": autosize_sec,
         "n_truth": n_truth, "truth_sec": truth_sec, "arms": arms,
+        "calib": [calib_start, jvm_calibrate(spark)],
     }
     print(json.dumps(doc))
     if out_path:

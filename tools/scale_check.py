@@ -77,6 +77,8 @@ def main() -> int:
     spark = get_spark("ozone-spark-scale-check",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
                       (os.cpu_count() or 8))
+    from ozone_spark.session import jvm_calibrate
+    calib_start = jvm_calibrate(spark)
     corpus = build_corpus(spark).persist()
     n_docs = corpus.count()
 
@@ -134,6 +136,7 @@ def main() -> int:
         "pq_recall_vs_exact": round(len(bf & pq_hits) / max(len(bf), 1), 4),
         "semantic_dedup_sec": t_sem,
         "semantic_kept_fraction": round(n_kept / max(n_vecs, 1), 4),
+        "calib": [calib_start, jvm_calibrate(spark)],
     }))
     spark.stop()
     return 0

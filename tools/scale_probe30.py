@@ -104,6 +104,9 @@ def main() -> int:
     spark = get_spark("ozone-spark-scale30",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or
                       (os.cpu_count() or 8))
+    from ozone_spark.session import jvm_calibrate
+    calib_start = jvm_calibrate(spark)
+    print(f"# calibration probe (start): {calib_start}s", file=sys.stderr)
     work = tempfile.mkdtemp(prefix="ozs_sf30_")
     t0 = time.perf_counter()
     scale_stress.REPLICAS = replicas
@@ -257,6 +260,7 @@ def main() -> int:
         "effective_sf": replicas * 0.1, "build_sec": build_sec,
         "stage_rows": stages, "stage_rows_sec": stages_sec,
         "queries": results, "failed": failed,
+        "calib": [calib_start, jvm_calibrate(spark)],
     }
     print(json.dumps(doc))
     if out_path:

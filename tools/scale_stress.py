@@ -230,6 +230,9 @@ def main() -> int:
     build_scaled_dir(spark, work)
     build_sec = round(time.perf_counter() - t0, 1)
 
+    from ozone_spark.session import jvm_calibrate
+    calib_start = jvm_calibrate(spark)
+    print(f"# calibration probe (start): {calib_start}s", file=sys.stderr)
     qs = queries()
     results: dict[str, dict] = {}
     failed = []
@@ -247,10 +250,13 @@ def main() -> int:
             failed.append(name)
             print(f"# FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
 
+    calib_end = jvm_calibrate(spark)
+    print(f"# calibration probe (end): {calib_end}s", file=sys.stderr)
     doc = {
         "base_sf_dir": BASE, "replicas": REPLICAS, "perturb": PERTURB,
         "effective_sf": REPLICAS * 0.1, "build_sec": build_sec,
         "queries": results, "failed": failed,
+        "calib": [calib_start, calib_end],
     }
     print(json.dumps(doc))
     if out_path:
