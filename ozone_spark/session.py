@@ -22,6 +22,24 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing posture (r12, VERDICT r11 item 4) — MEASURED, then
+    # kept at the Spark default: flipping parallelismFirst to false
+    # (coalesce toward the 64 MB advisory size, Spark's own production
+    # recommendation) was benched A/B at sf0.1/local[32] and REGRESSED
+    # the board 32.4 -> 38.4 s — the engine's shuffle-light dedup
+    # pipelines carry few MBs that explode into CPU-heavy per-row work
+    # (shingling, levenshtein, pair fan-out), so byte-count coalescing
+    # serialized their hot stages (dedup_ngram_jaccard +1.8 s,
+    # dedup_clusters +0.9 s, payload_chunk_near_dup +0.7 s).  The
+    # r11-flagged "inverse scaling" rows were separately adjudicated
+    # HOST (AB_r12: container_key_index / record_linkage arms equal),
+    # so there is no regression the flip would fix.  Both knobs stay
+    # env-tunable for deployments whose shuffles are byte-bound (guide
+    # §2.2: size partitions 100 MB-1 GB at cluster scale).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst":
+        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
     # Arrow for the (rare) pandas-UDF paths — vectorized transfer
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -84,6 +102,25 @@ def get_spark(app_name: str = "ozone-spark", cpus: int | None = None) -> SparkSe
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+def jvm_calibrate(spark: SparkSession, reps: int = 3) -> float:
+    """Fixed-size pure-CPU JVM probe (no IO, no shuffle) — the SAME
+    probe bench.py prints, exposed for every other artifact-writing
+    harness (VERDICT r11 item 7): median seconds to fold 64M ids
+    through a multiply/mod, first iteration untimed (codegen warm-up).
+    Artifacts that stamp a [start, end] calib pair can be normalized
+    for host speed; cross-artifact comparisons where the calib ratios
+    diverge >1.2x are weather, not code (BENCH_NOTES rule)."""
+    import time as _t
+    runs = []
+    for _ in range(reps + 1):
+        t0 = _t.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s").collect()
+        runs.append(_t.perf_counter() - t0)
+    runs = sorted(runs[1:])
+    return round(runs[len(runs) // 2], 3)
 
 
 def suggest_shuffle_partitions(input_bytes: int,
