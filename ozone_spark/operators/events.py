@@ -913,7 +913,15 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30,
     The DuckDB oracle is the naive BETWEEN join (its IEJoin handles
     gate-scale sizes), which independently cross-checks the whole
     prefix-sum derivation."""
-    iv = session_intervals(events, gap_minutes)
+    # NULL-user SESSIONS are out of contract (ADVICE r11): the r10
+    # global⋈own inner join dropped them implicitly (NULL joins
+    # nothing); the fused single-groupBy form would retain them with
+    # n_own=0 and count ALL purchases as "concurrent".  Filter them
+    # up front so the fused rewrite keeps the pre-r11 semantics (inert
+    # on shipped fixtures — no NULL-user events exist — but a latent
+    # oracle divergence if they ever do).
+    iv = session_intervals(events, gap_minutes) \
+        .where(F.col("user_id").isNotNull())
     # NULL-user events must not count as "other users": the own-user
     # correction can never subtract them (NULL joins nothing) and the
     # oracle's `p.u <> iv.user_id` predicate excludes NULLs (ADVICE r8)
