@@ -106,7 +106,16 @@ def _spread(df: DataFrame) -> DataFrame:
     memoized per (session, semanticHash, target) — semanticHash needs
     only analysis (~0.5 ms) and is stable across rebuilds of the same
     plan.  The memo stores a partition COUNT, never data or results, and
-    lives only for the session (WeakKeyDictionary)."""
+    lives only for the session (WeakKeyDictionary).
+
+    Key caveat (ADVICE r11): the file-split confs
+    (spark.sql.files.maxPartitionBytes / openCostInBytes) are NOT part
+    of the key, so mutating them mid-session — or overwriting an input
+    file in place — can serve a stale count; semanticHash is also a
+    32-bit hash, so distinct plans can collide.  Every failure mode is
+    perf-only (a skipped or needless repartition, never wrong values),
+    and this engine holds those confs fixed per session (session.py
+    sets them once), so the narrow key is the measured win."""
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     n = None
@@ -141,6 +150,20 @@ def _norm_text(text: Column) -> Column:
 # queries' timings).
 _CACHE_SLOTS: dict[str, DataFrame] = {}
 
+# Observability (ADVICE r11): slot hit/miss/evict counters, so a silent
+# always-miss regression (e.g. sameSemantics keys diverging run-to-run
+# on a closure-embedding plan) is visible instead of silently restoring
+# the per-call rebuild cost the cache exists to remove.  Counters only —
+# never data; read via slot_stats(), reset at will by tests.
+_SLOT_STATS: dict[str, list[int]] = {}  # slot -> [hits, misses]
+
+
+def slot_stats(slot: str | None = None) -> dict[str, tuple[int, int]]:
+    """(hits, misses) per cache slot — misses include first-touch."""
+    items = _SLOT_STATS.items() if slot is None else \
+        [(slot, _SLOT_STATS.get(slot, [0, 0]))]
+    return {s: (c[0], c[1]) for s, c in items}
+
 
 def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     """One bounded cache slot per call site, with PLAN-KEYED reuse: if
@@ -163,10 +186,12 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
     immutable; sessions with mutable inputs should key the slot on a
     data fingerprint (e.g. max(mtime) of input files) or unpersist
     between loads."""
+    stats = _SLOT_STATS.setdefault(slot, [0, 0])
     old = _CACHE_SLOTS.get(slot)
     if old is not None:
         try:
             if df.sameSemantics(old):
+                stats[0] += 1
                 # External-uncache hazard (ADVICE r10 medium): Spark's
                 # CacheManager is PLAN-keyed, so two slots holding
                 # sameSemantics twins share ONE cache entry — an
@@ -189,6 +214,7 @@ def _slot_cache(df: DataFrame, slot: str) -> DataFrame:
             old.unpersist()
         except Exception:
             pass  # dead session — the frame is already gone
+    stats[1] += 1
     df.persist()
     _CACHE_SLOTS[slot] = df
     return df
@@ -767,7 +793,8 @@ def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
                              n: int = 3, threshold: float = 0.5,
                              max_bucket: int = 200,
                              index=None,
-                             recover_saturated: int = 0) -> DataFrame:
+                             recover_saturated: int = 0,
+                             ordered: bool = True) -> DataFrame:
     """Incremental ingestion dedup: classify each NEW batch document
     against the EXISTING corpus — `exact_dup` (normalized-text
     fingerprint already present), `near_dup` (capped n-gram Jaccard vs
@@ -876,7 +903,7 @@ def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
         F.when(F.col("is_exact"), "exact_dup")
         .when(F.col("best_jaccard_ppm") >= thr_ppm, "near_dup")
         .otherwise("new"))
-    return (
+    out = (
         exact.join(best, "b_doc", "left")
         .select(F.col("b_doc").alias("doc_id"),
                 F.col("is_exact").alias("is_exact_dup"),
@@ -886,8 +913,12 @@ def incremental_ingest_dedup(corpus: DataFrame | None, batch: DataFrame,
                 F.coalesce("best_jaccard_ppm", F.lit(0))
                 .alias("best_jaccard_ppm"),
                 verdict.alias("verdict"))
-        .orderBy("doc_id")
     )
+    # ordered=False (r12 optimization round): sinks that re-sort after
+    # a read-back (the streaming drain writes per-batch parquet whose
+    # row order is discarded) skip the global range-exchange + sort —
+    # one fewer per-micro-batch stage; row SET is identical.
+    return out.orderBy("doc_id") if ordered else out
 
 
 def frequent_ngrams(docs: DataFrame, n: int = 8, k: int = 50) -> DataFrame:
@@ -2507,38 +2538,64 @@ def dup_graph_centrality(docs: DataFrame, threshold: float = 0.1,
     by nodes x 1e6: BIGINT products stay inside 2^63 up to ~1e7 graph
     nodes; beyond that rescale to per-node thousandths.
 
-    Scale shape: the edge list is the capped-bucket pair generator
-    (never all-pairs) built ONCE and persisted; each iteration is one
-    edge-keyed shuffle of (node, int) rows; degree computes once; the
-    top-k is orderBy+limit's TakeOrderedAndProject over the score
-    table, ranked only after the k-row cut.
-    Cost is dominated by the MEMBER-level pair list: on the 10x
-    90%-copies stress corpus (every doc in a 10-clique at threshold
-    0.1 — ngram_jaccard_pairs' documented quadratic worst case) the
-    full query measures 70 s, ~3x the bare pair pass, for the three
-    propagation rounds.  Copy-heavy corpora should run the exact pass
-    first and compute centrality over representatives (the
-    duplicate_clusters contraction route); the member-level default is
-    the right semantics when verbatim copies themselves ARE the hubs
-    being hunted."""
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
-        .select("doc_a", "doc_b")
-    edges = _slot_cache(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                  F.col("doc_a").alias("dst"))),
-        "centrality_edges")
-    deg, scores = _centrality_propagate(edges, iters)
-    # top-k via orderBy+limit (Spark's distributed TakeOrderedAndProject)
-    # and only THEN a rank window over the k-row result — never a
-    # row_number window over the unbounded score table, which Spark
-    # executes in a single partition (VERDICT r8 item 1; the pattern
-    # at mining.zipf_curve)
-    topk = (
-        scores.join(deg, scores.node == deg.src)
-        .select(F.col("node").alias("doc_id"), "deg", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    Scale shape (r12, VERDICT r11 item 5): the member-level edge list
+    is NEVER materialized.  `contracted_pair_graph` reproduces the
+    member pair relation exactly (cap semantics included — its r7
+    contract, gated by test + the member-level oracle here) as
+    (groups, cross, within); member edges factor into rep-level edges
+    carrying copy-multiplicity weights, and the propagation runs over
+    DISTINCT texts only (`_centrality_propagate_weighted` — the
+    member-level loop reproduced bit-for-bit because every member of a
+    group provably shares one score).  On the 10x 90%-copies stress
+    corpus (every doc in a 10-clique at threshold 0.1 —
+    ngram_jaccard_pairs' documented quadratic worst case) the old
+    member-grain loop was 61.9 s, dominated by the quadratic member
+    pair list; the contracted loop never pays it.  Scores fan back to
+    members by the fingerprint membership join (corpus-sized, never
+    quadratic), and the top-k is orderBy+limit's distributed
+    TakeOrderedAndProject over that fan-out, ranked only after the
+    k-row cut."""
+    # default slot: the cached frames (groups/shingles/buckets) are
+    # threshold-independent, so this SHARES the resident contracted
+    # index with the member-grain report family instead of holding a
+    # second copy
+    groups, cross, within = contracted_pair_graph(docs, threshold=threshold)
+    nm_src = groups.select(F.col("rep").alias("src"),
+                           F.col("n_members").alias("nm_src"))
+    nm_dst = groups.select(F.col("rep").alias("dst"),
+                           F.col("n_members").alias("nm_dst"))
+    sym = (
+        cross.select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+        .unionByName(cross.select(F.col("rep_b").alias("src"),
+                                  F.col("rep_a").alias("dst")))
+        .unionByName(within.select(F.col("rep").alias("src"),
+                                   F.col("rep").alias("dst")))
     )
+    self_flag = (F.col("src") == F.col("dst")).cast("long")
+    wedges = _slot_cache(
+        sym.join(nm_dst, "dst").join(nm_src, "src")
+        .select("src", "dst",
+                (F.col("nm_dst") - self_flag).alias("wt"),
+                (F.col("nm_src") - self_flag).alias("wr")),
+        "centrality_wedges")
+    deg, scores = _centrality_propagate_weighted(wedges, iters)
+    rep_scores = (
+        scores.join(deg, scores.node == deg.src)
+        .select(F.col("node").alias("rep_id"), "deg", "score")
+    )
+    fp = F.md5(_norm_text(F.col("text")))
+    members = docs.select(F.col("doc_id").alias("m_doc"), fp.alias("fp"))
+    fanned = (
+        groups.join(rep_scores, F.col("rep") == F.col("rep_id"))
+        .join(members, "fp")
+        .select(F.col("m_doc").alias("doc_id"), "deg", "score")
+    )
+    # top-k via orderBy+limit (Spark's distributed TakeOrderedAndProject)
+    # over the corpus-sized fan-out, and only THEN a rank window over
+    # the k-row result — never a row_number window over the unbounded
+    # score table, which Spark executes in a single partition (VERDICT
+    # r8 item 1; the pattern at mining.zipf_curve)
+    topk = fanned.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.partitionBy(bounded_window_key("doc_id")) \
         .orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -2580,6 +2637,54 @@ def _centrality_propagate(edges: DataFrame,
         contrib = (
             edges.join(state, edges.src == state.node)
             .select("dst", F.expr("score div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        state = (
+            state.select("node", "deg")
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select("node", "deg", F.expr(
+                f"{1_000_000 - CENTRALITY_DAMP_PPM} + "
+                f"({CENTRALITY_DAMP_PPM} * coalesce(inflow, 0))"
+                f" div 1000000").cast("long").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    deg = state.select(F.col("node").alias("src"), "deg")
+    scores = state.select("node", "score")
+    return deg, scores
+
+
+def _centrality_propagate_weighted(wedges: DataFrame,
+                                   iters: int) -> tuple[DataFrame, DataFrame]:
+    """Copy-multiplicity-weighted form of _centrality_propagate (r12,
+    VERDICT r11 item 5): propagate over the CONTRACTED rep graph and
+    reproduce the member-level loop bit-for-bit.
+
+    `wedges` is the symmetric directed rep-level edge list with two
+    integer weights per edge (src, dst, wt, wr):
+      wt = member targets per source member  = n_members(dst) - [src=dst]
+      wr = member contributors per target member
+                                             = n_members(src) - [src=dst]
+    (self-loops encode within-group copy cliques; both weights collapse
+    to n_members-1 there).  Every member of a group has the same degree
+    and, by induction from the uniform 1e6 start, the same score at
+    every iteration, so the member-level quantities factor exactly:
+      deg(member of g)    = sum of wt over edges src=g
+      inflow(member of g) = sum of wr * (score div deg) over edges dst=g
+    — the integer `score div deg` per contributing member is IDENTICAL
+    across a group's members, so multiplying by the contributor count
+    equals summing the member-level contributions term-for-term; the
+    damping floor-division is unchanged.  Bit-exactness is gated by the
+    member-level DuckDB oracle (which never sees the contraction)."""
+    state = (
+        wedges.groupBy("src").agg(F.sum("wt").alias("deg"))
+        .select(F.col("src").alias("node"), "deg",
+                F.lit(1_000_000).cast("long").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            wedges.join(state, wedges.src == state.node)
+            .select("dst", F.expr("wr * (score div deg)").alias("c"))
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
         state = (

@@ -309,44 +309,29 @@ def _gate_priority_order(specs: list[QuerySpec],
 # records a green row in a round >= the stated value, the pin is inert
 # (safe to prune on any later registry edit).
 _REWRITE_PENDING: dict[str, int] = {
-    # (Every r8-r10 pin was pruned after its post-rewrite driver green;
-    # VERDICT r10 item 5.)
+    # (Every r8-r11 pin was pruned after its post-rewrite driver green;
+    # all 20 r11 pins got green CORRECTNESS_r11 rows — VERDICT r11
+    # correctness gate.)
     #
-    # r11 OPTIMIZATION-round rewrites: these queries' execution was
-    # restructured (or their expression builders re-emitted) this
-    # round.  Results are value-identical — each re-passed its DuckDB
-    # oracle at sf0.01 AND sf0.1 in the refreshed self-sweeps — but
-    # those same sweeps reset the generic stale() signal, so without a
-    # pin the driver gate would wait a full rotation before recording a
-    # post-rewrite row (the VERDICT r8 item 2 failure mode).
-    # Centrality propagation state-frame rewrite:
-    "dup_graph_centrality": 11,
-    "dup_graph_centrality_reps": 11,
-    # Fused two-window prefix-sum timeline:
-    "session_concurrency": 11,
-    # Checkpoint-materialized ingest corpus index:
-    "streaming_ingest_dedup": 11,
-    "incremental_ingest_dedup": 11,
-    "ingest_dedup_recovered": 11,
-    # Single-parse LSH hyperplane signature builders:
-    "semantic_dedup": 11,
-    "embedding_near_dup": 11,
-    "knn_lsh": 11,
-    "ann_recall": 11,
-    # Single-parse minhash signature/banding builders:
-    "dedup_minhash_lsh": 11,
-    "lsh_bucket_stats": 11,
-    "lsh_band_yield": 11,
-    "minhash_recall": 11,
-    # Single-parse PQ codeword/ADC builders:
-    "knn_ivf_pq": 11,
-    "knn_pq": 11,
-    "pq_codes": 11,
-    "pq_reconstruction_report": 11,
-    # Slot-cached chunk/media fixture tables (plan-identical by
-    # sameSemantics, pinned defensively — the caching layer is new):
-    "payload_chunk_near_dup": 11,
-    "media_ppm_features": 11,
+    # r12 OPTIMIZATION-round rewrites (results value-identical, each
+    # re-gated vs its DuckDB oracle at sf0.01 AND sf0.1 before commit;
+    # the pin steers the next driver sample at them):
+    # Copy-weighted contracted-graph centrality (member grain):
+    "dup_graph_centrality": 12,
+    # Per-batch orderBy removal + session-memoized staged source:
+    "streaming_ingest_dedup": 12,
+    # Slot-cached PQ codebook row (plan gains InMemoryTableScan):
+    "knn_pq": 12,
+    "knn_ivf_pq": 12,
+    "pq_codes": 12,
+    "pq_reconstruction_report": 12,
+    # Slot-cached IVF centroid row via shared _centroid_row:
+    "knn_ivf": 12,
+    "ivf_list_balance": 12,
+    "ivf_recall": 12,
+    "ivf_probe_sweep": 12,
+    # NULL-user session filter (inert on fixtures, plan adds a filter):
+    "session_concurrency": 12,
 }
 
 

@@ -379,10 +379,14 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
         # same batch_id) replaces its half-written output instead of
         # appending it twice (ADVICE r9 medium #1 — blind append broke
         # the "drained union == one batch run" contract under retry).
+        # ordered=False: the final read-back re-sorts (or the caller
+        # does), so the per-batch global orderBy was a pure range-
+        # exchange + sort stage per micro-batch with its output order
+        # thrown away by the parquet write (r12 optimization round).
         D.incremental_ingest_dedup(
             None, bdf, n=n, threshold=threshold,
             max_bucket=max_bucket, index=idx,
-            recover_saturated=recover_saturated) \
+            recover_saturated=recover_saturated, ordered=False) \
             .write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
 
     q = (

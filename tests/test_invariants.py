@@ -2409,6 +2409,41 @@ def test_contracted_pair_graph_replays_member_semantics(spark):
     assert member_pairs == 30 * 29 // 2 + 25 * 24 // 2 + 6 + 30 * 25
 
 
+def test_dup_graph_centrality_contracted_matches_member_replay(spark):
+    """r12 contraction (VERDICT r11 item 5): the copy-weighted rep-graph
+    propagation must equal the member-level damped integer loop
+    bit-for-bit on the adversarial copy-heavy corpus — saturated
+    template contributing nothing, within-group self-loops, 30x25
+    cross fan-out and singleton groups all exercised — at a loose and
+    a tight threshold."""
+    from ozone_spark.functions.dedup import (CENTRALITY_DAMP_PPM,
+                                             CENTRALITY_ITERS,
+                                             dup_graph_centrality,
+                                             ngram_jaccard_pairs)
+    docs = _copyheavy_docs(spark)
+    for thr in (0.1, 0.5):
+        pairs = [(r.doc_a, r.doc_b) for r in
+                 ngram_jaccard_pairs(docs, threshold=thr)
+                 .select("doc_a", "doc_b").collect()]
+        edges = pairs + [(b, a) for a, b in pairs]
+        deg: dict[int, int] = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        score = {n: 1_000_000 for n in deg}
+        for _ in range(CENTRALITY_ITERS):
+            infl: dict[int, int] = {}
+            for s, d in edges:
+                infl[d] = infl.get(d, 0) + score[s] // deg[s]
+            score = {n: (1_000_000 - CENTRALITY_DAMP_PPM)
+                     + (CENTRALITY_DAMP_PPM * infl.get(n, 0)) // 1_000_000
+                     for n in deg}
+        expect = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        rows = dup_graph_centrality(docs, threshold=thr).collect()
+        assert [(r.doc_id, r.score) for r in rows] == expect, thr
+        for r in rows:
+            assert r.deg == deg[r.doc_id], (thr, r)
+
+
 def test_member_grain_reports_match_member_formulations(spark):
     """The three r8-contracted reports must equal their member-level
     reference formulations row-for-row on the adversarial copy-heavy
@@ -2443,6 +2478,46 @@ def test_member_grain_reports_match_on_fixture(spark, sf_dir):
         dedup_source_affinity_member(docs).collect()
     assert near_dup_leakage(docs).collect() == \
         near_dup_leakage_member(docs).collect()
+
+
+def test_incremental_ingest_dedup_unordered_same_set(spark):
+    """ordered=False (the streaming drain's per-batch form, r12) must
+    return the identical row SET — only the trailing global sort is
+    skipped."""
+    from ozone_spark.functions.dedup import incremental_ingest_dedup
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven"),
+         (2, "completely unrelated corpus body with many words")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "one two three four five six seven"),
+         (101, "one two three four five six eight"),
+         (102, "entirely novel batch text nothing shared")],
+        "doc_id long, text string")
+    ordered = incremental_ingest_dedup(corpus, batch, threshold=0.5)
+    unordered = incremental_ingest_dedup(corpus, batch, threshold=0.5,
+                                         ordered=False)
+    assert sorted(map(tuple, unordered.collect())) == \
+        sorted(map(tuple, ordered.collect()))
+    # and the unordered plan really has no global sort
+    assert "Sort [doc_id" not in unordered._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+def test_slot_cache_stats_observable(spark):
+    """ADVICE r11: slot hits/misses are counted, so a silent always-miss
+    regression (plan-key divergence) is observable."""
+    from ozone_spark.functions import dedup as D
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    slot = "unit_test_stats_slot"
+    D._SLOT_STATS.pop(slot, None)
+    D._slot_cache(df, slot)
+    assert D.slot_stats(slot)[slot] == (0, 1)
+    D._slot_cache(spark.range(10).selectExpr("id", "id * 2 AS v"), slot)
+    assert D.slot_stats(slot)[slot] == (1, 1)          # sameSemantics hit
+    D._slot_cache(spark.range(9).selectExpr("id", "id * 2 AS v"), slot)
+    assert D.slot_stats(slot)[slot] == (1, 2)          # new plan: miss
+    D.release_slots(slot)
 
 
 def test_incremental_ingest_dedup_verdicts(spark, sf_dir):
