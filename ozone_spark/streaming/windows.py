@@ -399,7 +399,14 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_stream: DataFrame,
     # (checkpointed index blocks are freed by the ContextCleaner once
     # the frames go out of scope — no explicit unpersist hook exists
     # for localCheckpoint, and the drain-bounded footprint is the same
-    # corpus-sized index the persist path held)
+    # corpus-sized index the persist path held.  Residency bound for
+    # multi-drain sessions (ADVICE r11): py4j references can outlive
+    # this function by one GC cycle, so at most ONE drain's index
+    # (~4-6 corpus-sized frames) may linger beyond its drain until the
+    # next driver GC triggers the cleaner — bounded, not cumulative;
+    # the slot-cached variant that DID accumulate copies across drains
+    # was measured at 10->26 s over three drains and rejected, see the
+    # materialize comment above)
     # batch=<id> reads back as a partition column; drop it — batch
     # boundaries are an execution detail, not part of the result.
     return spark.read.parquet(out_dir).drop("batch")
